@@ -1,0 +1,26 @@
+"""neo4j_tkapi_ray — a Ray-Data-native knowledge-graph construction engine.
+
+Rebuilds the computation classes of the reference repo
+(Niekvandam/neo4j-tkapi, read-only snapshot at /root/reference) as
+streaming Ray Data pipelines over Common-Crawl-style web-page Parquet:
+
+    pages(url, warc_ts, html, text, lang)
+      -> [1] extract   : stateless map_batches, html -> canonical text +
+                         structured session/activity/speaker/case/vote mentions
+      -> [2] link      : actor-pool map_batches holding a gazetteer built from
+                         the entity registry; entity-link scoring with the
+                         reference's exact weights (vlos_config.py semantics)
+      -> [3] triples   : stateless per-document triple emission (speaker x zaak
+                         cross products, A->B->A interruption scan, votes)
+      -> [4] canonical : salted two-phase groupby dedup -> nodes / edges
+      -> [5] materialize: partitioned Parquet + per-partition lineage manifests
+                         with checkpointed resume
+
+The engine is NOT a port: the reference executes single-process Python with
+per-item Cypher MERGEs; here every stage is a batch transform over Arrow
+blocks scheduled by Ray Data's streaming executor.
+"""
+
+__version__ = "0.1.0"
+
+from .config import EngineConfig, MatchingConfig, ProcessingConfig, TimeConfig  # noqa: F401

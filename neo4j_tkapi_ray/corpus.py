@@ -1,0 +1,456 @@
+"""Deterministic synthetic corpus generator (FIXTURES.md §1-§4).
+
+Generates, from a single seed:
+  * ``pages``           — Common-Crawl-style page table (input_hint shape, exact)
+  * entity registry     — persons / parties / sessions / activities / cases /
+                          dossiers / activity_cases (the "canonical API side")
+  * ``truth_mentions``  — intended entity per generated mention
+                          (url, kind, surface, entity_id)
+
+The embedded page structure mirrors the reference's VLOS grammar
+(/root/reference/src/vlos/extractors/xml_extractor.py:25-284 and the element
+census of its sample_vlos_*.xml fixtures): vergadering -> activiteit* ->
+draadboekfragment* (ordered!) with sprekers, zaak elements with
+dossier/stuk numbers, and activiteititem vote blocks. Adversarial cases per
+FIXTURES.md §4: whitespace torture, duplicate speakers, near-name collisions,
+missing times, head-entity skew, duplicate urls, partial stuknummers and
+malformed html rows.
+
+No external data; everything derives from `random.Random(seed)`.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from datetime import datetime, timedelta
+from typing import Dict, List, Optional, Tuple
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import schemas
+
+# --------------------------------------------------------------------------
+# deterministic vocab pools (synthetic Dutch-parliament-ish)
+# --------------------------------------------------------------------------
+
+SURNAME_POOL = [
+    # deliberate near-collisions (edit distance 1-2) to exercise fuzzy
+    # thresholds 60/75/80 (reference vlos_config.py:36-42)
+    "Jansen", "Janssen", "Jansens", "Vries", "Fries", "Berg", "Bergh",
+    "Bakker", "Bakkers", "Visser", "Vissers", "Smit", "Smits", "Meijer",
+    "Meyer", "Mulder", "Boer", "Boers", "Dijk", "Dijkstra", "Hendriks",
+    "Hendrikx", "Peters", "Pieters", "Kok", "Bos", "Vos", "Wolf", "Wolff",
+    "Groot", "Groots", "Veen", "Veenstra", "Brouwer", "Brouwers", "Koning",
+    "Koningh", "Timmermans", "Timmerman", "Scholten", "Scholtens",
+]
+TUSSEN_POOL = ["", "", "", "van", "de", "van der", "van den", "ter", "van de"]
+FIRSTNAME_POOL = [
+    "Anna", "Bram", "Carla", "Daan", "Eva", "Femke", "Gijs", "Hanna",
+    "Iris", "Joris", "Kees", "Lotte", "Maarten", "Nora", "Otto", "Pieter",
+    "Renske", "Sander", "Tessa", "Wouter", "Ylva", "Zoe", "Hugo", "Mila",
+]
+PARTY_NAMES = [
+    ("Partij voor Vooruitgang", "PvV+"), ("Democratisch Alternatief", "DA"),
+    ("Groene Unie", "GU"), ("Sociale Lijst", "SL"), ("Vrije Kamer", "VK"),
+    ("Nationale Beweging", "NB"), ("Liberaal Front", "LF"),
+    ("Christelijk Verbond", "CV"), ("Stadspartij", "SP+"),
+    ("Plattelandsalliantie", "PA"), ("Jongerenpartij", "JP"),
+    ("Ouderenbond", "OB"), ("Technocraten", "TC"), ("Middenblok", "MB"),
+    ("Eilandenpartij", "EP"),
+]
+ACT_SOORT_POOL = [
+    "Debat", "Mededelingen", "Vragenuur", "Wetgevingsoverleg",
+    "Procedurevergadering", "Stemmingen",
+]
+PROCEDURAL_SOORTEN = ["Opening", "Sluiting", "Aanvang", "Einde vergadering"]
+TOPIC_WORDS = [
+    "begroting", "onderwijs", "zorg", "klimaat", "woningbouw", "veiligheid",
+    "arbeidsmarkt", "migratie", "landbouw", "energie", "digitalisering",
+    "infrastructuur", "defensie", "cultuur", "belastingen", "jeugdzorg",
+    "pensioenen", "stikstof", "innovatie", "europa",
+]
+BOILERPLATE_PREFIXES = [
+    "Tweeminutendebat", "Procedurevergadering", "Wetgevingsoverleg",
+    "Stemmingen", "Aanbieding", "Technische briefing",
+]
+SENTENCE_WORDS = [
+    "voorzitter", "het", "kabinet", "moet", "nu", "echt", "werk", "maken",
+    "van", "deze", "belangrijke", "kwestie", "wij", "steunen", "dit",
+    "voorstel", "maar", "vragen", "om", "een", "toezegging", "over", "de",
+    "uitvoering", "en", "financiering", "daarvan", "collega", "heeft",
+    "gelijk", "dat", "er", "meer", "aandacht", "nodig", "is",
+]
+
+CORPUS_VERSION = "v1"  # bump to invalidate cached generated corpora
+
+
+# --------------------------------------------------------------------------
+# registry generation
+# --------------------------------------------------------------------------
+
+def _gen_registry(rng: random.Random, n_sessions: int) -> Dict[str, list]:
+    parties = [
+        {"fractie_id": f"fr{i:03d}", "naam": naam, "afkorting": afk}
+        for i, (naam, afk) in enumerate(PARTY_NAMES)
+    ]
+
+    n_persons = max(40, min(400, n_sessions * 2))
+    persons = []
+    for i in range(n_persons):
+        persons.append({
+            "person_id": f"p{i:05d}",
+            "voornamen": rng.choice(FIRSTNAME_POOL) + " " + rng.choice(FIRSTNAME_POOL),
+            "roepnaam": rng.choice(FIRSTNAME_POOL),
+            "tussenvoegsel": rng.choice(TUSSEN_POOL),
+            "achternaam": rng.choice(SURNAME_POOL),
+            "fractie_id": rng.choice(parties)["fractie_id"],
+        })
+
+    base = datetime(2024, 1, 8, 0, 0, 0)
+    sessions, activities = [], []
+    act_counter = 0
+    for i in range(n_sessions):
+        datum = base + timedelta(days=i % 260, minutes=0)
+        begin = datum + timedelta(hours=9 + (i % 3))
+        n_act = 2 + rng.randrange(5)
+        einde = begin + timedelta(hours=2 + n_act)
+        sid = f"s{i:05d}"
+        sessions.append({
+            "session_id": sid,
+            "soort": "Plenair" if rng.random() < 0.7 else "Commissie",
+            "nummer": i + 1,
+            "datum": datum,
+            "begin": begin,
+            "einde": einde,
+        })
+        t = begin
+        for j in range(n_act):
+            a_begin = t + timedelta(minutes=rng.randrange(10))
+            a_end = a_begin + timedelta(minutes=30 + rng.randrange(60))
+            activities.append({
+                "activity_id": f"a{act_counter:06d}",
+                "session_id": sid,
+                "soort": rng.choice(ACT_SOORT_POOL),
+                "onderwerp": _topic(rng),
+                "begin": a_begin,
+                "einde": a_end,
+            })
+            act_counter += 1
+            t = a_end
+
+    n_dossiers = max(10, n_sessions)
+    dossiers = []
+    for i in range(n_dossiers):
+        dossiers.append({
+            "dossier_id": f"d{i:05d}",
+            "nummer": 36000 + i,
+            "toevoeging": rng.choice(["", "", "", "VIII", "A", "B", "XII"]),
+        })
+
+    cases = []
+    n_cases = max(20, n_sessions * 3)
+    for i in range(n_cases):
+        # leave the last ~15% of dossiers case-less -> FALLBACK tier targets
+        dossier = dossiers[rng.randrange(max(1, int(len(dossiers) * 0.85)))]
+        cases.append({
+            "zaak_id": f"z{i:05d}",
+            "nummer": f"2024Z{i:05d}",
+            "dossiernummer": dossier["nummer"],
+            "toevoeging": dossier["toevoeging"],
+            "stuknummer": 1 + rng.randrange(40),
+            "onderwerp": _topic(rng),
+        })
+
+    activity_cases = []
+    for act in activities:
+        for _ in range(rng.randrange(3)):
+            activity_cases.append({
+                "activity_id": act["activity_id"],
+                "zaak_id": rng.choice(cases)["zaak_id"],
+            })
+
+    return {
+        "persons": persons, "parties": parties, "sessions": sessions,
+        "activities": activities, "cases": cases, "dossiers": dossiers,
+        "activity_cases": activity_cases,
+    }
+
+
+def _topic(rng: random.Random) -> str:
+    w = rng.sample(TOPIC_WORDS, 2)
+    return f"wijziging van de begrotingsstaat {w[0]} en {w[1]} {2024 + rng.randrange(2)}"
+
+
+def _sentence(rng: random.Random, n: int = 10) -> str:
+    return " ".join(rng.choice(SENTENCE_WORDS) for _ in range(n)).capitalize() + "."
+
+
+# --------------------------------------------------------------------------
+# page rendering
+# --------------------------------------------------------------------------
+
+def _speaker_xml(rng: random.Random, person: Optional[dict], party_by_id: Dict[str, dict],
+                 truth: list, url: str, torture: bool) -> Tuple[str, str]:
+    """Render one <spreker> element; returns (xml, surface_last)."""
+    if person is None:
+        first = rng.choice(FIRSTNAME_POOL)
+        last = "Onbekend" + rng.choice(["sma", "er", "ius"])
+        fractie_naam = ""
+        entity_id = ""
+    else:
+        first = person["roepnaam"] if rng.random() < 0.7 else person["voornamen"].split()[0]
+        roll = rng.random()
+        bare = person["achternaam"]
+        fullsur = (person["tussenvoegsel"] + " " + bare).strip()
+        if roll < 0.62:
+            last = bare
+        elif roll < 0.80:
+            last = fullsur
+        elif roll < 0.90:
+            # typo: drop or swap one char -> near fuzzy threshold
+            k = rng.randrange(len(bare))
+            last = (bare[:k] + bare[k + 1:]) if rng.random() < 0.5 else (
+                bare[:k] + rng.choice("aeiou") + bare[k + 1:])
+        else:
+            last = bare.upper()[:1] + bare[1:]
+        party = party_by_id.get(person["fractie_id"])
+        fractie_naam = party["naam"] if party else ""
+        entity_id = person["person_id"]
+    truth.append({"url": url, "kind": "speaker",
+                  "surface": f"{first} {last}".strip(), "entity_id": entity_id})
+    ws = "\n      " if torture else ""
+    xml = (f"<spreker>{ws}<voornaam>{first}</voornaam>"
+           f"<achternaam>{last}</achternaam>"
+           + (f"<fractie>{fractie_naam}</fractie>" if fractie_naam else "")
+           + f"{ws}</spreker>")
+    return xml, last
+
+
+def _fmt(dt: datetime) -> str:
+    return dt.strftime("%Y-%m-%dT%H:%M:%S")
+
+
+def _render_page(rng: random.Random, session: dict, sess_acts: List[dict],
+                 reg: Dict[str, list], url: str,
+                 truth: list, skew_person: dict, skew_case: dict) -> str:
+    party_by_id = {p["fractie_id"]: p for p in reg["parties"]}
+    parts = []
+    parts.append(f'<vergadering soort="{session["soort"]}" objectid="obj-{session["session_id"]}">')
+    parts.append(f"  <titel>Vergadering {session['nummer']}</titel>")
+    parts.append(f"  <vergaderingnummer>{session['nummer']}</vergaderingnummer>")
+    parts.append(f"  <datum>{_fmt(session['datum'])}</datum>")
+
+    # a procedural activity that MUST be filtered (reference xml_extractor.py:67-83)
+    if rng.random() < 0.6:
+        psoort = rng.choice(PROCEDURAL_SOORTEN)
+        parts.append(f'  <activiteit soort="{psoort}" objectid="proc-{session["session_id"]}">')
+        parts.append(f"    <titel>{psoort} van de vergadering</titel>")
+        parts.append("  </activiteit>")
+
+    n_page_acts = min(len(sess_acts), 1 + rng.randrange(3))
+    chosen = sess_acts[:n_page_acts]
+
+    for act in chosen:
+        aid = f"xml-{act['activity_id']}"
+        # surface forms for onderwerp / soort (exercise J3 paths)
+        roll = rng.random()
+        ond = act["onderwerp"]
+        if roll < 0.55:
+            onderwerp = ond
+        elif roll < 0.75:
+            onderwerp = f"{rng.choice(BOILERPLATE_PREFIXES)} {ond}"
+        elif roll < 0.9:
+            onderwerp = ond.replace("begrotingsstaat", "begrotingstaat")
+        else:
+            onderwerp = "overige onderwerpen " + str(rng.randrange(100))
+        soort_surface = act["soort"] if rng.random() < 0.8 else act["soort"].lower()
+        truth.append({"url": url, "kind": "activity", "surface": onderwerp,
+                      "entity_id": act["activity_id"]})
+
+        parts.append(f'  <activiteit soort="{soort_surface}" objectid="{aid}">')
+        parts.append(f"    <titel>{onderwerp}</titel>")
+        parts.append(f"    <onderwerp>{onderwerp}</onderwerp>")
+        if rng.random() < 0.85:  # some activities have no time data (fall back to vergadering)
+            jitter = timedelta(minutes=rng.randrange(-10, 11))
+            parts.append(f"    <aanvangstijd>{_fmt(act['begin'] + jitter)}</aanvangstijd>")
+            parts.append(f"    <eindtijd>{_fmt(act['einde'] + jitter)}</eindtijd>")
+
+        # fragments (ordered!) with speakers; build A->B->A patterns
+        n_frag = 2 + rng.randrange(6)
+        frag_persons: List[Optional[dict]] = []
+        pool: List[Optional[dict]] = []
+        for _ in range(3):
+            pool.append(skew_person if rng.random() < 0.3 else rng.choice(reg["persons"]))
+        if rng.random() < 0.1:
+            pool.append(None)  # unknown speaker
+        for i in range(n_frag):
+            if i >= 2 and rng.random() < 0.4:
+                frag_persons.append(frag_persons[i - 2])  # A -> B -> A
+            else:
+                frag_persons.append(rng.choice(pool))
+        for i, person in enumerate(frag_persons):
+            torture = rng.random() < 0.3
+            sp_xml, _ = _speaker_xml(rng, person, party_by_id, truth, url, torture)
+            sent = _sentence(rng, 8 + rng.randrange(20))
+            if torture:
+                tekst = (f"<tekst>\n   <alinea>Voorzitter,   <nadruk>let op</nadruk>\n "
+                         f"{sent}</alinea>\n  <alinea>  {_sentence(rng, 6)} </alinea>\n </tekst>")
+            else:
+                tekst = f"<tekst><alinea>{sent}</alinea></tekst>"
+            extra = ""
+            if rng.random() < 0.15:  # duplicate speaker in same fragment (dedup case D4)
+                dup_xml, _ = _speaker_xml(rng, person, party_by_id, truth, url, False)
+                extra = dup_xml
+            parts.append("    <draadboekfragment>")
+            parts.append(f"      {tekst}")
+            parts.append(f"      <sprekers>{sp_xml}{extra}</sprekers>")
+            parts.append("    </draadboekfragment>")
+
+        # zaak mentions
+        for _ in range(rng.randrange(3)):
+            if rng.random() < 0.25:
+                case = skew_case
+            else:
+                case = rng.choice(reg["cases"])
+            code = str(case["dossiernummer"]) + (
+                f"-{case['toevoeging']}" if case["toevoeging"] and rng.random() < 0.5 else "")
+            if rng.random() < 0.12:
+                # incomplete: missing stuknummer -> filtered (F6)
+                parts.append(f'    <zaak objectid="zx" soort="Wetgeving">'
+                             f"<dossiernummer>{code}</dossiernummer>"
+                             f"<titel>{case['onderwerp']}</titel></zaak>")
+                continue
+            if rng.random() < 0.12:
+                # unknown dossier -> NO_MATCH tier
+                code, stuk, entity = "99" + str(rng.randrange(100, 999)), 99, ""
+                titel = "onbekend onderwerp"
+            else:
+                stuk = case["stuknummer"]
+                titel = case["onderwerp"]
+                has_toevoeging = "-" in code
+                # exact zaak reachable only via int dossier code (tier 1);
+                # toevoeging codes fall through to dossier fallback — reference
+                # api_extractor.py:207-240 semantics
+                entity = case["zaak_id"]
+            truth.append({"url": url, "kind": "zaak",
+                          "surface": f"{code}:{stuk}", "entity_id": entity})
+            direct_speaker = ""
+            if entity and rng.random() < 0.2:
+                person = rng.choice(reg["persons"])
+                sp, _ = _speaker_xml(rng, person, party_by_id, truth, url, False)
+                direct_speaker = f"<sprekers>{sp}</sprekers>"
+            parts.append(f'    <zaak objectid="z-{code}-{stuk}" soort="Wetgeving">'
+                         f"<dossiernummer>{code}</dossiernummer>"
+                         f"<stuknummer>{stuk}</stuknummer>"
+                         f"<titel>{titel}</titel>{direct_speaker}</zaak>")
+
+        # vote block
+        if rng.random() < 0.35:
+            uitslag = rng.choice(["Aangenomen", "Verworpen"])
+            votes = []
+            n_votes = 5 + rng.randrange(8)
+            fracties = rng.sample(reg["parties"], min(n_votes, len(reg["parties"])))
+            for fr in fracties:
+                stem = rng.choice(["Voor", "Tegen", "Voor", "Voor", "Onthouding"])
+                votes.append(f"<stemming><fractie>{fr['naam']}</fractie>"
+                             f"<stem>{stem}</stem></stemming>")
+            parts.append(f'    <activiteititem soort="besluit">'
+                         f"<titel>Stemming over {onderwerp}</titel>"
+                         f"<besluitvorm>hoofdelijk</besluitvorm>"
+                         f"<uitslag>{uitslag}</uitslag>"
+                         f"<stemmingen>{''.join(votes)}</stemmingen></activiteititem>")
+
+        parts.append("  </activiteit>")
+
+    parts.append("</vergadering>")
+    body = "\n".join(parts)
+    return ("<html><head><title>Verslag</title></head><body>\n"
+            '<div class="verslag">\n' + body + "\n</div>\n</body></html>")
+
+
+# --------------------------------------------------------------------------
+# top-level generation
+# --------------------------------------------------------------------------
+
+def generate_corpus(out_dir: str, n_sessions: int = 50, seed: int = 42) -> Dict[str, str]:
+    """Generate the full corpus into ``out_dir``; returns {table: path}.
+
+    Deterministic for a given (n_sessions, seed, CORPUS_VERSION). Reuses an
+    existing directory if its marker file matches (cheap cache for tests /
+    bench / queries()).
+    """
+    marker = os.path.join(out_dir, f".complete-{CORPUS_VERSION}-{n_sessions}-{seed}")
+    paths = {name: os.path.join(out_dir, f"{name}.parquet")
+             for name in ["persons", "parties", "sessions", "activities",
+                          "cases", "dossiers", "activity_cases", "truth_mentions"]}
+    paths["pages"] = os.path.join(out_dir, "pages")  # sharded directory
+    if os.path.exists(marker):
+        return paths
+
+    rng = random.Random(seed)
+    reg = _gen_registry(rng, n_sessions)
+
+    acts_by_session: Dict[str, List[dict]] = {}
+    for a in reg["activities"]:
+        acts_by_session.setdefault(a["session_id"], []).append(a)
+
+    skew_person = reg["persons"][0]
+    skew_case = reg["cases"][0]
+
+    pages, truth = [], []
+    for session in reg["sessions"]:
+        url = f"https://example.org/session/{session['session_id']}/part1"
+        lang = "nl" if rng.random() < 0.92 else rng.choice(["en", "de"])
+        page_truth: list = []
+        html = _render_page(rng, session, acts_by_session.get(session["session_id"], []),
+                            reg, url, page_truth, skew_person, skew_case)
+        if rng.random() < 0.01:  # malformed row -> failed-row sidecar (FIXTURES §4.8)
+            html = html[: len(html) // 2]
+            page_truth = []
+        warc_ts = session["datum"] + timedelta(hours=20, minutes=rng.randrange(60))
+        bom = b"\xef\xbb\xbf" if rng.random() < 0.1 else b""
+        pages.append({
+            "url": url,
+            "warc_ts": warc_ts,
+            "html": bom + html.encode("utf-8"),
+            "text": "pre-extracted placeholder (pipeline must recompute from html)",
+            "lang": lang,
+        })
+        if lang == "nl":
+            truth.extend(page_truth)
+        # duplicate url with later warc_ts (last-write-wins merge case)
+        if rng.random() < 0.05:
+            pages.append({**pages[-1], "warc_ts": warc_ts + timedelta(hours=5)})
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    # pages: sharded directory (one file per ~250 rows) so the partitioned /
+    # resumable runner has real file-level partitions to checkpoint over
+    pages_tbl = pa.Table.from_pylist(pages, schema=schemas.PAGES)
+    pages_dir = paths["pages"]
+    os.makedirs(pages_dir, exist_ok=True)
+    shard = 250
+    for i in range(0, max(1, pages_tbl.num_rows), shard):
+        pq.write_table(pages_tbl.slice(i, shard),
+                       os.path.join(pages_dir, f"pages-{i // shard:05d}.parquet"),
+                       row_group_size=64)
+
+    tables = {
+        "persons": pa.Table.from_pylist(reg["persons"], schema=schemas.PERSONS),
+        "parties": pa.Table.from_pylist(reg["parties"], schema=schemas.PARTIES),
+        "sessions": pa.Table.from_pylist(reg["sessions"], schema=schemas.SESSIONS),
+        "activities": pa.Table.from_pylist(reg["activities"], schema=schemas.ACTIVITIES),
+        "cases": pa.Table.from_pylist(reg["cases"], schema=schemas.CASES),
+        "dossiers": pa.Table.from_pylist(reg["dossiers"], schema=schemas.DOSSIERS),
+        "activity_cases": pa.Table.from_pylist(reg["activity_cases"], schema=schemas.ACTIVITY_CASES),
+        "truth_mentions": pa.Table.from_pylist(truth) if truth else pa.table(
+            {"url": pa.array([], pa.string()), "kind": pa.array([], pa.string()),
+             "surface": pa.array([], pa.string()), "entity_id": pa.array([], pa.string())}),
+    }
+    for name, tbl in tables.items():
+        pq.write_table(tbl, paths[name])
+    with open(marker, "w") as f:
+        f.write("ok")
+    return paths

@@ -1,0 +1,403 @@
+"""Entity-link scoring — the reference matcher semantics, re-expressed as
+pure functions over a prebuilt in-memory registry index.
+
+Semantics sources (file:line into /root/reference):
+  * J1 canonical vergadering lookup   api_extractor.py:33-71
+  * J2 candidate activity time join   api_extractor.py:73-87
+  * J3 activity fuzzy-score match     activity_matcher.py:26-265
+  * J4 speaker -> persoon cascade     api_extractor.py:134-168,270-302;
+                                      name_matcher.py:21-119
+  * J5 zaak multi-tier fallback       api_extractor.py:170-268
+  * J6 agendapunt -> zaak expansion   api_extractor.py:89-102; vlos_pipeline.py:109-124
+
+Determinism note (SURVEY.md §7.5 risk 2): the reference's best-candidate loop
+updates on strict ``>`` so the FIRST of equal scores wins, and candidate
+order is whatever the API returned. Here every candidate list is sorted by a
+stable key (documented per function) before the first-wins scan, making the
+result deterministic across runs and processes.
+
+These functions are executed inside Ray actor-pool workers (stages/link.py)
+AND by the single-process pytest oracle (oracle.py) — one semantics
+implementation, two execution models.
+"""
+
+from __future__ import annotations
+
+import bisect
+from datetime import datetime, timedelta
+from typing import Dict, List, Optional, Tuple
+
+import pyarrow.parquet as pq
+
+from .config import EngineConfig
+from .functions.textkit import (
+    build_prefix_regex,
+    fuzz_ratio,
+    name_similarity,
+    normalize_topic,
+    parse_xml_datetime,
+    safe_int,
+    split_dossier_code,
+    to_utc,
+)
+
+# soort aliases — reference activity_matcher.py:193-197
+SOORT_ALIASES = {
+    "opening": ["aanvang", "regeling van werkzaamheden", "reglementair"],
+    "sluiting": ["einde vergadering", "stemmingen", "stemmen"],
+    "mededelingen": ["procedurevergadering", "procedures en brieven", "uitstel brieven"],
+}
+
+
+class RegistryIndex:
+    """In-memory index over the entity registry (the small 'API side').
+
+    Built once per linker actor (amortized across batches — reference analog:
+    VlosPipeline constructed once per loader, vlos_neo4j_loader.py:27-29) and
+    broadcast via the Ray object store at pipeline build time.
+    """
+
+    def __init__(self, tables: Dict[str, list]):
+        self.sessions = sorted(tables["sessions"], key=lambda s: (s["datum"], s["session_id"]))
+        self.sessions_by_nummer: Dict[int, List[dict]] = {}
+        for s in self.sessions:
+            self.sessions_by_nummer.setdefault(int(s["nummer"]), []).append(s)
+
+        acts = sorted(tables["activities"], key=lambda a: (a["begin"], a["activity_id"]))
+        self.activities = acts
+        self._act_begins = [a["begin"] for a in acts]
+
+        self.persons_by_achternaam: Dict[str, List[dict]] = {}
+        self.person_name_by_id: Dict[str, str] = {}
+        for p in sorted(tables["persons"], key=lambda p: p["person_id"]):
+            self.persons_by_achternaam.setdefault(p["achternaam"].lower(), []).append(p)
+            # display name — reference name_matcher.py:105
+            self.person_name_by_id[p["person_id"]] = (
+                f"{p['roepnaam'] or p['voornamen']} {p['achternaam']}")
+        self._unique_surnames = sorted(self.persons_by_achternaam.keys())
+
+        self.cases_by_dossiernr: Dict[int, List[dict]] = {}
+        self.cases_by_nummer: Dict[str, List[dict]] = {}
+        for c in sorted(tables["cases"], key=lambda c: c["zaak_id"]):
+            self.cases_by_dossiernr.setdefault(int(c["dossiernummer"]), []).append(c)
+            self.cases_by_nummer.setdefault(c["nummer"], []).append(c)
+
+        self.dossiers_by_nummer: Dict[int, List[dict]] = {}
+        for d in sorted(tables["dossiers"], key=lambda d: d["dossier_id"]):
+            self.dossiers_by_nummer.setdefault(int(d["nummer"]), []).append(d)
+
+        self.agenda_cases: Dict[str, List[str]] = {}
+        for ac in tables["activity_cases"]:
+            self.agenda_cases.setdefault(ac["activity_id"], []).append(ac["zaak_id"])
+        self.case_by_id = {c["zaak_id"]: c for c in tables["cases"]}
+
+        self.party_by_name: Dict[str, dict] = {}
+        for fr in tables["parties"]:
+            self.party_by_name.setdefault(fr["naam"].lower(), fr)
+            self.party_by_name.setdefault(fr["afkorting"].lower(), fr)
+
+    @classmethod
+    def from_parquet_dir(cls, registry_dir: str) -> "RegistryIndex":
+        tables = {}
+        for name in ["persons", "parties", "sessions", "activities", "cases",
+                     "dossiers", "activity_cases"]:
+            tables[name] = pq.read_table(f"{registry_dir}/{name}.parquet").to_pylist()
+        return cls(tables)
+
+    def activities_in_window(self, start: datetime, end: datetime, cap: int) -> List[dict]:
+        """J2: activities with begin in [start, end], begin-sorted, capped."""
+        lo = bisect.bisect_left(self._act_begins, start)
+        hi = bisect.bisect_right(self._act_begins, end)
+        return self.activities[lo:hi][:cap]
+
+
+class Linker:
+    """Stateful scorer: compiled topic regex + registry index + config."""
+
+    def __init__(self, index: RegistryIndex, cfg: EngineConfig):
+        self.idx = index
+        self.cfg = cfg
+        self._prefix_re = build_prefix_regex(cfg.matching.common_topic_prefixes)
+        self._norm_cache: Dict[str, str] = {}
+
+    # -- topic normalization with memoization (api onderwerp reuse is heavy)
+    def _norm(self, text: str) -> str:
+        got = self._norm_cache.get(text)
+        if got is None:
+            got = normalize_topic(text, self._prefix_re)
+            if len(self._norm_cache) < 50_000:
+                self._norm_cache[text] = got
+        return got
+
+    # ------------------------------------------------------------------ J1
+    def find_canonical_session(self, doc: dict) -> Optional[dict]:
+        target = parse_xml_datetime(doc.get("datum"))
+        if not target:
+            return None
+        tc = self.cfg.time
+        lo = target - tc.vergadering_lookup_buffer - timedelta(hours=tc.local_timezone_offset_hours)
+        hi = target + tc.vergadering_lookup_buffer - timedelta(hours=tc.local_timezone_offset_hours)
+        soort = (doc.get("soort") or "").lower()
+        nummer = safe_int(doc.get("nummer"))
+
+        # narrow by nummer when present (equality filter in the reference)
+        pool = self.idx.sessions_by_nummer.get(nummer, []) if nummer is not None else self.idx.sessions
+        out = []
+        for s in pool:
+            if not (lo <= s["datum"] <= hi):
+                continue
+            if soort == "plenair" and s["soort"] != "Plenair":
+                continue
+            if soort == "commissie" and s["soort"] != "Commissie":
+                continue
+            out.append(s)
+            if len(out) >= self.cfg.processing.max_candidate_vergaderingen:
+                break
+        return out[0] if out else None
+
+    # ------------------------------------------------------------------ J2
+    def candidate_activities(self, session: dict) -> List[dict]:
+        buf = self.cfg.time.api_time_buffer
+        return self.idx.activities_in_window(
+            session["begin"] - buf, session["einde"] + buf,
+            self.cfg.processing.max_candidate_activities)
+
+    # ------------------------------------------------------------------ J3
+    def match_activity(self, act: dict, candidates: List[dict], session: dict
+                       ) -> Tuple[Optional[str], float, str]:
+        """Returns (activity_id | None, best_score, match_type)."""
+        m = self.cfg.matching
+        best_id, best_score = None, 0.0
+        scores = []
+        xml_start = parse_xml_datetime(act.get("start_time"))
+        xml_end = parse_xml_datetime(act.get("end_time"))
+        for cand in candidates:
+            score = self._activity_score(act, xml_start, xml_end, cand, session)
+            scores.append(score)
+            if score > best_score:  # strict > : first of equals wins
+                best_score, best_id = score, cand["activity_id"]
+
+        scores.sort(reverse=True)
+        accept = best_score >= m.min_match_score_for_activiteit
+        if not accept and len(scores) > 1:
+            accept = (best_score - scores[1] >= 1.0 and best_score >= 1.0)
+        if accept and best_id is not None:
+            mt = "EXACT" if best_score >= m.min_match_score_for_activiteit + 2 else "FUZZY"
+            return best_id, best_score, mt
+        return None, best_score, "NO_MATCH"
+
+    def _activity_score(self, act: dict, xml_start, xml_end, cand: dict, session: dict) -> float:
+        m, tc = self.cfg.matching, self.cfg.time
+        score = 0.0
+
+        # time proximity (activity_matcher.py:125-163)
+        xs = xml_start or session["begin"]
+        xe = xml_end or session["einde"]
+        if xs and cand["begin"] and cand["einde"]:
+            off = tc.local_timezone_offset_hours
+            xs_u = to_utc(xs, off)
+            xe_u = to_utc(xe or (xs + timedelta(minutes=1)), off)
+            cb_u = to_utc(cand["begin"], off)
+            ce_u = to_utc(cand["einde"], off)
+            start_diff = abs((xs_u - cb_u).total_seconds())
+            start_close = start_diff <= m.time_start_proximity_tolerance_seconds
+            buf = timedelta(seconds=m.time_general_overlap_buffer_seconds)
+            overlap = max(xs_u, cb_u - buf) < min(xe_u, ce_u + buf)
+            if start_close:
+                score += m.score_time_start_proximity
+            elif overlap:
+                score += m.score_time_overlap_only
+
+        # soort (activity_matcher.py:165-205)
+        xml_s = (act.get("soort") or "").lower()
+        api_s = (cand.get("soort") or "").lower()
+        if xml_s and api_s:
+            if xml_s == api_s:
+                score += m.score_soort_exact
+            elif xml_s in api_s:
+                score += m.score_soort_partial_xml_in_api
+            elif api_s in xml_s:
+                score += m.score_soort_partial_api_in_xml
+            else:
+                for main_soort, aliases in SOORT_ALIASES.items():
+                    if xml_s == main_soort and any(a in api_s for a in aliases):
+                        score += m.score_soort_partial_xml_in_api
+                        break
+
+        # topic (activity_matcher.py:207-250)
+        api_ond = (cand.get("onderwerp") or "").lower()
+        xml_ond = (act.get("onderwerp") or "").lower()
+        xml_tit = (act.get("titel") or "").lower()
+        napi = self._norm(api_ond)
+        nxo = self._norm(xml_ond)
+        nxt = self._norm(xml_tit)
+        if xml_ond and api_ond:
+            if nxo == napi:
+                score += m.score_onderwerp_exact
+            else:
+                r = fuzz_ratio(nxo, napi)
+                if r >= m.fuzzy_similarity_threshold_high:
+                    score += m.score_onderwerp_fuzzy_high
+                elif r >= m.fuzzy_similarity_threshold_medium:
+                    score += m.score_onderwerp_fuzzy_medium
+        if xml_tit and api_ond:
+            if nxt == napi:
+                score += m.score_titel_exact_vs_api_onderwerp
+            else:
+                r = fuzz_ratio(nxt, napi)
+                if r >= m.fuzzy_similarity_threshold_high:
+                    score += m.score_titel_fuzzy_high_vs_api_onderwerp
+                elif r >= m.fuzzy_similarity_threshold_medium:
+                    score += m.score_titel_fuzzy_medium_vs_api_onderwerp
+        return score
+
+    # ------------------------------------------------------------------ J4
+    def match_speaker(self, voornaam: str, achternaam: str
+                      ) -> Tuple[Optional[str], int, str]:
+        """Returns (person_id | None, score, match_type). Cascade: exact
+        achternaam bucket (cap 20) -> contains-token fallback (cap
+        max_persoon_candidates); accept >= min_speaker_similarity_score;
+        EXACT iff score >= 90 (name_matcher.py:84-90)."""
+        if not achternaam:
+            return None, 0, "NO_MATCH"
+        m = self.cfg.matching
+        best = self._best_person(voornaam, achternaam,
+                                 self.idx.persons_by_achternaam.get(achternaam.lower().strip(), [])[:20])
+        if best is None:
+            token = achternaam.strip().split()[-1].lower()
+            cands: List[dict] = []
+            for surname in self.idx._unique_surnames:
+                if token in surname:
+                    cands.extend(self.idx.persons_by_achternaam[surname])
+            cands = sorted(cands, key=lambda p: p["person_id"])[:self.cfg.processing.max_persoon_candidates]
+            best = self._best_person(voornaam, achternaam, cands)
+        if best is None:
+            return None, 0, "NO_MATCH"
+        person, score = best
+        mt = "EXACT" if score >= 90 else "FUZZY"
+        return person["person_id"], score, mt
+
+    def _best_person(self, voornaam: str, achternaam: str, candidates: List[dict]
+                     ) -> Optional[Tuple[dict, int]]:
+        m = self.cfg.matching
+        best_p, best_s = None, 0
+        for p in candidates:
+            s = name_similarity(voornaam, achternaam, p["achternaam"], p["tussenvoegsel"],
+                                p["roepnaam"], p["voornamen"], m.fuzzy_firstname_threshold)
+            if s > best_s:
+                best_s, best_p = s, p
+        if best_p is not None and best_s >= m.min_speaker_similarity_score:
+            return best_p, best_s
+        return None
+
+    # ------------------------------------------------------------------ J5
+    def match_zaak(self, dossiernummer: str, stuknummer: str
+                   ) -> Tuple[Optional[str], str, float, str]:
+        """Returns (entity_id | None, entity_kind, score, match_type)."""
+        dnr_int = safe_int(dossiernummer)
+        snr_int = safe_int(stuknummer)
+
+        # tier 1 — exact zaak (api_extractor.py:207-240)
+        if dnr_int is not None:
+            cands = self.idx.cases_by_dossiernr.get(dnr_int, [])
+        elif dossiernummer:
+            cands = self.idx.cases_by_nummer.get(dossiernummer, [])
+        else:
+            cands = []
+        if snr_int is not None:
+            cands = [c for c in cands if int(c["stuknummer"]) == snr_int]
+        elif stuknummer:
+            cands = [c for c in cands if str(c["stuknummer"]) == stuknummer]
+        cands = cands[:self.cfg.processing.max_zaak_candidates]
+        if cands:
+            chosen = cands[0]
+            if len(cands) > 1:
+                for c in cands:
+                    if (dnr_int and int(c["dossiernummer"]) == dnr_int) and (
+                            snr_int is None or int(c["stuknummer"]) == snr_int):
+                        chosen = c
+                        break
+            return chosen["zaak_id"], "zaak", 100.0, "EXACT"
+
+        # tier 2 — dossier fallback (api_extractor.py:188-205,242-254)
+        num, toevoeg = split_dossier_code(dossiernummer)
+        if num is not None:
+            ds = self.idx.dossiers_by_nummer.get(num, [])
+            if toevoeg:
+                ds = [d for d in ds if d["toevoeging"] == toevoeg]
+            if ds:
+                return ds[0]["dossier_id"], "dossier", 75.0, "FALLBACK"
+
+        return None, "", 0.0, "NO_MATCH"
+
+    # ------------------------------------------------------------------ J6
+    def agenda_zaken(self, activity_id: str) -> List[dict]:
+        return [self.idx.case_by_id[zid]
+                for zid in self.idx.agenda_cases.get(activity_id, [])
+                if zid in self.idx.case_by_id]
+
+    # ------------------------------------------------------------------ J8
+    def match_fractie(self, name: str) -> Optional[str]:
+        fr = self.idx.party_by_name.get((name or "").lower())
+        return fr["fractie_id"] if fr else None
+
+
+# ---------------------------------------------------------------------------
+# doc-level linking — mirrors vlos_pipeline.py:82-151 step 4
+# ---------------------------------------------------------------------------
+
+def link_doc(doc: dict, linker: Linker) -> dict:
+    """Annotate a parsed doc with entity links. Pure; mutates a copy."""
+    out = dict(doc)
+    session = linker.find_canonical_session(doc)
+    out["session_id"] = session["session_id"] if session else ""
+    candidates = linker.candidate_activities(session) if session else []
+
+    linked_acts = []
+    for act in doc.get("activities", []):
+        a = dict(act)
+        if session:
+            aid, score, mt = linker.match_activity(act, candidates, session)
+        else:
+            aid, score, mt = None, 0.0, "NO_MATCH"
+        a["api_activity_id"] = aid or ""
+        a["activity_score"] = score
+        a["activity_match_type"] = mt
+
+        a["speaker_matches"] = []
+        for sp in act.get("speakers", []):
+            pid, s, smt = linker.match_speaker(sp["voornaam"], sp["achternaam"])
+            a["speaker_matches"].append({
+                **sp, "person_id": pid or "", "score": s, "match_type": smt,
+                "persoon_name": linker.idx.person_name_by_id.get(pid or "", "")})
+
+        zms = []
+        for zk in act.get("zaken", []):
+            eid, kind, zscore, zmt = linker.match_zaak(zk["dossiernummer"], zk["stuknummer"])
+            direct = []
+            for sp in zk.get("speakers", []):
+                pid, s, smt = linker.match_speaker(sp["voornaam"], sp["achternaam"])
+                direct.append({**sp, "person_id": pid or "", "score": s, "match_type": smt})
+            zms.append({"dossiernummer": zk["dossiernummer"], "stuknummer": zk["stuknummer"],
+                        "titel": zk["titel"], "entity_id": eid or "", "entity_kind": kind,
+                        "score": zscore, "match_type": zmt, "source": "xml",
+                        "direct_speaker_matches": direct})
+        # agendapunt expansion (J6): EXACT score 100 per linked zaak
+        if a["api_activity_id"]:
+            for case in linker.agenda_zaken(a["api_activity_id"]):
+                zms.append({"dossiernummer": str(case["dossiernummer"]),
+                            "stuknummer": str(case["stuknummer"]),
+                            "titel": case["onderwerp"], "entity_id": case["zaak_id"],
+                            "entity_kind": "zaak", "score": 100.0, "match_type": "EXACT",
+                            "source": "agendapunt", "direct_speaker_matches": []})
+        a["zaak_matches"] = zms
+
+        a["vote_links"] = []
+        for v in act.get("votes", []):
+            fr_votes = [{**fv, "fractie_id": linker.match_fractie(fv["fractie"]) or ""}
+                        for fv in v["fracties"]]
+            a["vote_links"].append({**v, "fracties": fr_votes})
+
+        linked_acts.append(a)
+    out["activities"] = linked_acts
+    return out

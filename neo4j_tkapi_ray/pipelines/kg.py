@@ -1,0 +1,158 @@
+"""End-to-end KG construction pipeline.
+
+Two execution shapes over the same stages:
+
+  * ``kg_triples_stream`` — ONE fused lazy Dataset
+    (read -> extract -> link -> triples). No intermediates; the streaming
+    executor pipelines all stages with backpressure. Used by entry(),
+    queries() and the bench headline.
+
+  * ``run_kg`` — partitioned, checkpointed, resumable run (the analog of the
+    reference's ``python src/main.py --resume`` lifecycle, SURVEY §3.1):
+    input files are grouped into partitions; each partition streams
+    read->extract->link to ``linked/<pid>/`` Parquet, then derives
+    triples/mentions/failed from that artifact, and commits an atomic
+    lineage manifest. Already-committed partitions are skipped on resume.
+    ``finalize_graph`` then runs the global canonicalization shuffle over
+    all partitions' triples -> nodes/ + edges/ Parquet.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from typing import Dict, List, Optional, Union
+
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..config import EngineConfig
+from ..sources.pages import read_pages, read_registry_tables
+from ..stages.extract import extract_docs
+from ..stages.link import link_docs
+from ..stages.triples import FAILED_PRED, to_mentions, to_triples
+from ..stages.canonicalize import canonicalize_edges, canonicalize_nodes
+from ..state.manifest import (
+    commit_partition,
+    partition_input_fingerprint,
+    pending_partitions,
+    validate_resume_config,
+)
+
+
+def _registry_ref(registry: Union[str, dict, "ray.ObjectRef"]):
+    if isinstance(registry, str):
+        registry = read_registry_tables(registry)
+    if isinstance(registry, dict):
+        registry = ray.put(registry)
+    return registry
+
+
+def kg_triples_stream(pages_paths, registry, cfg: Optional[EngineConfig] = None,
+                      lang: str = "nl") -> rd.Dataset:
+    """Fused lazy pipeline: pages -> triples (failed rows tagged _FAILED)."""
+    cfg = cfg or EngineConfig.default()
+    pages = read_pages(pages_paths, lang=lang)
+    docs = extract_docs(pages, cfg)
+    linked = link_docs(docs, _registry_ref(registry), cfg)
+    return to_triples(linked)
+
+
+def _list_page_files(pages_path: str) -> List[str]:
+    if os.path.isdir(pages_path):
+        return sorted(os.path.join(pages_path, f) for f in os.listdir(pages_path)
+                      if f.endswith(".parquet"))
+    return [pages_path]
+
+
+def make_partitions(pages_path: str, files_per_partition: int = 4) -> Dict[str, List[str]]:
+    files = _list_page_files(pages_path)
+    return {f"p{i // files_per_partition:05d}": files[i:i + files_per_partition]
+            for i in range(0, len(files), files_per_partition)}
+
+
+def run_kg(pages_path: str, registry_dir: str, out_dir: str,
+           cfg: Optional[EngineConfig] = None, lang: str = "nl",
+           files_per_partition: int = 4, finalize: bool = True,
+           max_partitions: Optional[int] = None) -> dict:
+    """Checkpointed partitioned run. Returns stats {partitions_run,
+    partitions_skipped, counts...}. Safe to re-invoke after a crash: completed
+    partitions (committed manifest + matching input fingerprint) are skipped;
+    a partially-written partition is wiped and redone (idempotent outputs)."""
+    cfg = cfg or EngineConfig.default()
+    fp_cfg = cfg.fingerprint()
+    err = validate_resume_config(out_dir, fp_cfg)
+    if err:
+        raise RuntimeError(err)
+
+    partitions = make_partitions(pages_path, files_per_partition)
+    pending = pending_partitions(out_dir, partitions, fp_cfg)
+    if max_partitions is not None:
+        pending = pending[:max_partitions]
+    skipped = len(partitions) - len(pending)
+
+    registry = _registry_ref(registry_dir)
+    totals = {"docs": 0, "triples": 0, "mentions": 0, "failed": 0}
+
+    for pid in pending:
+        t0 = time.time()
+        files = partitions[pid]
+        # wipe any partial outputs of a previous attempt -> idempotent rerun
+        for sub in ("linked", "triples", "mentions", "failed"):
+            shutil.rmtree(os.path.join(out_dir, sub, pid), ignore_errors=True)
+
+        linked_dir = os.path.join(out_dir, "linked", pid)
+        pages = read_pages(files, lang=lang)
+        linked = link_docs(extract_docs(pages, cfg), registry, cfg)
+        linked.write_parquet(linked_dir)
+
+        linked_ds = rd.read_parquet(linked_dir)
+        triples = to_triples(linked_ds)
+        triples.write_parquet(os.path.join(out_dir, "triples", pid))
+        mentions = to_mentions(rd.read_parquet(linked_dir))
+        mentions.write_parquet(os.path.join(out_dir, "mentions", pid))
+
+        failed_ds = rd.read_parquet(linked_dir, columns=["url", "warc_ts", "error"],
+                                    filter=pc.field("error").is_valid())
+        n_failed = failed_ds.count()
+        if n_failed:
+            failed_ds.write_parquet(os.path.join(out_dir, "failed", pid))
+
+        counts = {
+            "docs": rd.read_parquet(linked_dir, columns=["url"]).count(),
+            "triples": rd.read_parquet(os.path.join(out_dir, "triples", pid)).count(),
+            "mentions": rd.read_parquet(os.path.join(out_dir, "mentions", pid)).count(),
+            "failed": n_failed,
+        }
+        for k in totals:
+            totals[k] += counts[k]
+        commit_partition(out_dir, pid, input_fingerprint=partition_input_fingerprint(files),
+                         config_fingerprint=fp_cfg, counts=counts, seconds=time.time() - t0)
+
+    stats = {"partitions_total": len(partitions), "partitions_run": len(pending),
+             "partitions_skipped": skipped, **totals}
+    if finalize:
+        stats.update(finalize_graph(out_dir, cfg))
+    return stats
+
+
+def finalize_graph(out_dir: str, cfg: Optional[EngineConfig] = None) -> dict:
+    """Global canonicalization over all partitions' triples (the D1/D2
+    shuffles) -> nodes/ + edges/. Idempotent: derived dirs are rebuilt."""
+    cfg = cfg or EngineConfig.default()
+    triples_root = os.path.join(out_dir, "triples")
+    triples = rd.read_parquet(triples_root)
+
+    edges_dir = os.path.join(out_dir, "edges")
+    nodes_dir = os.path.join(out_dir, "nodes")
+    shutil.rmtree(edges_dir, ignore_errors=True)
+    shutil.rmtree(nodes_dir, ignore_errors=True)
+
+    canonicalize_edges(triples, cfg).write_parquet(edges_dir)
+    canonicalize_nodes(rd.read_parquet(triples_root), cfg).write_parquet(nodes_dir)
+    return {
+        "edges": rd.read_parquet(edges_dir).count(),
+        "nodes": rd.read_parquet(nodes_dir).count(),
+    }

@@ -1,0 +1,44 @@
+"""Sources: the pages table and the entity registry.
+
+Replaces the reference's OData readers (S1/S2, document_loader.py:113-129
+etc.): server-side ``$filter`` becomes Parquet predicate pushdown; full
+in-memory entity lists become either a streamed Dataset (pages) or small
+driver-side dimension tables broadcast via the object store (registry).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Union
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+REGISTRY_TABLES = ["persons", "parties", "sessions", "activities", "cases",
+                   "dossiers", "activity_cases"]
+
+
+def read_pages(paths: Union[str, List[str]], lang: Optional[str] = "nl",
+               min_warc_ts=None, include_text: bool = False) -> rd.Dataset:
+    """Read the pages table with column pruning + row filters pushed to the
+    parquet scan (F1 — replaces OData ``Datum ge``; the pre-extracted
+    ``text`` column is dropped by default because the pipeline recomputes
+    canonical text from html)."""
+    columns = ["url", "warc_ts", "html", "lang"]
+    if include_text:
+        columns.append("text")
+    flt = None
+    if lang is not None:
+        flt = pc.field("lang") == lang
+    if min_warc_ts is not None:
+        ts_flt = pc.field("warc_ts") >= min_warc_ts
+        flt = ts_flt if flt is None else (flt & ts_flt)
+    return rd.read_parquet(paths, columns=columns, filter=flt)
+
+
+def read_registry_tables(registry_dir: str) -> Dict[str, list]:
+    """Load the small registry dimension tables driver-side (python lists —
+    the gazetteer index is built from these inside each linker actor).
+    Broadcast once with ``ray.put`` by the pipeline."""
+    return {name: pq.read_table(f"{registry_dir}/{name}.parquet").to_pylist()
+            for name in REGISTRY_TABLES}
