@@ -1,0 +1,153 @@
+"""Unit tests for matcher semantics (J1-J6) against hand-built registries."""
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from neo4j_tkapi_ray.config import EngineConfig
+from neo4j_tkapi_ray.linking import Linker, RegistryIndex
+from neo4j_tkapi_ray.parsing import parse_page
+
+
+def _mk_index(**over):
+    tables = {
+        "persons": [
+            {"person_id": "p1", "voornamen": "Anna Maria", "roepnaam": "Anna",
+             "tussenvoegsel": "van der", "achternaam": "Berg", "fractie_id": "f1"},
+            {"person_id": "p2", "voornamen": "Bram", "roepnaam": "Bram",
+             "tussenvoegsel": "", "achternaam": "Bergh", "fractie_id": "f1"},
+            {"person_id": "p3", "voornamen": "Carla", "roepnaam": "Carla",
+             "tussenvoegsel": "", "achternaam": "Jansen", "fractie_id": "f2"},
+        ],
+        "parties": [{"fractie_id": "f1", "naam": "Groene Unie", "afkorting": "GU"},
+                    {"fractie_id": "f2", "naam": "Sociale Lijst", "afkorting": "SL"}],
+        "sessions": [{"session_id": "s1", "soort": "Plenair", "nummer": 7,
+                      "datum": datetime(2024, 5, 13),
+                      "begin": datetime(2024, 5, 13, 10), "einde": datetime(2024, 5, 13, 18)}],
+        "activities": [
+            {"activity_id": "a1", "session_id": "s1", "soort": "Debat",
+             "onderwerp": "wijziging begroting onderwijs",
+             "begin": datetime(2024, 5, 13, 10, 5), "einde": datetime(2024, 5, 13, 11)},
+            {"activity_id": "a2", "session_id": "s1", "soort": "Stemmingen",
+             "onderwerp": "iets heel anders",
+             "begin": datetime(2024, 5, 13, 15), "einde": datetime(2024, 5, 13, 16)},
+        ],
+        "cases": [{"zaak_id": "z1", "nummer": "2024Z00001", "dossiernummer": 36200,
+                   "toevoeging": "", "stuknummer": 12, "onderwerp": "begroting onderwijs"},
+                  {"zaak_id": "z2", "nummer": "2024Z00002", "dossiernummer": 36201,
+                   "toevoeging": "VIII", "stuknummer": 3, "onderwerp": "zorg"}],
+        "dossiers": [{"dossier_id": "d1", "nummer": 36200, "toevoeging": ""},
+                     {"dossier_id": "d2", "nummer": 36201, "toevoeging": "VIII"},
+                     {"dossier_id": "d3", "nummer": 36999, "toevoeging": ""}],
+        "activity_cases": [{"activity_id": "a1", "zaak_id": "z2"}],
+    }
+    tables.update(over)
+    return RegistryIndex(tables)
+
+
+@pytest.fixture()
+def linker():
+    return Linker(_mk_index(), EngineConfig.default())
+
+
+def test_speaker_exact_surname(linker):
+    pid, score, mt = linker.match_speaker("Anna", "Berg")
+    assert pid == "p1" and score == 100 and mt == "EXACT"
+
+
+def test_speaker_full_surname_variant(linker):
+    pid, score, mt = linker.match_speaker("", "van der Berg")
+    assert pid == "p1" and score == 60 and mt == "FUZZY"
+
+
+def test_speaker_contains_fallback(linker):
+    # "van der Berg" bucket is empty under exact achternaam 'berg'? no —
+    # 'berg' bucket exists; use a surname only reachable via token containment
+    pid, score, mt = linker.match_speaker("Carla", "Mevrouw Jansen")
+    assert pid == "p3"  # token 'jansen' contained in surname
+
+
+def test_speaker_below_threshold(linker):
+    pid, score, mt = linker.match_speaker("Xyz", "Qqqqq")
+    assert pid is None and mt == "NO_MATCH"
+
+
+def test_speaker_near_collision_prefers_higher_score(linker):
+    # 'Bergh' exact beats fuzzy 'Berg'
+    pid, _, _ = linker.match_speaker("Bram", "Bergh")
+    assert pid == "p2"
+
+
+def test_zaak_tier1_exact(linker):
+    eid, kind, score, mt = linker.match_zaak("36200", "12")
+    assert (eid, kind, score, mt) == ("z1", "zaak", 100.0, "EXACT")
+
+
+def test_zaak_toevoeging_code_falls_to_dossier(linker):
+    # '36201-VIII' is not an int -> tier 1 misses (reference semantics:
+    # filter_nummer on the zaak's own nummer), dossier fallback hits d2
+    eid, kind, score, mt = linker.match_zaak("36201-VIII", "3")
+    assert (eid, kind, mt) == ("d2", "dossier", "FALLBACK")
+
+
+def test_zaak_dossier_only_fallback(linker):
+    eid, kind, score, mt = linker.match_zaak("36999", "5")
+    assert (eid, kind, mt) == ("d3", "dossier", "FALLBACK")
+
+
+def test_zaak_no_match(linker):
+    eid, kind, score, mt = linker.match_zaak("11111", "1")
+    assert eid is None and mt == "NO_MATCH"
+
+
+def test_session_and_activity_match(linker):
+    doc = {"soort": "Plenair", "nummer": "7", "datum": "2024-05-13T00:00:00"}
+    s = linker.find_canonical_session(doc)
+    assert s and s["session_id"] == "s1"
+    cands = linker.candidate_activities(s)
+    assert [c["activity_id"] for c in cands] == ["a1", "a2"]
+    act = {"soort": "Debat", "titel": "wijziging begroting onderwijs",
+           "onderwerp": "wijziging begroting onderwijs",
+           "start_time": "2024-05-13T10:06:00", "end_time": "2024-05-13T11:00:00"}
+    aid, score, mt = linker.match_activity(act, cands, s)
+    assert aid == "a1"
+    # exact topic (4.0) + soort exact (2.0) + time proximity (3.0) + titel exact (1.5)
+    assert score == pytest.approx(10.5)
+    assert mt == "EXACT"
+
+
+def test_activity_margin_rule(linker):
+    """Accept below threshold when >= 1.0 ahead of runner-up (and >= 1.0)."""
+    s = linker.idx.sessions[0]
+    cands = linker.candidate_activities(s)
+    act = {"soort": "", "titel": "", "onderwerp": "",
+           # close to a1's start but no topic/soort signals -> 3.0 time-only...
+           # use a start 20 min away so only overlap (1.5) for a1, nothing for a2
+           "start_time": "2024-05-13T10:25:00", "end_time": "2024-05-13T10:40:00"}
+    aid, score, mt = linker.match_activity(act, cands, s)
+    assert aid == "a1" and score == pytest.approx(1.5) and mt == "FUZZY"
+
+
+def test_procedural_activities_filtered():
+    html = ("<html><body><vergadering soort=\"Plenair\" objectid=\"o\">"
+            "<titel>V</titel><vergaderingnummer>1</vergaderingnummer>"
+            "<datum>2024-05-13T00:00:00</datum>"
+            "<activiteit soort=\"Opening\" objectid=\"a\"><titel>Opening</titel></activiteit>"
+            "<activiteit soort=\"Debat\" objectid=\"b\"><titel>Einde vergadering nadert</titel></activiteit>"
+            "<activiteit soort=\"Debat\" objectid=\"c\"><titel>Echt debat</titel></activiteit>"
+            "</vergadering></body></html>").encode()
+    doc = parse_page(html, EngineConfig.default().processing.procedural_activity_types)
+    # 'Opening' filtered by soort; 'Einde vergadering nadert' filtered by titel keyword
+    assert [a["object_id"] for a in doc["activities"]] == ["c"]
+
+
+def test_agenda_zaken_expansion(linker):
+    cases = linker.agenda_zaken("a1")
+    assert [c["zaak_id"] for c in cases] == ["z2"]
+    assert linker.agenda_zaken("a2") == []
+
+
+def test_fractie_match(linker):
+    assert linker.match_fractie("Groene Unie") == "f1"
+    assert linker.match_fractie("gu") == "f1"
+    assert linker.match_fractie("Onbekend") is None

@@ -1,0 +1,73 @@
+"""Checkpointed resume semantics at partition granularity (mirrors the
+reference's resume tests, test_decorator.py:171-237, lifted from item-level
+to partition-level per SURVEY §4)."""
+
+import os
+
+import pytest
+import ray.data as rd
+
+from neo4j_tkapi_ray.config import EngineConfig
+from neo4j_tkapi_ray.pipelines.kg import make_partitions, run_kg
+from neo4j_tkapi_ray.state.manifest import load_manifests
+
+
+@pytest.fixture(scope="module")
+def big_corpus(tmp_path_factory):
+    from neo4j_tkapi_ray.corpus import generate_corpus
+    out = str(tmp_path_factory.mktemp("bigcorpus"))
+    paths = generate_corpus(out, n_sessions=320, seed=9)
+    return {"dir": out, **paths}
+
+
+def _edges(out_dir):
+    df = rd.read_parquet(os.path.join(out_dir, "edges")).to_pandas()
+    return df.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+
+
+def test_kill_and_resume_identical_output(ray_session, big_corpus, tmp_path_factory):
+    out_full = str(tmp_path_factory.mktemp("kg_full"))
+    out_resume = str(tmp_path_factory.mktemp("kg_resume"))
+
+    parts = make_partitions(big_corpus["pages"], files_per_partition=1)
+    assert len(parts) >= 2, "corpus must span multiple partitions for this test"
+
+    full = run_kg(big_corpus["pages"], big_corpus["dir"], out_full, files_per_partition=1)
+    assert full["partitions_run"] == len(parts)
+
+    # simulate a crash after k partitions
+    k = len(parts) // 2
+    partial = run_kg(big_corpus["pages"], big_corpus["dir"], out_resume,
+                     files_per_partition=1, finalize=False, max_partitions=k)
+    assert partial["partitions_run"] == k
+
+    resumed = run_kg(big_corpus["pages"], big_corpus["dir"], out_resume, files_per_partition=1)
+    # finished partitions were NOT recomputed
+    assert resumed["partitions_skipped"] == k
+    assert resumed["partitions_run"] == len(parts) - k
+
+    assert _edges(out_full).equals(_edges(out_resume))
+
+    manifests = load_manifests(out_resume)
+    assert len(manifests) == len(parts)
+    for m in manifests.values():
+        assert m["status"] == "completed"
+        assert "counts" in m and m["counts"]["docs"] >= 0
+        assert m["seconds"] >= 0
+
+
+def test_rerun_noop(ray_session, big_corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kg_noop"))
+    run_kg(big_corpus["pages"], big_corpus["dir"], out, files_per_partition=2)
+    again = run_kg(big_corpus["pages"], big_corpus["dir"], out, files_per_partition=2)
+    assert again["partitions_run"] == 0
+
+
+def test_config_change_refuses_resume(ray_session, big_corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kg_cfg"))
+    run_kg(big_corpus["pages"], big_corpus["dir"], out, files_per_partition=2,
+           finalize=False, max_partitions=1)
+    cfg2 = EngineConfig.default()
+    cfg2.matching.min_speaker_similarity_score = 61
+    with pytest.raises(RuntimeError, match="config fingerprint mismatch"):
+        run_kg(big_corpus["pages"], big_corpus["dir"], out, cfg=cfg2)
