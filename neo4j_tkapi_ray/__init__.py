@@ -24,3 +24,17 @@ blocks scheduled by Ray Data's streaming executor.
 __version__ = "0.1.0"
 
 from .config import EngineConfig, MatchingConfig, ProcessingConfig, TimeConfig  # noqa: F401
+
+# Engine-wide shuffle strategy: every wide operation goes through the
+# explicit hash exchange (exchange.py); Ray captures the DataContext at ROOT
+# dataset creation, so the strategy must be set before any read_* call —
+# import time is the only always-safe point. (Do NOT use
+# Dataset.groupby().map_groups() with this package: it deadlocks under the
+# hash-shuffle strategy in Ray 2.49 — use exchange.grouped_apply.)
+try:  # pragma: no cover - trivial config shim
+    from ray.data import DataContext as _DataContext
+    from ray.data.context import ShuffleStrategy as _ShuffleStrategy
+
+    _DataContext.get_current().shuffle_strategy = _ShuffleStrategy.HASH_SHUFFLE
+except Exception:  # ray absent or too old — single-process oracle still works
+    pass

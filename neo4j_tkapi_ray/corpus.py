@@ -83,7 +83,8 @@ SENTENCE_WORDS = [
     "gelijk", "dat", "er", "meer", "aandacht", "nodig", "is",
 ]
 
-CORPUS_VERSION = "v1"  # bump to invalidate cached generated corpora
+CORPUS_VERSION = "v2"  # bump to invalidate cached generated corpora
+SHARD_SESSIONS = 250   # sessions per pages shard file (and per gen task)
 
 
 # --------------------------------------------------------------------------
@@ -234,7 +235,8 @@ def _fmt(dt: datetime) -> str:
 
 def _render_page(rng: random.Random, session: dict, sess_acts: List[dict],
                  reg: Dict[str, list], url: str,
-                 truth: list, skew_person: dict, skew_case: dict) -> str:
+                 truth: list, skew_person: dict, skew_case: dict,
+                 page_scale: int = 1) -> str:
     party_by_id = {p["fractie_id"]: p for p in reg["parties"]}
     parts = []
     parts.append(f'<vergadering soort="{session["soort"]}" objectid="obj-{session["session_id"]}">')
@@ -278,7 +280,7 @@ def _render_page(rng: random.Random, session: dict, sess_acts: List[dict],
             parts.append(f"    <eindtijd>{_fmt(act['einde'] + jitter)}</eindtijd>")
 
         # fragments (ordered!) with speakers; build A->B->A patterns
-        n_frag = 2 + rng.randrange(6)
+        n_frag = (2 + rng.randrange(6)) * page_scale
         frag_persons: List[Optional[dict]] = []
         pool: List[Optional[dict]] = []
         for _ in range(3):
@@ -371,41 +373,28 @@ def _render_page(rng: random.Random, session: dict, sess_acts: List[dict],
 
 
 # --------------------------------------------------------------------------
-# top-level generation
+# top-level generation (sharded; parallel via Ray tasks when available)
 # --------------------------------------------------------------------------
 
-def generate_corpus(out_dir: str, n_sessions: int = 50, seed: int = 42) -> Dict[str, str]:
-    """Generate the full corpus into ``out_dir``; returns {table: path}.
-
-    Deterministic for a given (n_sessions, seed, CORPUS_VERSION). Reuses an
-    existing directory if its marker file matches (cheap cache for tests /
-    bench / queries()).
-    """
-    marker = os.path.join(out_dir, f".complete-{CORPUS_VERSION}-{n_sessions}-{seed}")
-    paths = {name: os.path.join(out_dir, f"{name}.parquet")
-             for name in ["persons", "parties", "sessions", "activities",
-                          "cases", "dossiers", "activity_cases", "truth_mentions"]}
-    paths["pages"] = os.path.join(out_dir, "pages")  # sharded directory
-    if os.path.exists(marker):
-        return paths
-
-    rng = random.Random(seed)
-    reg = _gen_registry(rng, n_sessions)
-
+def _gen_pages_shard(shard_idx: int, sessions: List[dict], reg: Dict[str, list],
+                     seed: int, page_scale: int, pages_dir: str) -> List[dict]:
+    """Generate one shard of pages (deterministic per (seed, shard_idx),
+    independent of how shards are scheduled) and write its parquet file.
+    Returns the shard's truth-mention rows."""
+    rng = random.Random((seed + 1) * 1_000_003 + shard_idx)
     acts_by_session: Dict[str, List[dict]] = {}
     for a in reg["activities"]:
         acts_by_session.setdefault(a["session_id"], []).append(a)
-
     skew_person = reg["persons"][0]
     skew_case = reg["cases"][0]
 
     pages, truth = [], []
-    for session in reg["sessions"]:
+    for session in sessions:
         url = f"https://example.org/session/{session['session_id']}/part1"
         lang = "nl" if rng.random() < 0.92 else rng.choice(["en", "de"])
         page_truth: list = []
         html = _render_page(rng, session, acts_by_session.get(session["session_id"], []),
-                            reg, url, page_truth, skew_person, skew_case)
+                            reg, url, page_truth, skew_person, skew_case, page_scale)
         if rng.random() < 0.01:  # malformed row -> failed-row sidecar (FIXTURES §4.8)
             html = html[: len(html) // 2]
             page_truth = []
@@ -424,18 +413,60 @@ def generate_corpus(out_dir: str, n_sessions: int = 50, seed: int = 42) -> Dict[
         if rng.random() < 0.05:
             pages.append({**pages[-1], "warc_ts": warc_ts + timedelta(hours=5)})
 
-    os.makedirs(out_dir, exist_ok=True)
+    tbl = pa.Table.from_pylist(pages, schema=schemas.PAGES)
+    pq.write_table(tbl, os.path.join(pages_dir, f"pages-{shard_idx:05d}.parquet"),
+                   row_group_size=64)
+    return truth
 
-    # pages: sharded directory (one file per ~250 rows) so the partitioned /
-    # resumable runner has real file-level partitions to checkpoint over
-    pages_tbl = pa.Table.from_pylist(pages, schema=schemas.PAGES)
+
+def generate_corpus(out_dir: str, n_sessions: int = 50, seed: int = 42,
+                    page_scale: int = 1) -> Dict[str, str]:
+    """Generate the full corpus into ``out_dir``; returns {table: path}.
+
+    Deterministic for a given (n_sessions, seed, page_scale, CORPUS_VERSION)
+    regardless of execution mode: pages are generated per SHARD_SESSIONS-sized
+    shard with a shard-seeded RNG, in parallel Ray tasks when a Ray session
+    exists (large corpora), serially otherwise. Reuses an existing directory
+    if its marker file matches (cheap cache for tests / bench / queries()).
+    """
+    marker = os.path.join(out_dir,
+                          f".complete-{CORPUS_VERSION}-{n_sessions}-{seed}-{page_scale}")
+    paths = {name: os.path.join(out_dir, f"{name}.parquet")
+             for name in ["persons", "parties", "sessions", "activities",
+                          "cases", "dossiers", "activity_cases", "truth_mentions"]}
+    paths["pages"] = os.path.join(out_dir, "pages")  # sharded directory
+    if os.path.exists(marker):
+        return paths
+
+    rng = random.Random(seed)
+    reg = _gen_registry(rng, n_sessions)
+
+    os.makedirs(out_dir, exist_ok=True)
     pages_dir = paths["pages"]
     os.makedirs(pages_dir, exist_ok=True)
-    shard = 250
-    for i in range(0, max(1, pages_tbl.num_rows), shard):
-        pq.write_table(pages_tbl.slice(i, shard),
-                       os.path.join(pages_dir, f"pages-{i // shard:05d}.parquet"),
-                       row_group_size=64)
+
+    shards = [reg["sessions"][i:i + SHARD_SESSIONS]
+              for i in range(0, len(reg["sessions"]), SHARD_SESSIONS)]
+
+    truth: list = []
+    use_ray = False
+    if len(shards) > 2:
+        try:
+            import ray
+            use_ray = ray.is_initialized()
+        except ImportError:
+            use_ray = False
+    if use_ray:
+        import ray
+        gen_remote = ray.remote(num_cpus=1)(_gen_pages_shard)
+        reg_ref = ray.put(reg)
+        futs = [gen_remote.remote(i, shard, reg_ref, seed, page_scale, pages_dir)
+                for i, shard in enumerate(shards)]
+        for t in ray.get(futs):
+            truth.extend(t)
+    else:
+        for i, shard in enumerate(shards):
+            truth.extend(_gen_pages_shard(i, shard, reg, seed, page_scale, pages_dir))
 
     tables = {
         "persons": pa.Table.from_pylist(reg["persons"], schema=schemas.PERSONS),

@@ -1,0 +1,97 @@
+"""The engine's one shuffle primitive: hash-partition by key + per-block
+vectorized reduce.
+
+Every wide operation in this engine (node/edge canonicalization, grouped
+aggregates, bucketed dedup, per-group top-k) is expressed as:
+
+    exchange(ds, keys, P)            # hash repartition: each key -> exactly
+                                     # one of P blocks (Ray HASH_SHUFFLE)
+    .map_batches(block_fn,           # ONE task per partition, whole block,
+                 batch_size=None)    # vectorized pyarrow/pandas reduce
+
+instead of ``groupby().aggregate()`` / ``groupby().map_groups()``. Reasons,
+measured on this Ray version (2.49, single node, 16-32 CPUs):
+
+  * sort-based groupby().aggregate() cost ~17 s for a 340k-row 3-key
+    aggregate; hash-based aggregate() ~36 s for 2M rows — both dominated by
+    per-group machinery, not compute;
+  * groupby().map_groups() invokes Python once per GROUP (100k+ groups ->
+    minutes) and deadlocks under the hash-shuffle strategy;
+  * repartition(keys=...) under HASH_SHUFFLE moves 2M rows in ~2 s, after
+    which a single vectorized kernel per block finishes at C speed.
+
+The partitioning contract (explicit, per north_rule): after
+``exchange(ds, keys)`` every distinct key lives in exactly one output
+block, so any per-block reduction that is correct per key is correct
+globally. Skew note: one hot key lands in one partition, so reducers must
+be preceded by a within-batch partial combine upstream (all callers here
+do this) — the partial bounds any key's row count by the number of
+upstream batches, which is what breaks head-entity skew (SURVEY §4).
+
+Setting ``DataContext.shuffle_strategy = HASH_SHUFFLE`` is process-global
+and sticky; the engine never uses ``map_groups`` (it would hang under this
+strategy).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+import pandas as pd
+import ray
+import ray.data as rd
+from ray.data import DataContext
+from ray.data.context import ShuffleStrategy
+
+
+def use_hash_shuffle() -> None:
+    ctx = DataContext.get_current()
+    if ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+
+def default_partitions() -> int:
+    if ray.is_initialized():
+        return max(8, int(ray.cluster_resources().get("CPU", 8)))
+    return 8
+
+
+def exchange(ds: rd.Dataset, keys: List[str],
+             num_partitions: Optional[int] = None) -> rd.Dataset:
+    """Hash-partition ``ds`` so each distinct key tuple lands in exactly one
+    of ``num_partitions`` blocks."""
+    use_hash_shuffle()
+    return ds.repartition(num_partitions or default_partitions(), keys=keys)
+
+
+def reduce_blocks(ds: rd.Dataset, keys: List[str], block_fn: Callable,
+                  num_partitions: Optional[int] = None,
+                  batch_format: str = "pyarrow") -> rd.Dataset:
+    """exchange + one whole-block vectorized reduce task per partition.
+
+    ``block_fn`` sees ALL rows of each key it sees (the exchange contract)
+    and must produce its grouped result vectorized (pyarrow Table.group_by /
+    pandas groupby)."""
+    return exchange(ds, keys, num_partitions).map_batches(
+        block_fn, batch_format=batch_format, batch_size=None)
+
+
+def grouped_apply(ds: rd.Dataset, keys: List[str],
+                  group_fn: Callable[[pd.DataFrame], pd.DataFrame],
+                  num_partitions: Optional[int] = None) -> rd.Dataset:
+    """Drop-in replacement for groupby().map_groups(): per-group pandas fn,
+    but amortized — ONE Ray task per partition, pandas C-grouped iteration
+    inside. Use only when the per-group logic genuinely can't be vectorized
+    (pair expansion, top-k with tie rules); otherwise write a reduce_blocks
+    kernel."""
+    def apply_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        parts = [group_fn(g) for _, g in df.groupby(keys, sort=True)]
+        parts = [p for p in parts if p is not None and len(p)]
+        if not parts:
+            return group_fn(df.head(0))
+        return pd.concat(parts, ignore_index=True)
+
+    return exchange(ds, keys, num_partitions).map_batches(
+        apply_block, batch_format="pandas", batch_size=None)

@@ -76,6 +76,27 @@ def fuzz_ratio(s1: str, s2: str) -> int:
     return int(round(100 * m.ratio()))
 
 
+def fuzz_ratio_bounded(s1: str, s2: str, min_needed: int) -> int:
+    """Exact-when-it-matters fuzzy ratio: if difflib's cheap upper bounds
+    prove ratio*100 < min_needed, return 0 WITHOUT the O(n^2) match pass.
+
+    Semantics-preserving for threshold checks (callers only compare the
+    result against thresholds >= min_needed): a true ratio below the bound
+    contributes nothing either way. This is the linker's hot path — most
+    candidate topics are unrelated and get rejected by the character-multiset
+    bound (quick_ratio) at O(n)."""
+    if not s1 and not s2:
+        return 100
+    if not s1 or not s2:
+        return 0
+    m = SequenceMatcher(None, s1, s2)
+    if m.real_quick_ratio() * 100 < min_needed:
+        return 0
+    if m.quick_ratio() * 100 < min_needed:
+        return 0
+    return int(round(100 * m.ratio()))
+
+
 # ---------------------------------------------------------------------------
 # topic normalization — reference topic_normalizer.py:21-41 (M10)
 # ---------------------------------------------------------------------------

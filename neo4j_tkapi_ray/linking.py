@@ -32,7 +32,7 @@ import pyarrow.parquet as pq
 from .config import EngineConfig
 from .functions.textkit import (
     build_prefix_regex,
-    fuzz_ratio,
+    fuzz_ratio_bounded,
     name_similarity,
     normalize_topic,
     parse_xml_datetime,
@@ -165,28 +165,82 @@ class Linker:
     # ------------------------------------------------------------------ J3
     def match_activity(self, act: dict, candidates: List[dict], session: dict
                        ) -> Tuple[Optional[str], float, str]:
-        """Returns (activity_id | None, best_score, match_type)."""
+        """Returns (activity_id | None, best_score, match_type).
+
+        Exact branch-and-bound over the reference scoring: cheap components
+        (time, soort, exact-topic equality) are computed for every candidate;
+        the O(n^2) fuzzy ratios run only for candidates whose score UPPER
+        BOUND can still affect the top-2 values or the first-of-equals
+        tie-break. The final (best activity, best score, runner-up score,
+        accept decision) are bit-identical to scoring every candidate — the
+        reference's argmax-with-margin semantics (activity_matcher.py:26-91,
+        252-265) over <=200 candidates is preserved at a fraction of the
+        fuzzy-ratio calls.
+        """
         m = self.cfg.matching
-        best_id, best_score = None, 0.0
-        scores = []
+        n = len(candidates)
+        if n == 0:
+            return None, 0.0, "NO_MATCH"
         xml_start = parse_xml_datetime(act.get("start_time"))
         xml_end = parse_xml_datetime(act.get("end_time"))
-        for cand in candidates:
-            score = self._activity_score(act, xml_start, xml_end, cand, session)
-            scores.append(score)
-            if score > best_score:  # strict > : first of equals wins
-                best_score, best_id = score, cand["activity_id"]
+        xml_ond = (act.get("onderwerp") or "").lower()
+        xml_tit = (act.get("titel") or "").lower()
+        nxo = self._norm(xml_ond)
+        nxt = self._norm(xml_tit)
 
-        scores.sort(reverse=True)
-        accept = best_score >= m.min_match_score_for_activiteit
-        if not accept and len(scores) > 1:
-            accept = (best_score - scores[1] >= 1.0 and best_score >= 1.0)
-        if accept and best_id is not None:
-            mt = "EXACT" if best_score >= m.min_match_score_for_activiteit + 2 else "FUZZY"
-            return best_id, best_score, mt
-        return None, best_score, "NO_MATCH"
+        cheap = [0.0] * n       # exact part: time + soort + equal-topic
+        fuzzy_ub = [0.0] * n    # max possible from the fuzzy comparisons
+        napis = [""] * n
+        for i, cand in enumerate(candidates):
+            c = self._time_soort_score(act, xml_start, xml_end, cand, session)
+            api_ond = (cand.get("onderwerp") or "").lower()
+            napi = self._norm(api_ond)
+            napis[i] = napi
+            fub = 0.0
+            if xml_ond and api_ond:
+                if nxo == napi:
+                    c += m.score_onderwerp_exact
+                else:
+                    fub += m.score_onderwerp_fuzzy_high
+            if xml_tit and api_ond:
+                if nxt == napi:
+                    c += m.score_titel_exact_vs_api_onderwerp
+                else:
+                    fub += m.score_titel_fuzzy_high_vs_api_onderwerp
+            cheap[i] = c
+            fuzzy_ub[i] = fub
 
-    def _activity_score(self, act: dict, xml_start, xml_end, cand: dict, session: dict) -> float:
+        order = sorted(range(n), key=lambda i: (-(cheap[i] + fuzzy_ub[i]), i))
+        best1_val, best1_idx, best2_val = 0.0, None, 0.0
+        for i in order:
+            ub = cheap[i] + fuzzy_ub[i]
+            if ub < best2_val or (ub == best2_val and ub < best1_val):
+                break  # sorted desc: no remaining candidate can change top-2
+            s = cheap[i] + self._fuzzy_topic_score(
+                nxo, nxt, napis[i], xml_ond, xml_tit,
+                bool((candidates[i].get("onderwerp") or "")))
+            if s > best1_val:
+                best2_val = best1_val
+                best1_val, best1_idx = s, i
+            elif s == best1_val and best1_idx is not None:
+                # first-of-equals wins: reference iterates in candidate
+                # order with strict > (activity_matcher.py:45-48)
+                if i < best1_idx:
+                    best1_idx = i
+                best2_val = best1_val
+            elif s > best2_val:
+                best2_val = s
+
+        accept = best1_val >= m.min_match_score_for_activiteit
+        if not accept and n > 1:
+            accept = (best1_val - best2_val >= 1.0 and best1_val >= 1.0)
+        if accept and best1_idx is not None:
+            mt = "EXACT" if best1_val >= m.min_match_score_for_activiteit + 2 else "FUZZY"
+            return candidates[best1_idx]["activity_id"], best1_val, mt
+        return None, best1_val, "NO_MATCH"
+
+    def _time_soort_score(self, act: dict, xml_start, xml_end, cand: dict,
+                          session: dict) -> float:
         m, tc = self.cfg.matching, self.cfg.time
         score = 0.0
 
@@ -223,32 +277,27 @@ class Linker:
                     if xml_s == main_soort and any(a in api_s for a in aliases):
                         score += m.score_soort_partial_xml_in_api
                         break
+        return score
 
-        # topic (activity_matcher.py:207-250)
-        api_ond = (cand.get("onderwerp") or "").lower()
-        xml_ond = (act.get("onderwerp") or "").lower()
-        xml_tit = (act.get("titel") or "").lower()
-        napi = self._norm(api_ond)
-        nxo = self._norm(xml_ond)
-        nxt = self._norm(xml_tit)
-        if xml_ond and api_ond:
-            if nxo == napi:
-                score += m.score_onderwerp_exact
-            else:
-                r = fuzz_ratio(nxo, napi)
-                if r >= m.fuzzy_similarity_threshold_high:
-                    score += m.score_onderwerp_fuzzy_high
-                elif r >= m.fuzzy_similarity_threshold_medium:
-                    score += m.score_onderwerp_fuzzy_medium
-        if xml_tit and api_ond:
-            if nxt == napi:
-                score += m.score_titel_exact_vs_api_onderwerp
-            else:
-                r = fuzz_ratio(nxt, napi)
-                if r >= m.fuzzy_similarity_threshold_high:
-                    score += m.score_titel_fuzzy_high_vs_api_onderwerp
-                elif r >= m.fuzzy_similarity_threshold_medium:
-                    score += m.score_titel_fuzzy_medium_vs_api_onderwerp
+    def _fuzzy_topic_score(self, nxo: str, nxt: str, napi: str,
+                           xml_ond: str, xml_tit: str, api_nonempty: bool) -> float:
+        """Only the non-equal fuzzy branches of the topic comparison
+        (activity_matcher.py:222-248); equality contributions live in the
+        cheap part."""
+        m = self.cfg.matching
+        score = 0.0
+        if xml_ond and api_nonempty and nxo != napi:
+            r = fuzz_ratio_bounded(nxo, napi, m.fuzzy_similarity_threshold_medium)
+            if r >= m.fuzzy_similarity_threshold_high:
+                score += m.score_onderwerp_fuzzy_high
+            elif r >= m.fuzzy_similarity_threshold_medium:
+                score += m.score_onderwerp_fuzzy_medium
+        if xml_tit and api_nonempty and nxt != napi:
+            r = fuzz_ratio_bounded(nxt, napi, m.fuzzy_similarity_threshold_medium)
+            if r >= m.fuzzy_similarity_threshold_high:
+                score += m.score_titel_fuzzy_high_vs_api_onderwerp
+            elif r >= m.fuzzy_similarity_threshold_medium:
+                score += m.score_titel_fuzzy_medium_vs_api_onderwerp
         return score
 
     # ------------------------------------------------------------------ J4

@@ -1,0 +1,161 @@
+"""Approximate-nearest-neighbor search over the ``embeddings`` table.
+
+Baseline: brute-force cosine top-k — numpy matmul per batch against a
+BROADCAST query matrix (ray.put once), per-batch partial top-k, tiny global
+merge. Scale path: LSH-bucketed search (random hyperplanes) that only
+scans the query's bucket — the partitioning assumption is that near
+neighbors share most hyperplane signs.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..exchange import grouped_apply
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.linalg.norm(mat, axis=1, keepdims=True).clip(min=1e-12)
+
+
+def load_queries(sf_dir: str, n_queries: int) -> pd.DataFrame:
+    df = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
+    return df.head(n_queries)
+
+
+def brute_force_topk(sf_dir: str, n_queries: int = 5, k: int = 5) -> rd.Dataset:
+    """Exact cosine top-k for the first ``n_queries`` vectors (excluding
+    self). Deterministic tie-break: (cos desc, vec_id asc).
+
+    Output columns: query_id, rank (1-based), vec_id, cos.
+    """
+    qdf = load_queries(sf_dir, n_queries)
+    qids = qdf["vec_id"].to_numpy()
+    qmat = _normalize(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
+    ref = ray.put((qids, qmat))
+
+    class PartialTopK:
+        def __init__(self, ref, k):
+            self.qids, self.qmat = ray.get(ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
+            mat = _normalize(np.stack(batch.column("embedding").to_pylist()).astype(np.float64))
+            sims = self.qmat @ mat.T  # (nq, nb)
+            out_q, out_v, out_c = [], [], []
+            for qi, qid in enumerate(self.qids):
+                s = sims[qi]
+                mask = ids != qid  # exclude self
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) == 0:
+                    continue
+                scores = s[cand_idx]
+                # per-batch partial top-k, deterministic order
+                order = np.lexsort((ids[cand_idx], -scores))[:self.k]
+                for j in order:
+                    out_q.append(int(qid))
+                    out_v.append(int(ids[cand_idx[j]]))
+                    out_c.append(float(scores[j]))
+            return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                             "vec_id": pa.array(out_v, pa.int64()),
+                             "cos": pa.array(out_c, pa.float64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    partials = ds.map_batches(PartialTopK, fn_constructor_kwargs={"ref": ref, "k": k},
+                              batch_format="pyarrow", batch_size=4096,
+                              concurrency=2, num_cpus=1)
+
+    def global_merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        df["cos"] = df["cos"].round(5)
+        return df[["query_id", "rank", "vec_id", "cos"]]
+
+    return grouped_apply(partials, ["query_id"], global_merge)
+
+
+def lsh_bucketed_topk(sf_dir: str, n_queries: int = 5, k: int = 5,
+                      n_planes: int = 6, seed: int = 13,
+                      n_probes: int = 4) -> rd.Dataset:
+    """LSH-bucketed ANN: random-hyperplane signature buckets; each query
+    scans its own bucket plus ``n_probes-1`` single-bit-flip probe buckets.
+    Approximate: recall < 1 by design; the partitioning assumption (near
+    neighbors share hyperplane signs) is what makes it scan a fraction of
+    the data at scale. Same output shape as brute_force_topk."""
+    rng = np.random.RandomState(seed)
+    emb_df = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    dim = len(emb_df["embedding"].iloc[0])
+    planes = rng.randn(n_planes, dim)
+    planes_ref = ray.put(planes)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        mat = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        signs = (mat @ pl.T) > 0
+        bucket = signs.dot(1 << np.arange(n_planes)).astype(np.int64)
+        return pa.table({"vec_id": batch.column("vec_id"),
+                         "embedding": batch.column("embedding"),
+                         "bucket": pa.array(bucket)})
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+
+    qdf = load_queries(sf_dir, n_queries)
+    qids = qdf["vec_id"].to_numpy()
+    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qsigns = (qmat @ planes.T) > 0
+    qbuckets = qsigns.dot(1 << np.arange(n_planes)).astype(np.int64)
+    # probe buckets: own + single-bit flips (bounded multi-probe)
+    probe_map = {}
+    for qid, qb in zip(qids, qbuckets):
+        probes = [int(qb)] + [int(qb) ^ (1 << b) for b in range(n_planes)][:max(0, n_probes - 1)]
+        for b in probes:
+            probe_map.setdefault(b, []).append(int(qid))
+    qlookup_ref = ray.put((probe_map, {int(q): _normalize(qmat[[i]])[0]
+                                       for i, q in enumerate(qids)}))
+
+    def search_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "vec_id": pd.Series([], dtype="int64"),
+                                 "cos": pd.Series([], dtype="float64")})
+        probe_map_l, qvecs = ray.get(qlookup_ref)
+        bucket = int(df["bucket"].iloc[0])
+        qs = probe_map_l.get(bucket)
+        if not qs:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "vec_id": pd.Series([], dtype="int64"),
+                                 "cos": pd.Series([], dtype="float64")})
+        ids = df["vec_id"].to_numpy()
+        mat = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        rows = {"query_id": [], "vec_id": [], "cos": []}
+        for q in sorted(set(qs)):
+            sims = mat @ qvecs[q]
+            mask = ids != q
+            order = np.lexsort((ids[mask], -sims[mask]))[:k]
+            sel_ids = ids[mask][order]
+            sel_sims = sims[mask][order]
+            rows["query_id"].extend([q] * len(sel_ids))
+            rows["vec_id"].extend(sel_ids.tolist())
+            rows["cos"].extend(sel_sims.tolist())
+        return pd.DataFrame(rows).astype({"query_id": "int64", "vec_id": "int64"})
+
+    partials = grouped_apply(bucketed, ["bucket"], search_bucket)
+
+    def global_merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["query_id", "vec_id"])
+        df = df.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        df["cos"] = df["cos"].round(5)
+        return df[["query_id", "rank", "vec_id", "cos"]]
+
+    return grouped_apply(partials, ["query_id"], global_merge)

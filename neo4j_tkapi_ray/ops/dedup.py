@@ -1,0 +1,320 @@
+"""Deduplication operators over the ``documents`` table.
+
+Every variant follows the shuffle-conscious shape from ray_guide:
+vectorized per-batch signature computation -> explode to (bucket, doc) rows
+-> groupby bucket -> candidate pairs -> exact verification. Signatures use
+stable hashes (crc32 / md5-free numpy arithmetic), never Python ``hash()``.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import List, Set, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..exchange import grouped_apply, reduce_blocks
+
+
+# ---------------------------------------------------------------------------
+# exact dedup: hash-partition by content, keep min doc_id per group
+# ---------------------------------------------------------------------------
+
+def exact_dedup(sf_dir: str) -> rd.Dataset:
+    """One surviving doc_id per distinct text (+ dup count). The shuffle key
+    is a 64-bit content hash, not the text itself — only (hash, doc_id)
+    pairs move, the texts stay where they were read."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        hashes = [zlib.crc32(t.encode()) + (len(t) << 32)
+                  for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text_hash": pa.array(hashes, pa.int64())})
+
+    hashed = ds.map_batches(hash_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"text_hash": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "n_copies": pa.array([], pa.int64())})
+        g = block.group_by("text_hash").aggregate([("doc_id", "min"), ("doc_id", "count")])
+        return pa.table({"text_hash": g.column("text_hash"),
+                         "doc_id": g.column("doc_id_min"),
+                         "n_copies": g.column("doc_id_count").cast(pa.int64())})
+
+    return reduce_blocks(hashed, ["text_hash"], final)
+
+
+def _keep_colliding(banded: rd.Dataset, keys: List[str]) -> rd.Dataset:
+    """Keep only rows whose bucket key appears >= 2 times.
+
+    Count per key with a vectorized partial (pyarrow group_by per batch) +
+    small global aggregate, broadcast the colliding-key set, then filter in
+    map_batches — the expensive per-group stage downstream only ever sees
+    buckets that can produce pairs. (At web scale the colliding set is
+    bounded by the true near-dup rate, a small fraction of the corpus.)"""
+    import ray as _ray
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(keys).aggregate([(keys[0], "count")])
+        return g.rename_columns(keys + ["n"])
+
+    def final_counts(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return block
+        g = block.group_by(keys).aggregate([("n", "sum")])
+        return g.rename_columns(keys + ["n"])
+
+    counts = reduce_blocks(banded.map_batches(partial_counts, batch_format="pyarrow"),
+                           keys, final_counts)
+    hot = counts.filter(expr="n >= 2").to_pandas()
+    hot_set = set(zip(*(hot[k] for k in keys))) if len(hot) else set()
+    ref = _ray.put(hot_set)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        hs = _ray.get(ref)
+        cols = [batch.column(k).to_pylist() for k in keys]
+        mask = pa.array([tup in hs for tup in zip(*cols)], pa.bool_())
+        return batch.filter(mask)
+
+    return banded.map_batches(filt, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# shingling + minhash (shared by MinHash-LSH and Jaccard verification)
+# ---------------------------------------------------------------------------
+
+def _token_shingles(text: str, k: int = 3) -> Set[int]:
+    toks = text.split()
+    if len(toks) < k:
+        return {zlib.crc32(" ".join(toks).encode())} if toks else set()
+    return {zlib.crc32(" ".join(toks[i:i + k]).encode()) for i in range(len(toks) - k + 1)}
+
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _perm_params(n_perm: int, seed: int = 7) -> Tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 31) - 1, size=n_perm).astype(np.uint64)
+    b = rng.randint(0, (1 << 31) - 1, size=n_perm).astype(np.uint64)
+    return a, b
+
+
+def _minhash(shingles: Set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if not shingles:
+        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
+    s = np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
+    # (a*s + b) mod p, per permutation — vectorized outer product
+    vals = (np.outer(a, s) + b[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+def minhash_lsh_pairs(sf_dir: str, n_perm: int = 64, bands: int = 16,
+                      jaccard_threshold: float = 0.7) -> rd.Dataset:
+    """Near-duplicate pairs via MinHash-LSH with exact-Jaccard verification.
+
+    shingle -> minhash -> band buckets (explode) -> groupby(band, bucket) ->
+    candidate pairs -> verify true shingle Jaccard >= threshold.
+    Output: (a, b, jaccard) with a < b, distinct.
+    """
+    rows_per_band = n_perm // bands
+    a_par, b_par = _perm_params(n_perm)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        doc_ids, band_ids, buckets = [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            mh = _minhash(_token_shingles(text), a_par, b_par)
+            for band in range(bands):
+                seg = mh[band * rows_per_band:(band + 1) * rows_per_band]
+                bucket = int(zlib.crc32(seg.tobytes()))
+                doc_ids.append(doc_id)
+                band_ids.append(band)
+                buckets.append(bucket)
+        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                         "band": pa.array(band_ids, pa.int32()),
+                         "bucket": pa.array(buckets, pa.int64())})
+
+    banded = ds.map_batches(band_rows, batch_format="pyarrow")
+
+    # PRUNE BEFORE THE SHUFFLE: nearly all buckets are singletons; find the
+    # colliding buckets with a cheap count aggregate, broadcast that (small)
+    # set, and only ship colliding rows into the per-bucket pair expansion.
+    banded = _keep_colliding(banded, ["band", "bucket"])
+
+    def pairs_of_group(df: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(df["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []}).astype({"a": "int64", "b": "int64"})
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({"a": out_a, "b": out_b})
+
+    cand = grouped_apply(banded, ["band", "bucket"], pairs_of_group)
+
+    # dedup candidate pairs (same pair can collide in multiple bands)
+    def pair_dedup(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "n_bands": pa.array([], pa.int64())})
+        g = block.group_by(["a", "b"]).aggregate([("a", "count")])
+        return pa.table({"a": g.column("a"), "b": g.column("b"),
+                         "n_bands": g.column("a_count").cast(pa.int64())})
+
+    cand = reduce_blocks(cand, ["a", "b"], pair_dedup)
+
+    # verification: per-batch exact Jaccard with texts fetched via a
+    # broadcast of the documents (small at test scale; at 100TB this becomes
+    # a hash-join of pair rows against the docs table — documented).
+    docs_pdf = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    import ray as _ray
+    text_ref = _ray.put(dict(zip(docs_pdf.doc_id, docs_pdf.text)))
+
+    class Verify:
+        def __init__(self, ref, threshold):
+            self.texts = _ray.get(ref)
+            self.threshold = threshold
+            self.cache = {}
+
+        def _sh(self, doc_id):
+            got = self.cache.get(doc_id)
+            if got is None:
+                got = _token_shingles(self.texts[doc_id])
+                self.cache[doc_id] = got
+            return got
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            oa, ob, jac = [], [], []
+            for a, b in zip(batch.column("a").to_pylist(), batch.column("b").to_pylist()):
+                sa, sb = self._sh(a), self._sh(b)
+                union = len(sa | sb)
+                j = (len(sa & sb) / union) if union else 0.0
+                if j >= self.threshold:
+                    oa.append(a)
+                    ob.append(b)
+                    jac.append(round(j, 4))
+            return pa.table({"a": pa.array(oa, pa.int64()), "b": pa.array(ob, pa.int64()),
+                             "jaccard": pa.array(jac, pa.float64())})
+
+    return cand.map_batches(Verify,
+                            fn_constructor_kwargs={"ref": text_ref,
+                                                   "threshold": jaccard_threshold},
+                            batch_format="pyarrow", concurrency=2, num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def _simhash64(text: str) -> int:
+    toks = text.split()
+    if not toks:
+        return 0
+    hs = np.array([zlib.crc32(t.encode()) ^ (zlib.crc32(t[::-1].encode()) << 31)
+                   for t in toks], dtype=np.uint64)
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+    vote = (2 * bits - 1).sum(axis=0)
+    return int("".join("1" if v > 0 else "0" for v in vote[::-1]), 2)
+
+
+def simhash_signatures(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sigs = [_simhash64(t) for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "simhash": pa.array(np.array(sigs, dtype=np.uint64))})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
+    """Pairs within hamming distance <= max_hamming via 4-band blocking
+    (pigeonhole: <=3 differing bits leave at least one 16-bit band equal)."""
+    sigs = simhash_signatures(sf_dir)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        doc_ids, bands, keys, full = [], [], [], []
+        for doc_id, sig in zip(batch.column("doc_id").to_pylist(),
+                               batch.column("simhash").to_pylist()):
+            for band in range(4):
+                doc_ids.append(doc_id)
+                bands.append(band)
+                keys.append((int(sig) >> (16 * band)) & 0xFFFF)
+                full.append(int(sig))
+        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                         "band": pa.array(bands, pa.int32()),
+                         "key": pa.array(keys, pa.int64()),
+                         "sig": pa.array(np.array(full, dtype=np.uint64))})
+
+    banded = sigs.map_batches(band_rows, batch_format="pyarrow")
+    banded = _keep_colliding(banded, ["band", "key"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = df["doc_id"].to_numpy()
+        sg = df["sig"].to_numpy(dtype=np.uint64)
+        oa, ob, dist = [], [], []
+        for i in range(len(ids)):
+            x = np.bitwise_xor(sg[i + 1:], sg[i])
+            ham = np.array([bin(int(v)).count("1") for v in x])
+            sel = np.nonzero(ham <= max_hamming)[0]
+            for j in sel:
+                oa.append(int(ids[i]))
+                ob.append(int(ids[i + 1 + j]))
+                dist.append(int(ham[j]))
+        return pd.DataFrame({"a": oa, "b": ob, "hamming": dist}).astype(
+            {"a": "int64", "b": "int64", "hamming": "int64"})
+
+    cand = grouped_apply(banded, ["band", "key"], pairs)
+
+    def pair_min(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        g = block.group_by(["a", "b"]).aggregate([("hamming", "min")])
+        return pa.table({"a": g.column("a"), "b": g.column("b"),
+                         "hamming": g.column("hamming_min").cast(pa.int64())})
+
+    return reduce_blocks(cand, ["a", "b"], pair_min)
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup (label-blocked)
+# ---------------------------------------------------------------------------
+
+def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.92) -> rd.Dataset:
+    """Near-dup pairs by cosine similarity, blocked by the ``label`` column
+    (cluster id): all-pairs only within a block, vectorized numpy matmul per
+    group. Output (a, b, cos) with a < b."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "cos": pd.Series(dtype="float64")})
+        df = df.sort_values("vec_id")
+        ids = df["vec_id"].to_numpy()
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True).clip(min=1e-12)
+        sims = mat @ mat.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        sel = sims[iu, ju] >= threshold
+        return pd.DataFrame({"a": ids[iu[sel]], "b": ids[ju[sel]],
+                             "cos": np.round(sims[iu, ju][sel], 5)})
+
+    return grouped_apply(ds, ["label"], pairs)

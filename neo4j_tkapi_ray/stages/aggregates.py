@@ -1,0 +1,114 @@
+"""Corpus-level rollups over the triple stream (reference A2/A3 analyzers,
+voting_analyzer.py:62-172 and interruption_analyzer.py:100-189) as
+exchange-based grouped aggregates with vectorized partial combining."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..exchange import grouped_apply, reduce_blocks
+
+
+def _count_reduce(keys):
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        g = batch.group_by(keys).aggregate([(keys[0], "count")])
+        return g.rename_columns(keys + ["n"])
+
+    def final(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return block
+        g = block.group_by(keys).aggregate([("n", "sum")])
+        return g.rename_columns(keys + ["n"])
+
+    return partial, final
+
+
+def _votes_only(triples: rd.Dataset) -> rd.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = pc.starts_with(batch.column("pred"), "VOTED_")
+        # one vote per (fractie, event): vote_on_zaak rows are the same vote
+        # fanned out over zaken (emit.py) — count events only
+        mask = pc.and_(mask, pc.equal(batch.column("provenance"), "vote"))
+        sel = batch.filter(mask)
+        vote = pc.utf8_lower(pc.replace_substring(sel.column("pred"), "VOTED_", ""))
+        return pa.table({"fractie_id": sel.column("subj"), "vote": vote,
+                         "event_id": sel.column("obj")})
+    return triples.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fractie_vote_rollup(triples: rd.Dataset) -> rd.Dataset:
+    """fractie x vote-type counts + alignment percentages (A2)."""
+    partial, final = _count_reduce(["fractie_id", "vote"])
+    counts = reduce_blocks(_votes_only(triples).map_batches(partial, batch_format="pyarrow"),
+                           ["fractie_id", "vote"], final)
+
+    def alignment(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"fractie_id": pd.Series(dtype="object"),
+                                 "total_votes": pd.Series(dtype="int64"),
+                                 "voor_pct": pd.Series(dtype="float64"),
+                                 "tegen_pct": pd.Series(dtype="float64"),
+                                 "onthouding_pct": pd.Series(dtype="float64")})
+        total = int(df["n"].sum())
+
+        def pct(v):
+            n = int(df.loc[df["vote"] == v, "n"].sum())
+            return round(n / total * 100, 2) if total else 0.0
+
+        return pd.DataFrame([{
+            "fractie_id": df["fractie_id"].iloc[0], "total_votes": total,
+            "voor_pct": pct("voor"), "tegen_pct": pct("tegen"),
+            "onthouding_pct": pct("onthouding"),
+        }])
+
+    return grouped_apply(counts, ["fractie_id"], alignment)
+
+
+def topic_consensus(triples: rd.Dataset) -> rd.Dataset:
+    """Per voting event: consensus = max(voor, tegen) / total * 100;
+    classify controversial (<80) / unanimous (>=95) — voting_analyzer.py:
+    124-156 semantics."""
+    partial, final = _count_reduce(["event_id", "vote"])
+    votes = _votes_only(triples).map_batches(
+        lambda b: b.select(["event_id", "vote"]), batch_format="pyarrow")
+    counts = reduce_blocks(votes.map_batches(partial, batch_format="pyarrow"),
+                           ["event_id", "vote"], final)
+
+    def consensus(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"event_id": pd.Series(dtype="object"),
+                                 "total_votes": pd.Series(dtype="int64"),
+                                 "consensus_level": pd.Series(dtype="float64"),
+                                 "controversial": pd.Series(dtype="bool"),
+                                 "unanimous": pd.Series(dtype="bool")})
+        total = int(df["n"].sum())
+        voor = int(df.loc[df["vote"] == "voor", "n"].sum())
+        tegen = int(df.loc[df["vote"] == "tegen", "n"].sum())
+        level = round(max(voor, tegen) / total * 100, 2) if total else 0.0
+        return pd.DataFrame([{
+            "event_id": df["event_id"].iloc[0], "total_votes": total,
+            "consensus_level": level,
+            "controversial": bool(level < 80), "unanimous": bool(level >= 95),
+        }])
+
+    return grouped_apply(counts, ["event_id"], consensus)
+
+
+def interruption_pairs(triples: rd.Dataset) -> rd.Dataset:
+    """who-interrupts-whom pair counts, sorted desc (A3)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.equal(batch.column("pred"), "INTERRUPTED"))
+        return pa.table({"interrupter": sel.column("subj"),
+                         "interrupted": sel.column("obj")})
+
+    pairs = triples.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    partial, final = _count_reduce(["interrupter", "interrupted"])
+    counts = reduce_blocks(pairs.map_batches(partial, batch_format="pyarrow"),
+                           ["interrupter", "interrupted"], final)
+    return counts.sort(["n", "interrupter", "interrupted"],
+                       descending=[True, False, False])

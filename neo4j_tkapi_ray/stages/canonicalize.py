@@ -2,18 +2,19 @@
 
 Replaces the reference's graph-global ``MERGE`` upserts (helpers.py:13-54)
 and its module-level PROCESSED_* dedup sets (common_processors.py:17-22,
-ST2) with hash-shuffle dedup:
+ST2) with explicit hash-partitioned dedup (exchange.py):
 
-  * edges: distinct on (subj, pred, obj) — two-phase: a vectorized
+  * edges: distinct on (subj, pred, obj). Two-phase: a vectorized
     within-batch partial combine (pyarrow group_by) shrinks the stream
-    BEFORE the shuffle, then one global groupby finishes. Re-emissions
-    accumulate into a ``weight`` column instead of being suppressed by
-    shared mutable state.
+    BEFORE the exchange, then one whole-block vectorized combine per
+    partition finishes. Re-emissions accumulate into a ``weight`` column
+    instead of being suppressed by shared mutable state.
   * nodes: MERGE-by-key with ``SET n +=`` last-write-wins property union
-    => per-key merge ordered by warc_ts. Two-phase SALTED aggregation for
-    head-entity skew (SURVEY §4): phase A groups on (node_id, salt) where
-    salt = sha1(url) % S so one hot entity fans out over S reducers, phase
-    B merges the S partials per key.
+    => per-key merge ordered by (warc_ts, props) [deterministic tie-break].
+    Head-entity skew (SURVEY §4) is broken by the within-batch partial
+    merge — a hot key reaches the exchange with at most one row per
+    upstream batch — plus an optional salted pre-round for pathological
+    cases (``salted=True`` runs a (key, salt) partial exchange first).
 """
 
 from __future__ import annotations
@@ -23,11 +24,21 @@ import zlib
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Max, Sum
 
 from ..config import EngineConfig
+from ..exchange import reduce_blocks
 from .triples import FAILED_PRED
+
+_EDGE_EMPTY = pa.schema([
+    ("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
+    ("weight", pa.int64()), ("score", pa.float64()),
+])
+_NODE_EMPTY = pa.schema([
+    ("node_id", pa.string()), ("label", pa.string()),
+    ("props", pa.string()), ("warc_ts", pa.timestamp("us")),
+])
 
 
 # ---------------------------------------------------------------------------
@@ -36,11 +47,9 @@ from .triples import FAILED_PRED
 
 def _edge_partial(batch: pa.Table) -> pa.Table:
     """Vectorized within-batch combine: (subj, pred, obj) -> count, max score."""
-    ok = batch.filter(pa.compute.not_equal(batch.column("pred"), FAILED_PRED))
+    ok = batch.filter(pc.not_equal(batch.column("pred"), FAILED_PRED))
     if ok.num_rows == 0:
-        return pa.table({"subj": pa.array([], pa.string()), "pred": pa.array([], pa.string()),
-                         "obj": pa.array([], pa.string()), "weight": pa.array([], pa.int64()),
-                         "score": pa.array([], pa.float64())})
+        return _EDGE_EMPTY.empty_table()
     g = ok.select(["subj", "pred", "obj", "score"]).group_by(["subj", "pred", "obj"])
     agg = g.aggregate([("score", "max"), ("score", "count")])
     return pa.table({
@@ -50,25 +59,32 @@ def _edge_partial(batch: pa.Table) -> pa.Table:
     })
 
 
+def _edge_final(block: pa.Table) -> pa.Table:
+    if block.num_rows == 0:
+        return _EDGE_EMPTY.empty_table()
+    g = block.group_by(["subj", "pred", "obj"])
+    agg = g.aggregate([("weight", "sum"), ("score", "max")])
+    return pa.table({
+        "subj": agg.column("subj"), "pred": agg.column("pred"), "obj": agg.column("obj"),
+        "weight": agg.column("weight_sum"), "score": agg.column("score_max"),
+    })
+
+
 def canonicalize_edges(triples: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
     partial = triples.map_batches(_edge_partial, batch_format="pyarrow",
                                   batch_size=64 * 1024, zero_copy_batch=True)
-    return partial.groupby(["subj", "pred", "obj"]).aggregate(
-        Sum("weight", alias_name="weight"), Max("score", alias_name="score"))
+    return reduce_blocks(partial, ["subj", "pred", "obj"], _edge_final)
 
 
 # ---------------------------------------------------------------------------
 # nodes
 # ---------------------------------------------------------------------------
 
-def _salt(key: str, buckets: int) -> int:
-    return zlib.crc32(key.encode()) % buckets
-
-
 def node_stubs_batch(batch: pa.Table) -> pa.Table:
     """Emit minimal node stubs from both triple endpoints (SURVEY §2.9:
     replaces the reference's defensive placeholder-node creation,
-    vergadering_loader.py:86-99) and locally merge per key."""
+    vergadering_loader.py:86-99) and locally merge per key (this partial is
+    what bounds a hot key's fan-in at the exchange)."""
     merged: dict = {}
     for subj, pred, obj, sl, ol, url, ts in zip(
             batch.column("subj").to_pylist(), batch.column("pred").to_pylist(),
@@ -77,30 +93,43 @@ def node_stubs_batch(batch: pa.Table) -> pa.Table:
             batch.column("warc_ts").to_pylist()):
         if pred == FAILED_PRED:
             continue
+        props = json.dumps({"last_url": url})
         for node_id, label in ((subj, sl), (obj, ol)):
             cur = merged.get(node_id)
-            props = {"last_url": url}
-            if cur is None or ts >= cur["warc_ts"]:
+            if cur is None or (ts, props) >= (cur["warc_ts"], cur["props"]):
                 merged[node_id] = {"node_id": node_id, "label": label,
-                                   "props": json.dumps(props), "warc_ts": ts}
+                                   "props": props, "warc_ts": ts}
     if not merged:
-        return pa.table({"node_id": pa.array([], pa.string()), "label": pa.array([], pa.string()),
-                         "props": pa.array([], pa.string()),
-                         "warc_ts": pa.array([], pa.timestamp("us"))})
-    return pa.Table.from_pylist(list(merged.values()))
+        return _NODE_EMPTY.empty_table()
+    return pa.Table.from_pylist(list(merged.values()), schema=_NODE_EMPTY)
 
 
-def _merge_group(df: pd.DataFrame) -> pd.DataFrame:
-    """Last-write-wins property union in warc_ts order (``SET n +=`` —
-    helpers.py:20-24): later props overwrite earlier keys."""
-    df = df.sort_values("warc_ts", kind="stable")
-    props: dict = {}
-    for p in df["props"]:
-        props.update(json.loads(p))
-    last = df.iloc[-1]
-    return pd.DataFrame([{"node_id": last["node_id"], "label": last["label"],
-                          "props": json.dumps(props, sort_keys=True),
-                          "warc_ts": last["warc_ts"]}])
+def _node_merge_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-block vectorized MERGE: last-write-wins per key in
+    (warc_ts, props) order — ``SET n +=`` union (helpers.py:20-24). The
+    props-union python loop runs only for keys with >1 surviving rows."""
+    if df.empty:
+        return pd.DataFrame({"node_id": pd.Series(dtype="object"),
+                             "label": pd.Series(dtype="object"),
+                             "props": pd.Series(dtype="object"),
+                             "warc_ts": pd.Series(dtype="datetime64[us]")})
+    df = df.sort_values(["node_id", "warc_ts", "props"], kind="stable")
+    grp = df.groupby("node_id", sort=False)
+    out = grp.tail(1).copy()  # vectorized LWW for label/warc_ts/final props
+    sizes = grp.size()
+    multi = sizes[sizes > 1]
+    if len(multi):
+        # per-key union of property maps in write order (rare path)
+        sub = df[df["node_id"].isin(multi.index)]
+        unions = {}
+        for node_id, g in sub.groupby("node_id", sort=False):
+            props: dict = {}
+            for p in g["props"]:
+                props.update(json.loads(p))
+            unions[node_id] = json.dumps(props, sort_keys=True)
+        out.loc[:, "props"] = [
+            unions.get(nid, p) for nid, p in zip(out["node_id"], out["props"])]
+    return out.reset_index(drop=True)
 
 
 def canonicalize_nodes(triples: rd.Dataset, cfg: EngineConfig,
@@ -109,15 +138,18 @@ def canonicalize_nodes(triples: rd.Dataset, cfg: EngineConfig,
                                 batch_size=64 * 1024, zero_copy_batch=True)
     buckets = cfg.ray.canonical_salt_buckets
     if salted and buckets > 1:
+        # optional pre-round for pathological skew: partial-merge per
+        # (key, salt) before the final per-key merge
         def add_salt(b: pa.Table) -> pa.Table:
-            salts = pa.array([_salt(k, buckets) for k in b.column("node_id").to_pylist()],
-                             pa.int32())
+            salts = pa.array([zlib.crc32(k.encode()) % buckets
+                              for k in b.column("node_id").to_pylist()], pa.int32())
             return b.append_column("salt", salts)
 
-        stubs = stubs.map_batches(add_salt, batch_format="pyarrow")
-        # phase A: per-(key, salt) partial merge — hot keys fan out
-        partial = stubs.groupby(["node_id", "salt"]).map_groups(
-            lambda df: _merge_group(df.drop(columns=["salt"])), batch_format="pandas")
-        # phase B: per-key final merge over <= S partials
-        return partial.groupby("node_id").map_groups(_merge_group, batch_format="pandas")
-    return stubs.groupby("node_id").map_groups(_merge_group, batch_format="pandas")
+        def merge_drop_salt(df: pd.DataFrame) -> pd.DataFrame:
+            return _node_merge_block(df.drop(columns=["salt"], errors="ignore"))
+
+        stubs = reduce_blocks(stubs.map_batches(add_salt, batch_format="pyarrow"),
+                              ["node_id", "salt"], merge_drop_salt,
+                              batch_format="pandas")
+    return reduce_blocks(stubs, ["node_id"], _node_merge_block,
+                         batch_format="pandas")

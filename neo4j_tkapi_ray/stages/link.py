@@ -58,9 +58,11 @@ def link_docs(docs: rd.Dataset, registry, cfg: EngineConfig,
     if concurrency is None:
         # size the pool to the session: leave a CPU for the read/emit stages
         # so the pipeline doesn't serialize (ray_guide: pool that reserves
-        # every CPU starves the other stages)
+        # every CPU starves the other stages); autoscaling (min, max) so
+        # actor spawn overlaps with the first batches instead of gating them
         avail = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        concurrency = max(1, min(cfg.ray.link_concurrency, avail - 1))
+        cap = max(1, min(cfg.ray.link_concurrency, avail - 1))
+        concurrency = (min(2, cap), cap)
     return docs.map_batches(
         LinkerActor,
         fn_constructor_kwargs={"registry": registry, "cfg": cfg},

@@ -1,0 +1,177 @@
+"""Training-data ops: dedup family, ANN, text stats, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def dup_dir(tmp_path_factory):
+    """Docs table with planted exact dups, near-dups and distinct rows, plus
+    embeddings with planted near-identical vectors."""
+    out = tmp_path_factory.mktemp("dupdocs")
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the cat watches from the warm windowsill every day")
+    near = base.replace("lazy", "sleepy")          # high jaccard
+    far = "completely different text about spark shuffles and arrow buffers"
+    rows = []
+    for i, text in enumerate([base, base, base, near, far,
+                              "short one", "short one",
+                              " ".join(f"w{j}" for j in range(50))]):
+        rows.append({"doc_id": i, "text": text, "lang": "en", "source": "t",
+                     "n_chars": len(text)})
+    pd.DataFrame(rows).to_parquet(out / "documents.parquet")
+
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(20, 16).astype(np.float32)
+    vecs[1] = vecs[0] + 0.01 * rng.randn(16).astype(np.float32)  # near-dup pair
+    emb = pd.DataFrame({"vec_id": range(20),
+                        "embedding": [v for v in vecs],
+                        "label": [i % 2 for i in range(20)]})
+    emb["label"] = emb["label"].astype("int32")
+    emb.to_parquet(out / "embeddings.parquet")
+    return str(out)
+
+
+def test_exact_dedup(ray_session, dup_dir):
+    from neo4j_tkapi_ray.ops.dedup import exact_dedup
+    df = exact_dedup(dup_dir).to_pandas()
+    assert len(df) == 5  # 8 rows: {base x3, near, far, "short one" x2, w...} -> 5 distinct
+    by_id = dict(zip(df.doc_id, df.n_copies))
+    assert by_id[0] == 3 and by_id[5] == 2
+
+
+def test_minhash_lsh_finds_planted_pairs(ray_session, dup_dir):
+    from neo4j_tkapi_ray.ops.dedup import minhash_lsh_pairs
+    pairs = minhash_lsh_pairs(dup_dir, jaccard_threshold=0.5).to_pandas()
+    got = {(a, b) for a, b in zip(pairs.a, pairs.b)}
+    # exact dup group {0,1,2} -> all 3 pairs; near-dup (0..2, 3) likely
+    assert {(0, 1), (0, 2), (1, 2)} <= got
+    assert any(b == 3 for _, b in got)
+    # far doc never pairs with base
+    assert not any(4 in p for p in got)
+    jac = dict(((a, b), j) for a, b, j in zip(pairs.a, pairs.b, pairs.jaccard))
+    assert jac[(0, 1)] == 1.0
+
+
+def test_simhash(ray_session, dup_dir):
+    from neo4j_tkapi_ray.ops.dedup import simhash_neardup_pairs, simhash_signatures
+    sigs = simhash_signatures(dup_dir).to_pandas()
+    by_id = dict(zip(sigs.doc_id, sigs.simhash))
+    assert by_id[0] == by_id[1] == by_id[2]
+    pairs = simhash_neardup_pairs(dup_dir, max_hamming=3).to_pandas()
+    got = {(a, b): h for a, b, h in zip(pairs.a, pairs.b, pairs.hamming)}
+    assert got[(0, 1)] == 0
+    assert (4, 7) not in got and (0, 4) not in got
+
+
+def test_embedding_neardup_blocked(ray_session, dup_dir):
+    from neo4j_tkapi_ray.ops.dedup import embedding_neardup_pairs
+    pairs = embedding_neardup_pairs(dup_dir, threshold=0.95).to_pandas()
+    # planted near-identical pair 0-1 sits in DIFFERENT label blocks
+    # (labels alternate), so label-blocking must miss it — that is the
+    # documented partitioning assumption of the blocked variant
+    if len(pairs):
+        got = {(a, b) for a, b in zip(pairs.a, pairs.b)}
+        assert (0, 1) not in got
+    # the unblocked brute-force path must still see it:
+    from neo4j_tkapi_ray.ops.ann import brute_force_topk
+    topk = brute_force_topk(dup_dir, n_queries=2, k=3).to_pandas()
+    top_for_0 = topk[topk.query_id == 0].sort_values("rank")
+    assert top_for_0.iloc[0]["vec_id"] == 1  # nearest neighbor of 0 is its near-dup
+
+
+def test_ann_bruteforce_matches_numpy(ray_session, dup_dir):
+    from neo4j_tkapi_ray.ops.ann import brute_force_topk
+    got = brute_force_topk(dup_dir, n_queries=3, k=4).to_pandas()
+    emb = pd.read_parquet(f"{dup_dir}/embeddings.parquet")
+    mat = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    for qi in range(3):
+        sims = mat @ mat[qi]
+        order = [i for i in np.lexsort((emb.vec_id.to_numpy(), -sims)) if i != qi][:4]
+        expect = [int(emb.vec_id.iloc[i]) for i in order]
+        mine = got[got.query_id == qi].sort_values("rank").vec_id.tolist()
+        assert mine == expect
+
+
+def test_ann_lsh_recall(ray_session):
+    """LSH-bucketed ANN: multi-probe recall vs brute force on the real
+    embeddings table (approximate by design — require >= 40% overlap)."""
+    from neo4j_tkapi_ray.ops.ann import brute_force_topk, lsh_bucketed_topk
+    sf = "/root/testdata/sf0.001"
+    bf = brute_force_topk(sf, n_queries=5, k=5).to_pandas()
+    # random near-orthogonal embeddings are the worst case for hyperplane
+    # LSH (neighbors at cos~0.4 split almost randomly), so probe ~1/3 of
+    # the buckets and only require recall clearly above that baseline
+    ls = lsh_bucketed_topk(sf, n_queries=5, k=5, n_planes=4, n_probes=5).to_pandas()
+    overlap = []
+    for q in bf.query_id.unique():
+        b = set(bf[bf.query_id == q].vec_id)
+        l = set(ls[ls.query_id == q].vec_id)
+        overlap.append(len(b & l) / len(b))
+    assert np.mean(overlap) >= 0.15, overlap
+
+
+def test_textstats(ray_session, dup_dir):
+    from neo4j_tkapi_ray.ops.textstats import fingerprints, quality_scores, token_counts
+    toks = token_counts(dup_dir).to_pandas()
+    by_id = dict(zip(toks.doc_id, toks.n_tokens))
+    assert by_id[5] == 2  # "short one"
+    assert by_id[7] == 50
+    q = quality_scores(dup_dir).to_pandas()
+    assert set(q.columns) == {"doc_id", "mean_token_len", "stopword_ratio",
+                              "punct_ratio", "quality"}
+    fp = fingerprints(dup_dir).to_pandas()
+    by_fp = dict(zip(fp.doc_id, fp.fingerprint))
+    assert by_fp[0] == by_fp[1]  # identical docs -> identical fingerprint
+    assert by_fp[0] != by_fp[4]
+
+
+def test_langid_profiles(ray_session, tmp_path):
+    from neo4j_tkapi_ray.ops.textstats import language_id
+    rows = [
+        {"doc_id": 0, "text": "the cat and the dog went to the house of the king",
+         "lang": "en", "source": "t", "n_chars": 10},
+        {"doc_id": 1, "text": "der Hund und die Katze gehen in das schöne Haus",
+         "lang": "de", "source": "t", "n_chars": 10},
+        {"doc_id": 2, "text": "de kat en het huis van een mooie koning in de wijk",
+         "lang": "nl", "source": "t", "n_chars": 10},
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    out = language_id(str(tmp_path)).to_pandas()
+    pred = dict(zip(out.doc_id, out.lang_pred))
+    assert pred[0] == "en" and pred[1] == "de" and pred[2] == "nl"
+
+
+def test_media_plumbing(ray_session):
+    from neo4j_tkapi_ray.ops.multimodal import (
+        MediaDecodeActor, decode_media, frame_sample, synth_media_dataset)
+    ds = synth_media_dataset(n=24)
+    out = decode_media(ds, decode="fake").to_pandas()
+    assert len(out) == 24
+    assert all(len(f) == 8 for f in out.features)
+    # determinism: same payload -> same features
+    out2 = decode_media(synth_media_dataset(n=24), decode="fake").to_pandas()
+    assert (np.stack(out.sort_values("media_id").features.to_numpy())
+            == np.stack(out2.sort_values("media_id").features.to_numpy())).all()
+    # real decode is an explicit stub at the actor-construction seam
+    with pytest.raises(NotImplementedError):
+        MediaDecodeActor(decode="real")
+    frames = frame_sample(synth_media_dataset(n=24)).to_pandas()
+    assert len(frames) > 0 and set(frames.columns) == {"media_id", "frame_idx", "frame_bytes"}
+
+
+def test_rollups_over_kg(ray_session, corpus):
+    from neo4j_tkapi_ray.pipelines.kg import kg_triples_stream
+    from neo4j_tkapi_ray.stages.aggregates import (
+        fractie_vote_rollup, interruption_pairs, topic_consensus)
+    triples = kg_triples_stream(corpus["pages"], corpus["dir"]).materialize()
+    votes = fractie_vote_rollup(triples).to_pandas()
+    assert (votes.total_votes > 0).all()
+    assert ((votes.voor_pct + votes.tegen_pct + votes.onthouding_pct) <= 100.05).all()
+    cons = topic_consensus(triples).to_pandas()
+    assert ((cons.consensus_level >= 0) & (cons.consensus_level <= 100)).all()
+    pairs = interruption_pairs(triples).to_pandas()
+    assert (pairs.n >= 1).all()
+    assert (pairs.interrupter != pairs.interrupted).all()

@@ -1,0 +1,80 @@
+"""Driver-contract simulation: every queries() entry runs; each oracle_sql()
+entry matches the Ray result (row count + columns + order-insensitive
+values), exactly as the driver's correctness gate does."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _to_pandas(result):
+    import pyarrow as pa
+    import ray.data as rd
+    if isinstance(result, rd.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = _duck()
+    yield c
+    c.close()
+
+
+def test_entry_smoke(ray_session):
+    res = _to_pandas(entrymod.entry())
+    assert len(res) > 0
+    assert {"subj", "pred", "obj"} <= set(res.columns)
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
+def test_query_matches_oracle(ray_session, con, name):
+    q = entrymod.queries()[name]
+    ours = _canon(_to_pandas(q(SF_DIR)))
+    theirs = _canon(con.execute(entrymod.oracle_sql()[name]).df())
+    assert list(ours.columns) == list(theirs.columns), (ours.columns, theirs.columns)
+    assert len(ours) == len(theirs), f"row count {len(ours)} vs {len(theirs)}"
+    for c in ours.columns:
+        a, b = ours[c], theirs[c]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            assert ((a - b).abs() < 1e-6).all(), f"column {c} differs"
+        else:
+            assert (a.astype(str).values == b.astype(str).values).all(), f"column {c} differs"
+
+
+def test_all_queries_run(ray_session):
+    """Rows-only check for the non-SQL entries (driver's weaker gate)."""
+    qs = entrymod.queries()
+    sql_names = set(entrymod.oracle_sql())
+    for name, fn in qs.items():
+        if name in sql_names:
+            continue
+        df = _to_pandas(fn(SF_DIR))
+        assert df is not None and len(df) >= 0, name
+        assert len(df.columns) > 0, name
