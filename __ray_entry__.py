@@ -63,6 +63,13 @@ def _kg_nodes(sf_dir: str):
     return canonicalize_nodes(_kg_triples(sf_dir), EngineConfig.default())
 
 
+def _kg_nodes_enriched(sf_dir: str):
+    from neo4j_tkapi_ray.sources.pages import read_registry_tables
+    from neo4j_tkapi_ray.stages.enrich import enrich_nodes
+    c = _kg_corpus(sf_dir)
+    return enrich_nodes(_kg_nodes(sf_dir), read_registry_tables(c["dir"]))
+
+
 def _kg_mentions(sf_dir: str):
     from neo4j_tkapi_ray.config import EngineConfig
     from neo4j_tkapi_ray.pipelines.kg import _registry_ref
@@ -124,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _kg_triples,
         "kg_edges": _kg_edges,
         "kg_nodes": _kg_nodes,
+        "kg_nodes_enriched": _kg_nodes_enriched,
         "kg_mentions": _kg_mentions,
         "kg_docs_text": _kg_docs_text,
         "kg_vote_rollup": _kg_vote_rollup,

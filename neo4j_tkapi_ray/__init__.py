@@ -35,6 +35,15 @@ try:  # pragma: no cover - trivial config shim
     from ray.data import DataContext as _DataContext
     from ray.data.context import ShuffleStrategy as _ShuffleStrategy
 
-    _DataContext.get_current().shuffle_strategy = _ShuffleStrategy.HASH_SHUFFLE
+    _ctx = _DataContext.get_current()
+    _ctx.shuffle_strategy = _ShuffleStrategy.HASH_SHUFFLE
+    # shuffle aggregator actors only accumulate partition blocks under the
+    # exchange pattern (the actual reduce runs in the whole-block map task
+    # after); at the default of 1 CPU per partition, one 8-partition
+    # exchange plus an actor pool deadlocks a small session, and chained
+    # exchanges deadlock even a 32-CPU one. Reserve a token 0.01 CPU so
+    # placement never blocks on aggregators.
+    _ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
+    _ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.01
 except Exception:  # ray absent or too old — single-process oracle still works
     pass

@@ -1,0 +1,110 @@
+"""CLI entry point — the analog of the reference's ``python src/main.py``
+(cli_config.py:8-55) reshaped for a Ray job:
+
+    python -m neo4j_tkapi_ray build --pages DIR --registry DIR --out DIR
+        [--resume] [--files-per-partition N] [--lang nl] [--num-cpus N]
+        [--no-finalize] [--max-partitions K]
+    python -m neo4j_tkapi_ray gen --out DIR --sessions N [--seed S] [--page-scale K]
+    python -m neo4j_tkapi_ray status --out DIR
+
+Run via ``ray job submit -- python -m neo4j_tkapi_ray build ...`` on a real
+cluster; standalone it initialises a local Ray session itself (guarded).
+The reference's --resume/--skip/--overwrite semantics map onto the
+partition-manifest layer: ``build`` is ALWAYS resumable (completed
+partitions skip); ``--overwrite`` wipes the manifests first.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+
+
+def _ensure_ray(num_cpus):
+    import ray
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+
+
+def cmd_build(args) -> int:
+    _ensure_ray(args.num_cpus)
+    from .pipelines.kg import run_kg
+    if args.overwrite:
+        shutil.rmtree(args.out, ignore_errors=True)
+    stats = run_kg(args.pages, args.registry, args.out, lang=args.lang,
+                   files_per_partition=args.files_per_partition,
+                   finalize=not args.no_finalize,
+                   max_partitions=args.max_partitions)
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_gen(args) -> int:
+    from .corpus import generate_corpus
+    paths = generate_corpus(args.out, n_sessions=args.sessions, seed=args.seed,
+                            page_scale=args.page_scale)
+    print(json.dumps(paths))
+    return 0
+
+
+def cmd_status(args) -> int:
+    from .state.manifest import load_manifests
+    manifests = load_manifests(args.out)
+    done = [m for m in manifests.values() if m.get("status") == "completed"]
+    totals: dict = {}
+    for m in done:
+        for k, v in m.get("counts", {}).items():
+            totals[k] = totals.get(k, 0) + v
+    print(json.dumps({"partitions_completed": len(done), "totals": totals,
+                      "partitions": sorted(manifests)}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="neo4j_tkapi_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="run the KG construction pipeline (resumable)")
+    b.add_argument("--pages", required=True)
+    b.add_argument("--registry", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--lang", default="nl")
+    b.add_argument("--files-per-partition", type=int, default=4)
+    b.add_argument("--max-partitions", type=int, default=None)
+    b.add_argument("--no-finalize", action="store_true")
+    b.add_argument("--overwrite", action="store_true",
+                   help="wipe the out dir (manifests included) first")
+    b.add_argument("--num-cpus", type=int, default=None)
+    b.set_defaults(fn=cmd_build)
+
+    g = sub.add_parser("gen", help="generate a deterministic synthetic corpus")
+    g.add_argument("--out", required=True)
+    g.add_argument("--sessions", type=int, default=100)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--page-scale", type=int, default=1)
+    g.add_argument("--num-cpus", type=int, default=None)
+    g.set_defaults(fn=cmd_gen)
+
+    s = sub.add_parser("status", help="show partition-manifest progress")
+    s.add_argument("--out", required=True)
+    s.set_defaults(fn=cmd_status)
+
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+    try:
+        import ray
+        if ray.is_initialized():
+            ray.shutdown()
+    except ImportError:
+        pass
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

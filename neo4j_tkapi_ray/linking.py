@@ -119,6 +119,14 @@ class Linker:
         self.cfg = cfg
         self._prefix_re = build_prefix_regex(cfg.matching.common_topic_prefixes)
         self._norm_cache: Dict[str, str] = {}
+        self._speaker_cache: Dict[tuple, tuple] = {}
+        # precompute per-candidate scoring invariants once per linker
+        # (to_utc was 4 calls per (mention, candidate) pair otherwise)
+        off = cfg.time.local_timezone_offset_hours
+        for a in index.activities:
+            a["_begin_utc"] = to_utc(a["begin"], off)
+            a["_einde_utc"] = to_utc(a["einde"], off)
+            a["_soort_l"] = (a.get("soort") or "").lower()
 
     # -- topic normalization with memoization (api onderwerp reuse is heavy)
     def _norm(self, text: str) -> str:
@@ -185,14 +193,23 @@ class Linker:
         xml_end = parse_xml_datetime(act.get("end_time"))
         xml_ond = (act.get("onderwerp") or "").lower()
         xml_tit = (act.get("titel") or "").lower()
+        xml_s = (act.get("soort") or "").lower()
         nxo = self._norm(xml_ond)
         nxt = self._norm(xml_tit)
+
+        # xml-side times converted ONCE (activity_matcher.py:129-140: fall
+        # back to vergadering times; end falls back to start + 1 min)
+        off = self.cfg.time.local_timezone_offset_hours
+        xs = xml_start or session["begin"]
+        xe = (xml_end or session["einde"]) or (xs + timedelta(minutes=1) if xs else None)
+        xs_u = to_utc(xs, off)
+        xe_u = to_utc(xe, off)
 
         cheap = [0.0] * n       # exact part: time + soort + equal-topic
         fuzzy_ub = [0.0] * n    # max possible from the fuzzy comparisons
         napis = [""] * n
         for i, cand in enumerate(candidates):
-            c = self._time_soort_score(act, xml_start, xml_end, cand, session)
+            c = self._time_soort_score(xs_u, xe_u, xml_s, cand)
             api_ond = (cand.get("onderwerp") or "").lower()
             napi = self._norm(api_ond)
             napis[i] = napi
@@ -239,20 +256,15 @@ class Linker:
             return candidates[best1_idx]["activity_id"], best1_val, mt
         return None, best1_val, "NO_MATCH"
 
-    def _time_soort_score(self, act: dict, xml_start, xml_end, cand: dict,
-                          session: dict) -> float:
-        m, tc = self.cfg.matching, self.cfg.time
+    def _time_soort_score(self, xs_u, xe_u, xml_s: str, cand: dict) -> float:
+        m = self.cfg.matching
         score = 0.0
 
-        # time proximity (activity_matcher.py:125-163)
-        xs = xml_start or session["begin"]
-        xe = xml_end or session["einde"]
-        if xs and cand["begin"] and cand["einde"]:
-            off = tc.local_timezone_offset_hours
-            xs_u = to_utc(xs, off)
-            xe_u = to_utc(xe or (xs + timedelta(minutes=1)), off)
-            cb_u = to_utc(cand["begin"], off)
-            ce_u = to_utc(cand["einde"], off)
+        # time proximity (activity_matcher.py:125-163); candidate UTC times
+        # precomputed in __init__
+        cb_u = cand.get("_begin_utc")
+        ce_u = cand.get("_einde_utc")
+        if xs_u and cb_u and ce_u:
             start_diff = abs((xs_u - cb_u).total_seconds())
             start_close = start_diff <= m.time_start_proximity_tolerance_seconds
             buf = timedelta(seconds=m.time_general_overlap_buffer_seconds)
@@ -263,8 +275,7 @@ class Linker:
                 score += m.score_time_overlap_only
 
         # soort (activity_matcher.py:165-205)
-        xml_s = (act.get("soort") or "").lower()
-        api_s = (cand.get("soort") or "").lower()
+        api_s = cand.get("_soort_l") or (cand.get("soort") or "").lower()
         if xml_s and api_s:
             if xml_s == api_s:
                 score += m.score_soort_exact
@@ -309,6 +320,19 @@ class Linker:
         EXACT iff score >= 90 (name_matcher.py:84-90)."""
         if not achternaam:
             return None, 0, "NO_MATCH"
+        # memoized: the cascade is a pure function of the surface name, and
+        # speaker surfaces repeat heavily across documents
+        ckey = (voornaam, achternaam)
+        hit = self._speaker_cache.get(ckey)
+        if hit is not None:
+            return hit
+        result = self._match_speaker_uncached(voornaam, achternaam)
+        if len(self._speaker_cache) < 500_000:
+            self._speaker_cache[ckey] = result
+        return result
+
+    def _match_speaker_uncached(self, voornaam: str, achternaam: str
+                                ) -> Tuple[Optional[str], int, str]:
         m = self.cfg.matching
         best = self._best_person(voornaam, achternaam,
                                  self.idx.persons_by_achternaam.get(achternaam.lower().strip(), [])[:20])

@@ -70,7 +70,7 @@ def brute_force_topk(sf_dir: str, n_queries: int = 5, k: int = 5) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     partials = ds.map_batches(PartialTopK, fn_constructor_kwargs={"ref": ref, "k": k},
                               batch_format="pyarrow", batch_size=4096,
-                              concurrency=2, num_cpus=1)
+                              concurrency=2, num_cpus=0.5)
 
     def global_merge(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)

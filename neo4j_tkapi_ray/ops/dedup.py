@@ -211,7 +211,7 @@ def minhash_lsh_pairs(sf_dir: str, n_perm: int = 64, bands: int = 16,
     return cand.map_batches(Verify,
                             fn_constructor_kwargs={"ref": text_ref,
                                                    "threshold": jaccard_threshold},
-                            batch_format="pyarrow", concurrency=2, num_cpus=1)
+                            batch_format="pyarrow", concurrency=2, num_cpus=0.5)
 
 
 # ---------------------------------------------------------------------------

@@ -90,7 +90,7 @@ def decode_media(ds: rd.Dataset, decode: str = "fake", batch_size: int = 16,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
-        num_cpus=1,
+        num_cpus=0.5,
     )
 
 

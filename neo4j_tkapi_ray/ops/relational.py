@@ -120,7 +120,7 @@ def revenue_by_nation(sf_dir: str) -> rd.Dataset:
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
     enriched = orders.map_batches(Enrich, fn_constructor_kwargs={"ref": lookup_ref},
-                                  batch_format="pyarrow", concurrency=2)
+                                  batch_format="pyarrow", concurrency=2, num_cpus=0.5)
     out = partial_grouped_sums(enriched, ["n_name"], {"o_totalprice": "revenue"},
                                count_alias="n_orders")
 

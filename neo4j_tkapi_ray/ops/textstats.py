@@ -114,7 +114,7 @@ class LangIdActor:
 def language_id(sf_dir: str, concurrency: int = 2) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
     return ds.map_batches(LangIdActor, batch_format="pyarrow",
-                          concurrency=concurrency, num_cpus=1)
+                          concurrency=concurrency, num_cpus=0.5)
 
 
 def fingerprints(sf_dir: str, window: int = 8) -> rd.Dataset:

@@ -31,7 +31,7 @@ import ray.data as rd
 from ..config import EngineConfig
 from ..sources.pages import read_pages, read_registry_tables
 from ..stages.extract import extract_docs
-from ..stages.link import link_docs
+from ..stages.link import link_docs, link_emit_docs
 from ..stages.triples import FAILED_PRED, to_mentions, to_triples
 from ..stages.canonicalize import canonicalize_edges, canonicalize_nodes
 from ..state.manifest import (
@@ -52,12 +52,13 @@ def _registry_ref(registry: Union[str, dict, "ray.ObjectRef"]):
 
 def kg_triples_stream(pages_paths, registry, cfg: Optional[EngineConfig] = None,
                       lang: str = "nl") -> rd.Dataset:
-    """Fused lazy pipeline: pages -> triples (failed rows tagged _FAILED)."""
+    """Fused lazy pipeline: pages -> triples (failed rows tagged _FAILED).
+    Uses the fused link+emit actor (stages/link.py LinkEmitActor) — one
+    actor-pool hop from parsed docs straight to triple rows."""
     cfg = cfg or EngineConfig.default()
     pages = read_pages(pages_paths, lang=lang)
     docs = extract_docs(pages, cfg)
-    linked = link_docs(docs, _registry_ref(registry), cfg)
-    return to_triples(linked)
+    return link_emit_docs(docs, _registry_ref(registry), cfg)
 
 
 def _list_page_files(pages_path: str) -> List[str]:
@@ -134,13 +135,16 @@ def run_kg(pages_path: str, registry_dir: str, out_dir: str,
     stats = {"partitions_total": len(partitions), "partitions_run": len(pending),
              "partitions_skipped": skipped, **totals}
     if finalize:
-        stats.update(finalize_graph(out_dir, cfg))
+        stats.update(finalize_graph(out_dir, cfg, registry_dir=registry_dir))
     return stats
 
 
-def finalize_graph(out_dir: str, cfg: Optional[EngineConfig] = None) -> dict:
+def finalize_graph(out_dir: str, cfg: Optional[EngineConfig] = None,
+                   registry_dir: Optional[str] = None) -> dict:
     """Global canonicalization over all partitions' triples (the D1/D2
-    shuffles) -> nodes/ + edges/. Idempotent: derived dirs are rebuilt."""
+    shuffles) -> nodes/ + edges/. Idempotent: derived dirs are rebuilt.
+    With ``registry_dir``, node props are enriched with the canonical
+    entity properties (broadcast dimension join, stages/enrich.py)."""
     cfg = cfg or EngineConfig.default()
     triples_root = os.path.join(out_dir, "triples")
     triples = rd.read_parquet(triples_root)
@@ -151,7 +155,11 @@ def finalize_graph(out_dir: str, cfg: Optional[EngineConfig] = None) -> dict:
     shutil.rmtree(nodes_dir, ignore_errors=True)
 
     canonicalize_edges(triples, cfg).write_parquet(edges_dir)
-    canonicalize_nodes(rd.read_parquet(triples_root), cfg).write_parquet(nodes_dir)
+    nodes = canonicalize_nodes(rd.read_parquet(triples_root), cfg)
+    if registry_dir is not None:
+        from ..stages.enrich import enrich_nodes
+        nodes = enrich_nodes(nodes, read_registry_tables(registry_dir))
+    nodes.write_parquet(nodes_dir)
     return {
         "edges": rd.read_parquet(edges_dir).count(),
         "nodes": rd.read_parquet(nodes_dir).count(),

@@ -1,0 +1,76 @@
+"""Node enrichment: join canonical entity properties from the registry onto
+the deduplicated node table.
+
+The reference writes full API-entity property maps on every MERGE
+(projection operators M1, e.g. persoon_processor.py:37-54 /
+zaak_processor.py:26-37); here that projection is a BROADCAST join — the
+registry prop maps are ray.put once and looked up per batch, no shuffle
+(the node table is the big side, the registry the small side).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict
+
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def build_prop_maps(tables: Dict[str, list]) -> Dict[str, dict]:
+    """entity_id -> property dict, per entity family (the M1 projections:
+    select + rename + stringify, reference zaak_processor.py:26-37 etc.)."""
+    props: Dict[str, dict] = {}
+    for p in tables["persons"]:
+        props[p["person_id"]] = {
+            "achternaam": p["achternaam"], "roepnaam": p["roepnaam"],
+            "voornamen": p["voornamen"], "tussenvoegsel": p["tussenvoegsel"],
+            "fractie_id": p["fractie_id"], "entity": "persoon",
+        }
+    for fr in tables["parties"]:
+        props[fr["fractie_id"]] = {"naam": fr["naam"], "afkorting": fr["afkorting"],
+                                   "entity": "fractie"}
+    for c in tables["cases"]:
+        props[c["zaak_id"]] = {
+            "nummer": c["nummer"], "dossiernummer": str(c["dossiernummer"]),
+            "stuknummer": str(c["stuknummer"]), "onderwerp": c["onderwerp"],
+            "entity": "zaak",
+        }
+    for d in tables["dossiers"]:
+        props[d["dossier_id"]] = {"nummer": str(d["nummer"]),
+                                  "toevoeging": d["toevoeging"], "entity": "dossier"}
+    for a in tables["activities"]:
+        props[a["activity_id"]] = {
+            "soort": a["soort"], "onderwerp": a["onderwerp"],
+            "session_id": a["session_id"], "entity": "activity",
+        }
+    for s in tables["sessions"]:
+        props[s["session_id"]] = {"soort": s["soort"], "nummer": str(s["nummer"]),
+                                  "entity": "vergadering"}
+    return props
+
+
+def enrich_nodes(nodes: rd.Dataset, registry_tables: Dict[str, list]) -> rd.Dataset:
+    """Merge registry props into each node's props JSON (provenance props
+    from the stream keep precedence semantics of ``SET n +=``: registry
+    dims first, stream-derived last)."""
+    ref = ray.put(build_prop_maps(registry_tables))
+
+    class Enricher:
+        def __init__(self, ref):
+            self.props = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = []
+            for node_id, props_json in zip(batch.column("node_id").to_pylist(),
+                                           batch.column("props").to_pylist()):
+                base = dict(self.props.get(node_id, {}))
+                base.update(json.loads(props_json))
+                out.append(json.dumps(base, sort_keys=True))
+            cols = {n: batch.column(n) for n in batch.column_names if n != "props"}
+            cols["props"] = pa.array(out, pa.string())
+            return pa.table(cols)
+
+    return nodes.map_batches(Enricher, fn_constructor_kwargs={"ref": ref},
+                             batch_format="pyarrow", concurrency=2, num_cpus=0.5)

@@ -49,6 +49,67 @@ class LinkerActor:
         return pa.table(cols)
 
 
+class LinkEmitActor(LinkerActor):
+    """Fused stage [2]+[3] for the streaming path: link a doc and emit its
+    triple rows in one actor call — no linked-doc JSON re-serialization, no
+    extra operator hop through the object store. The staged/checkpointed
+    runner (pipelines/kg.py run_kg) keeps the separate link stage because
+    the linked-doc Parquet is its resume/lineage artifact."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: D102
+        import pyarrow as _pa
+
+        from .. import schemas
+        from ..emit import emit_doc
+        from ..linking import link_doc as _link_doc
+
+        rows = []
+        for url, warc_ts, err, doc_json in zip(
+                batch.column("url").to_pylist(), batch.column("warc_ts").to_pylist(),
+                batch.column("error").to_pylist(), batch.column("doc").to_pylist()):
+            if err is not None or doc_json is None:
+                rows.append({"subj": url, "pred": "_FAILED", "obj": err or "unknown",
+                             "subj_label": "Page", "obj_label": "Error", "url": url,
+                             "warc_ts": warc_ts, "score": 0.0,
+                             "provenance": "failed_row"})
+                continue
+            linked = _link_doc(json.loads(doc_json), self.linker)
+            tr, _ = emit_doc(linked, url, warc_ts)
+            rows.extend(tr)
+        if not rows:
+            return schemas.TRIPLES.empty_table()
+        return _pa.Table.from_pylist(rows, schema=schemas.TRIPLES)
+
+
+def link_emit_docs(docs: rd.Dataset, registry, cfg: EngineConfig,
+                   concurrency=None) -> rd.Dataset:
+    """Fused extract-output -> triples actor-pool stage (see LinkEmitActor)."""
+    if isinstance(registry, dict):
+        registry = ray.put(registry)
+    if concurrency is None:
+        concurrency = _auto_concurrency(cfg)
+    return docs.map_batches(
+        LinkEmitActor,
+        fn_constructor_kwargs={"registry": registry, "cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.ray.link_batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def _auto_concurrency(cfg: EngineConfig) -> int:
+    # leave (2 + cpus/8) whole CPUs for the read/coalesce/reduce task slots
+    # and the hash-shuffle aggregator actors (0.1 CPU each) — a pool that
+    # takes more deadlocks the fused plan: the actor pool holds its CPUs
+    # while the downstream exchange waits for placement (observed at both
+    # 4 and 32 CPUs). FIXED size, not autoscaling: the autoscaling pool
+    # ramps up too conservatively under backpressure. 32 cpus -> 26 actors,
+    # 8 -> 5, 4 -> 1.
+    avail = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(1, min(cfg.ray.link_concurrency, avail - 2 - max(1, avail // 8)))
+
+
 def link_docs(docs: rd.Dataset, registry, cfg: EngineConfig,
               concurrency=None) -> rd.Dataset:
     """``registry``: dict of tables, ObjectRef of same, or registry dir path.
@@ -56,13 +117,7 @@ def link_docs(docs: rd.Dataset, registry, cfg: EngineConfig,
     if isinstance(registry, dict):
         registry = ray.put(registry)
     if concurrency is None:
-        # size the pool to the session: leave a CPU for the read/emit stages
-        # so the pipeline doesn't serialize (ray_guide: pool that reserves
-        # every CPU starves the other stages); autoscaling (min, max) so
-        # actor spawn overlaps with the first batches instead of gating them
-        avail = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        cap = max(1, min(cfg.ray.link_concurrency, avail - 1))
-        concurrency = (min(2, cap), cap)
+        concurrency = _auto_concurrency(cfg)
     return docs.map_batches(
         LinkerActor,
         fn_constructor_kwargs={"registry": registry, "cfg": cfg},

@@ -1,0 +1,57 @@
+"""Node enrichment (broadcast dim join) + CLI entry point."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+
+def test_enrich_nodes(ray_session, corpus):
+    from neo4j_tkapi_ray.config import EngineConfig
+    from neo4j_tkapi_ray.pipelines.kg import kg_triples_stream
+    from neo4j_tkapi_ray.sources.pages import read_registry_tables
+    from neo4j_tkapi_ray.stages.canonicalize import canonicalize_nodes
+    from neo4j_tkapi_ray.stages.enrich import enrich_nodes
+
+    cfg = EngineConfig.default()
+    triples = kg_triples_stream(corpus["pages"], corpus["dir"]).materialize()
+    nodes = canonicalize_nodes(triples, cfg)
+    tables = read_registry_tables(corpus["dir"])
+    enriched = {n["node_id"]: n for n in enrich_nodes(nodes, tables).take_all()}
+
+    persons = {p["person_id"]: p for p in tables["persons"]}
+    hit = 0
+    for node_id, node in enriched.items():
+        props = json.loads(node["props"])
+        assert "last_url" in props  # stream-derived props survive the merge
+        if node_id in persons:
+            hit += 1
+            assert props["achternaam"] == persons[node_id]["achternaam"]
+            assert props["entity"] == "persoon"
+    assert hit > 0, "no persoon nodes were enriched"
+
+
+def test_cli_roundtrip(tmp_path):
+    """gen -> build -> status -> resume noop, through the real CLI in
+    subprocesses (fresh Ray each)."""
+    corpus = tmp_path / "corpus"
+    out = tmp_path / "out"
+
+    def run(*args):
+        r = subprocess.run([sys.executable, "-m", "neo4j_tkapi_ray", *args],
+                           capture_output=True, text=True, cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    run("gen", "--out", str(corpus), "--sessions", "15", "--seed", "11")
+    stats = run("build", "--pages", str(corpus / "pages"), "--registry", str(corpus),
+                "--out", str(out), "--num-cpus", "4")
+    assert stats["partitions_run"] >= 1 and stats["edges"] > 0
+
+    status = run("status", "--out", str(out))
+    assert status["partitions_completed"] == stats["partitions_total"]
+
+    again = run("build", "--pages", str(corpus / "pages"), "--registry", str(corpus),
+                "--out", str(out), "--num-cpus", "4")
+    assert again["partitions_run"] == 0  # resume is the default
