@@ -88,6 +88,10 @@ def run_kg(pages_path: str, registry_dir: str, out_dir: str,
     if err:
         raise RuntimeError(err)
 
+    # static vocabulary tables (S8 enum seeding analog) — written once per run
+    from ..stages.materialize_vocab import write_vocab_tables
+    write_vocab_tables(out_dir)
+
     partitions = make_partitions(pages_path, files_per_partition)
     pending = pending_partitions(out_dir, partitions, fp_cfg)
     if max_partitions is not None:

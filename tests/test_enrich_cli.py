@@ -32,6 +32,21 @@ def test_enrich_nodes(ray_session, corpus):
     assert hit > 0, "no persoon nodes were enriched"
 
 
+def test_vocab_tables(tmp_path):
+    """S8 enum-seeding analog: vocabulary tables cover every predicate the
+    emitter can produce."""
+    import pyarrow.parquet as pq
+    from neo4j_tkapi_ray.stages.materialize_vocab import write_vocab_tables
+    paths = write_vocab_tables(str(tmp_path))
+    preds = set(pq.read_table(paths["predicates"]).column("pred").to_pylist())
+    for p in ["DISCUSSES_ZAAK", "INTERRUPTED", "RESPONDED_TO", "MATCHES_PERSOON",
+              "MATCHES_API_ACTIVITY", "MATCHES_API_ZAAK", "MATCHES_API_DOSSIER",
+              "VOTED_VOOR", "VOTED_TEGEN", "VOTED_ONTHOUDING", "_FAILED"]:
+        assert p in preds
+    labels = pq.read_table(paths["labels"])
+    assert labels.num_rows >= 10
+
+
 def test_cli_roundtrip(tmp_path):
     """gen -> build -> status -> resume noop, through the real CLI in
     subprocesses (fresh Ray each)."""
