@@ -124,7 +124,7 @@ def _media_frames(_sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from neo4j_tkapi_ray.ops import ann, dedup, relational, textstats
+    from neo4j_tkapi_ray.ops import ann, dedup, events, relational, textstats
     return {
         # --- KG construction (flagship; non-SQL -> rows-only driver check,
         #     full oracle parity asserted in tests/test_pipeline.py)
@@ -153,6 +153,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # select nothing — 0.3 keeps the operator's selection path exercised
         "embedding_neardup": lambda sf: dedup.embedding_neardup_pairs(sf, 0.3),  # SQL-checkable
         "minhash_neardup": lambda sf: dedup.minhash_lsh_pairs(sf),
+        "neardup_groups": lambda sf: dedup.neardup_groups(sf),
+        "user_sessions": lambda sf: events.user_sessions(sf),  # SQL-checkable
+        "session_stats": lambda sf: events.session_stats(sf),  # SQL-checkable
         "simhash_signatures": dedup.simhash_signatures,
         "language_id": textstats.language_id,
         "quality_scores": textstats.quality_scores,
@@ -213,6 +216,42 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
             FROM documents GROUP BY text
+        """,
+        "user_sessions": """
+            WITH x AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id)
+                                 > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+                FROM events),
+                 y AS (
+                SELECT user_id, event_id, ts,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_idx
+                FROM x)
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   COUNT(*) AS n_events,
+                   CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch
+            FROM y GROUP BY user_id, session_idx
+        """,
+        "session_stats": """
+            WITH x AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id)
+                                 > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+                FROM events),
+                 y AS (
+                SELECT user_id,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_idx
+                FROM x),
+                 s AS (
+                SELECT user_id, session_idx, COUNT(*) AS n_events
+                FROM y GROUP BY user_id, session_idx)
+            SELECT user_id, COUNT(*) AS n_sessions,
+                   ROUND(AVG(n_events), 4) AS mean_events_per_session
+            FROM s GROUP BY user_id
         """,
         "token_counts": """
             SELECT doc_id,

@@ -111,6 +111,21 @@ class RegistryIndex:
         return self.activities[lo:hi][:cap]
 
 
+def precompute_candidate_invariants(index: RegistryIndex, cfg: EngineConfig) -> None:
+    """Attach per-candidate scoring invariants (UTC times — to_utc was 4
+    calls per (mention, candidate) pair otherwise — and lowered soort).
+    Idempotent; run ONCE on the driver before broadcasting the index so
+    every linker actor skips this work at spawn."""
+    acts = index.activities
+    if acts and "_begin_utc" in acts[0]:
+        return
+    off = cfg.time.local_timezone_offset_hours
+    for a in acts:
+        a["_begin_utc"] = to_utc(a["begin"], off)
+        a["_einde_utc"] = to_utc(a["einde"], off)
+        a["_soort_l"] = (a.get("soort") or "").lower()
+
+
 class Linker:
     """Stateful scorer: compiled topic regex + registry index + config."""
 
@@ -120,13 +135,7 @@ class Linker:
         self._prefix_re = build_prefix_regex(cfg.matching.common_topic_prefixes)
         self._norm_cache: Dict[str, str] = {}
         self._speaker_cache: Dict[tuple, tuple] = {}
-        # precompute per-candidate scoring invariants once per linker
-        # (to_utc was 4 calls per (mention, candidate) pair otherwise)
-        off = cfg.time.local_timezone_offset_hours
-        for a in index.activities:
-            a["_begin_utc"] = to_utc(a["begin"], off)
-            a["_einde_utc"] = to_utc(a["einde"], off)
-            a["_soort_l"] = (a.get("soort") or "").lower()
+        precompute_candidate_invariants(index, cfg)
 
     # -- topic normalization with memoization (api onderwerp reuse is heavy)
     def _norm(self, text: str) -> str:

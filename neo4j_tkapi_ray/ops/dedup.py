@@ -215,6 +215,101 @@ def minhash_lsh_pairs(sf_dir: str, n_perm: int = 64, bands: int = 16,
 
 
 # ---------------------------------------------------------------------------
+# connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+def neardup_groups(sf_dir: str, jaccard_threshold: float = 0.7,
+                   max_rounds: int = 10) -> rd.Dataset:
+    """Group near-duplicate documents into connected components via
+    distributed min-label propagation over the MinHash-LSH pair graph.
+
+    Per round (two exchanges, no driver-side materialization of the graph):
+    union the label rows with the edge rows, exchange by node so each block
+    holds a node's label AND its incident edges, emit (neighbor,
+    my_label) proposals, then min-reduce labels per node. Converges in
+    O(diameter) rounds; near-dup components are tiny, so max_rounds=10 is
+    a generous bound (a `changed` count per round short-circuits).
+
+    Output: (doc_id, group_id) for every doc that has at least one near-dup
+    (group_id = min doc_id of the component).
+    """
+    pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold=jaccard_threshold)
+    edges = pairs.map_batches(
+        lambda b: pa.table({"a": b.column("a"), "b": b.column("b")}),
+        batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                       "group_id": pa.array([], pa.int64())}))
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        import numpy as _np
+        nodes = _np.unique(_np.concatenate([
+            _np.asarray(b.column("a"), dtype=_np.int64),
+            _np.asarray(b.column("b"), dtype=_np.int64)]))
+        return pa.table({"node": pa.array(nodes), "label": pa.array(nodes)})
+
+    # local node extraction + global min-dedup (a node may appear in many blocks)
+    def label_min(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64())})
+        g = block.group_by("node").aggregate([("label", "min")])
+        return pa.table({"node": g.column("node"), "label": g.column("label_min")})
+
+    labels = reduce_blocks(edges.map_batches(init_labels, batch_format="pyarrow"),
+                           ["node"], label_min).materialize()
+
+    # undirected edge list keyed by node
+    def explode(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.chunked_array([b.column("a"), b.column("b")]).combine_chunks(),
+            "peer": pa.chunked_array([b.column("b"), b.column("a")]).combine_chunks(),
+        })
+
+    adj = edges.map_batches(explode, batch_format="pyarrow").materialize()
+
+    for _ in range(max_rounds):
+        def as_label_row(b: pa.Table) -> pa.Table:
+            return pa.table({"node": b.column("node"), "peer": pa.array([-1] * b.num_rows, pa.int64()),
+                             "label": b.column("label")})
+
+        def as_edge_row(b: pa.Table) -> pa.Table:
+            return pa.table({"node": b.column("node"), "peer": b.column("peer"),
+                             "label": pa.array([-1] * b.num_rows, pa.int64())})
+
+        mixed = labels.map_batches(as_label_row, batch_format="pyarrow").union(
+            adj.map_batches(as_edge_row, batch_format="pyarrow"))
+
+        def propose(df: pd.DataFrame) -> pd.DataFrame:
+            # block holds, per node: its label row(s) and its edges
+            if df.empty:
+                return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                     "label": pd.Series(dtype="int64")})
+            lab = df[df["peer"] == -1].groupby("node")["label"].min()
+            edges_df = df[df["peer"] != -1]
+            peers = edges_df["peer"].to_numpy()
+            my_label = lab.reindex(edges_df["node"]).to_numpy()
+            out = pd.DataFrame({"node": peers, "label": my_label})
+            keep = pd.DataFrame({"node": lab.index.to_numpy(), "label": lab.to_numpy()})
+            return pd.concat([out, keep], ignore_index=True).astype(
+                {"node": "int64", "label": "int64"})
+
+        proposals = reduce_blocks(mixed, ["node"], propose, batch_format="pandas")
+        new_labels = reduce_blocks(proposals, ["node"], label_min).materialize()
+
+        joined = labels.to_pandas().merge(new_labels.to_pandas(), on="node",
+                                          suffixes=("_old", "_new"))
+        changed = int((joined.label_old != joined.label_new).sum())
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.map_batches(
+        lambda b: pa.table({"doc_id": b.column("node"), "group_id": b.column("label")}),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

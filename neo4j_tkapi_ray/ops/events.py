@@ -1,0 +1,70 @@
+"""Stream-shaped operators over the ``events`` log table.
+
+Ray Data has no event-time windows (ray_guide "Streaming-shaped
+workloads"); the pattern is: treat the log as partitioned by key, exchange
+by key, and window over the sorted group inside the block. Ordering
+assumption: (ts, event_id) is a total order per user — both the Ray side
+and the DuckDB oracle sort by it, so ties are deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from ..exchange import grouped_apply
+
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+    """Gap-based sessionization: a new session starts when the time since
+    the user's previous event exceeds ``gap_minutes``.
+
+    Output: (user_id, session_idx, n_events, session_start_epoch) — one row
+    per session, session_idx 0-based in time order.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "session_idx": pd.Series(dtype="int64"),
+                                 "n_events": pd.Series(dtype="int64"),
+                                 "session_start_epoch": pd.Series(dtype="int64")})
+        df = df.sort_values(["ts", "event_id"], kind="stable")
+        ts = df["ts"].to_numpy()
+        new_session = np.zeros(len(df), dtype=np.int64)
+        if len(df) > 1:
+            new_session[1:] = (np.diff(ts) > gap).astype(np.int64)
+        df = df.assign(session_idx=np.cumsum(new_session))
+        out = (df.groupby("session_idx")
+               .agg(n_events=("event_id", "size"), session_start=("ts", "min"))
+               .reset_index())
+        out["user_id"] = df["user_id"].iloc[0]
+        out["session_start_epoch"] = (
+            out["session_start"].astype("datetime64[s]").astype("int64"))
+        return out[["user_id", "session_idx", "n_events", "session_start_epoch"]].astype(
+            {"user_id": "int64", "session_idx": "int64", "n_events": "int64",
+             "session_start_epoch": "int64"})
+
+    return grouped_apply(ds, ["user_id"], sessionize)
+
+
+def session_stats(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+    """Per-user session rollup over user_sessions."""
+    sessions = user_sessions(sf_dir, gap_minutes)
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "n_sessions": pd.Series(dtype="int64"),
+                                 "mean_events_per_session": pd.Series(dtype="float64")})
+        return pd.DataFrame([{
+            "user_id": int(df["user_id"].iloc[0]),
+            "n_sessions": int(len(df)),
+            "mean_events_per_session": round(float(df["n_events"].mean()), 4),
+        }])
+
+    return grouped_apply(sessions, ["user_id"], rollup)

@@ -23,10 +23,13 @@ from ..linking import Linker, RegistryIndex, link_doc
 
 class LinkerActor:
     def __init__(self, registry, cfg: EngineConfig):
-        # registry: ObjectRef of the tables dict (broadcast) or a parquet dir
+        # registry: ObjectRef of a PREBUILT RegistryIndex (preferred — the
+        # driver builds and precomputes once, actors just deserialize), an
+        # ObjectRef of the tables dict, a parquet dir, or the tables dict
         if isinstance(registry, ray.ObjectRef):
-            tables = ray.get(registry)
-            index = RegistryIndex(tables)
+            registry = ray.get(registry)
+        if isinstance(registry, RegistryIndex):
+            index = registry
         elif isinstance(registry, str):
             index = RegistryIndex.from_parquet_dir(registry)
         else:

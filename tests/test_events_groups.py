@@ -1,0 +1,69 @@
+"""Sessionization + connected-component near-dup groups."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_user_sessions_semantics(ray_session, tmp_path):
+    rows = []
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    # user 1: three events close together, then a 2h gap, then one more
+    for i, off in enumerate([0, 5, 10, 130]):
+        rows.append({"event_id": i, "ts": base + pd.Timedelta(minutes=off),
+                     "user_id": 1, "event_type": "x", "value": 1.0, "props": "{}"})
+    # user 2: single event
+    rows.append({"event_id": 9, "ts": base, "user_id": 2, "event_type": "x",
+                 "value": 1.0, "props": "{}"})
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet")
+
+    from neo4j_tkapi_ray.ops.events import session_stats, user_sessions
+    s = user_sessions(str(tmp_path)).to_pandas().sort_values(
+        ["user_id", "session_idx"]).reset_index(drop=True)
+    u1 = s[s.user_id == 1]
+    assert list(u1.session_idx) == [0, 1]
+    assert list(u1.n_events) == [3, 1]
+    u2 = s[s.user_id == 2]
+    assert list(u2.n_events) == [1]
+
+    st = session_stats(str(tmp_path)).to_pandas()
+    by = dict(zip(st.user_id, st.n_sessions))
+    assert by[1] == 2 and by[2] == 1
+
+
+def test_neardup_groups_connected_components(ray_session, tmp_path):
+    """Chained near-dups A~B~C must land in ONE group even if A and C were
+    never a candidate pair themselves."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    v1 = base.replace("delta", "DELTA")
+    v2 = v1.replace("sigma", "SIGMA")
+    v3 = v2.replace("kappa", "KAPPA")
+    other = "totally different words about ray data pipelines and shuffles again"
+    rows = [
+        {"doc_id": 0, "text": base, "lang": "en", "source": "t", "n_chars": 1},
+        {"doc_id": 1, "text": v1, "lang": "en", "source": "t", "n_chars": 1},
+        {"doc_id": 2, "text": v2, "lang": "en", "source": "t", "n_chars": 1},
+        {"doc_id": 3, "text": v3, "lang": "en", "source": "t", "n_chars": 1},
+        {"doc_id": 4, "text": other, "lang": "en", "source": "t", "n_chars": 1},
+        {"doc_id": 5, "text": other, "lang": "en", "source": "t", "n_chars": 1},
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "events_unused.parquet")  # noqa
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+
+    from neo4j_tkapi_ray.ops.dedup import neardup_groups
+    g = neardup_groups(str(tmp_path), jaccard_threshold=0.6).to_pandas()
+    groups = dict(zip(g.doc_id, g.group_id))
+    # chain 0-1-2-3 collapses to group 0
+    assert groups[0] == groups[1] == groups[2] == groups[3] == 0
+    # exact dup pair 4,5 forms its own group
+    assert groups[4] == groups[5] == 4
+
+
+def test_neardup_groups_empty(ray_session, tmp_path):
+    rows = [{"doc_id": i, "text": f"totally unique text number {i} " * 3,
+             "lang": "en", "source": "t", "n_chars": 1} for i in range(5)]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    from neo4j_tkapi_ray.ops.dedup import neardup_groups
+    g = neardup_groups(str(tmp_path), jaccard_threshold=0.9).to_pandas()
+    assert len(g) == 0
