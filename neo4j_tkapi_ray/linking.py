@@ -75,6 +75,14 @@ class RegistryIndex:
             self.person_name_by_id[p["person_id"]] = (
                 f"{p['roepnaam'] or p['voornamen']} {p['achternaam']}")
         self._unique_surnames = sorted(self.persons_by_achternaam.keys())
+        # trigram inverted index over surnames: the contains-fallback
+        # (api_extractor.py:157-163 `contains(tolower(Achternaam))`) becomes
+        # posting-list intersection + substring verify instead of a scan
+        # over every unique surname — O(candidates) at gazetteer scale
+        self._surname_trigrams: Dict[str, set] = {}
+        for s in self._unique_surnames:
+            for i in range(max(1, len(s) - 2)):
+                self._surname_trigrams.setdefault(s[i:i + 3], set()).add(s)
 
         self.cases_by_dossiernr: Dict[int, List[dict]] = {}
         self.cases_by_nummer: Dict[str, List[dict]] = {}
@@ -95,6 +103,18 @@ class RegistryIndex:
         for fr in tables["parties"]:
             self.party_by_name.setdefault(fr["naam"].lower(), fr)
             self.party_by_name.setdefault(fr["afkorting"].lower(), fr)
+
+    def surnames_containing(self, token: str) -> List[str]:
+        """Unique surnames with ``token`` as a substring (exact semantics of
+        the reference's contains() filter, served from the trigram index)."""
+        if len(token) < 3:
+            return [s for s in self._unique_surnames if token in s]
+        grams = [token[i:i + 3] for i in range(len(token) - 2)]
+        postings = [self._surname_trigrams.get(g) for g in grams]
+        if any(p is None for p in postings):
+            return []
+        cands = set.intersection(*sorted(postings, key=len))
+        return sorted(s for s in cands if token in s)
 
     @classmethod
     def from_parquet_dir(cls, registry_dir: str) -> "RegistryIndex":
@@ -348,9 +368,8 @@ class Linker:
         if best is None:
             token = achternaam.strip().split()[-1].lower()
             cands: List[dict] = []
-            for surname in self.idx._unique_surnames:
-                if token in surname:
-                    cands.extend(self.idx.persons_by_achternaam[surname])
+            for surname in self.idx.surnames_containing(token):
+                cands.extend(self.idx.persons_by_achternaam[surname])
             cands = sorted(cands, key=lambda p: p["person_id"])[:self.cfg.processing.max_persoon_candidates]
             best = self._best_person(voornaam, achternaam, cands)
         if best is None:

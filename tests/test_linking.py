@@ -147,6 +147,16 @@ def test_agenda_zaken_expansion(linker):
     assert linker.agenda_zaken("a2") == []
 
 
+def test_surname_trigram_index_equals_naive_contains(linker):
+    """The contains-fallback trigram index must return exactly the naive
+    substring scan's surname set (reference contains() semantics)."""
+    idx = linker.idx
+    for token in ["jans", "berg", "ber", "xyz", "a", "en", "bergh", "sen",
+                  "jansen", "q", ""]:
+        naive = sorted(s for s in idx._unique_surnames if token in s)
+        assert idx.surnames_containing(token) == naive, token
+
+
 def test_fractie_match(linker):
     assert linker.match_fractie("Groene Unie") == "f1"
     assert linker.match_fractie("gu") == "f1"
