@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data ops
         "dedup_exact": _dedup_exact,                         # SQL-checkable
         "token_counts": textstats.token_counts,              # SQL-checkable
+        "bpe_token_counts": textstats.bpe_token_counts,      # SQL-checkable
         "ann_topk": lambda sf: ann.brute_force_topk(sf, n_queries=5, k=5),  # SQL-checkable
         # threshold 0.3: the synthetic embeddings are near-orthogonal (max
         # in-block cosine ~0.47), so a classic 0.9 near-dup threshold would
@@ -258,6 +259,12 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
                    length(text) AS n_chars
+            FROM documents
+        """,
+        "bpe_token_counts": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                       AS n_bpe_tokens
             FROM documents
         """,
         "ann_topk": """

@@ -62,11 +62,31 @@ def run_bench() -> dict:
     rd.range(10_000).map_batches(lambda b: b).count()
 
     # ---- headline: KG pipeline end-to-end ------------------------------
+    # sample object-store availability during the run -> evidence for the
+    # bounded-memory criterion (north_rule: streaming execution, no
+    # materialize on the big path)
+    import threading
+    store_total = ray.cluster_resources().get("object_store_memory", 0)
+    min_avail = [store_total]
+    stop = threading.Event()
+
+    def sample():
+        while not stop.is_set():
+            avail = ray.available_resources().get("object_store_memory", store_total)
+            min_avail[0] = min(min_avail[0], avail)
+            stop.wait(0.5)
+
+    sampler = threading.Thread(target=sample, daemon=True)
+    sampler.start()
+
     t0 = time.time()
     triples = kg_triples_stream(paths["pages"], corpus_dir, cfg)
     edges = canonicalize_edges(triples, cfg)
     n_edges = edges.count()
     headline = time.time() - t0
+    stop.set()
+    sampler.join(timeout=2)
+    peak_store_mb = round((store_total - min_avail[0]) / 1e6, 1)
 
     # ---- representative operator pipelines over testdata ---------------
     from neo4j_tkapi_ray.ops import ann, dedup, relational, textstats
@@ -97,6 +117,7 @@ def run_bench() -> dict:
         "kg_edges": int(n_edges),
         "pages_per_sec": round(n_pages / headline, 2),
         "edges_per_sec": round(n_edges / headline, 2),
+        "peak_object_store_mb": peak_store_mb,
     }
 
 

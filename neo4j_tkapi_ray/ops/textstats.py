@@ -39,6 +39,23 @@ def token_counts(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_counts(sf_dir: str) -> rd.Dataset:
+    """BPE-ish tokenization: letter runs, digit runs, and single
+    punctuation marks as separate tokens (the pre-tokenization split most
+    BPE vocabularies apply before merges). Vectorized with the pyarrow
+    regex kernel; the DuckDB oracle uses the identical pattern."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        arr = pc.count_substring_regex(batch.column("text"), _BPE_ISH).cast(pa.int64())
+        return pa.table({"doc_id": batch.column("doc_id"), "n_bpe_tokens": arr})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def quality_scores(sf_dir: str) -> rd.Dataset:
     """Length / punctuation / stopword-ratio quality heuristics.
 

@@ -63,6 +63,36 @@ def test_rerun_noop(ray_session, big_corpus, tmp_path_factory):
     assert again["partitions_run"] == 0
 
 
+def test_torn_partition_is_redone(ray_session, big_corpus, tmp_path_factory):
+    """A partition whose output files exist but whose manifest was never
+    committed (crash between write and commit) must be wiped and redone —
+    and produce no duplicate rows."""
+    import json
+    import shutil
+
+    out = str(tmp_path_factory.mktemp("kg_torn"))
+    parts = make_partitions(big_corpus["pages"], files_per_partition=1)
+    run_kg(big_corpus["pages"], big_corpus["dir"], out, files_per_partition=1,
+           finalize=False)
+    pid = sorted(parts)[0]
+
+    # simulate the torn state: delete the manifest, leave (and pollute) outputs
+    os.remove(os.path.join(out, "_manifests", f"{pid}.json"))
+    with open(os.path.join(out, "triples", pid, "junk-partial.parquet"), "wb") as f:
+        f.write(b"not parquet")
+
+    before = rd.read_parquet(os.path.join(out, "triples")).count() if False else None
+    stats = run_kg(big_corpus["pages"], big_corpus["dir"], out, files_per_partition=1)
+    assert stats["partitions_run"] == 1  # only the torn one
+
+    # junk gone, counts consistent with the committed manifest
+    files = os.listdir(os.path.join(out, "triples", pid))
+    assert "junk-partial.parquet" not in files
+    m = load_manifests(out)[pid]
+    n = rd.read_parquet(os.path.join(out, "triples", pid)).count()
+    assert n == m["counts"]["triples"]
+
+
 def test_config_change_refuses_resume(ray_session, big_corpus, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("kg_cfg"))
     run_kg(big_corpus["pages"], big_corpus["dir"], out, files_per_partition=2,
