@@ -51,6 +51,17 @@ def _kg_triples(sf_dir: str):
     return kg_triples_stream(c["pages"], c["dir"])
 
 
+def _kg_triples_embedding(sf_dir: str):
+    """Flagship pipeline with the embedding-index retrieval tier enabled
+    (engine extension; acceptance gate unchanged — see MatchingConfig)."""
+    from neo4j_tkapi_ray.config import EngineConfig
+    from neo4j_tkapi_ray.pipelines.kg import kg_triples_stream
+    cfg = EngineConfig.default()
+    cfg.matching.enable_embedding_fallback = True
+    c = _kg_corpus(sf_dir)
+    return kg_triples_stream(c["pages"], c["dir"], cfg)
+
+
 def _kg_edges(sf_dir: str):
     from neo4j_tkapi_ray.config import EngineConfig
     from neo4j_tkapi_ray.stages.canonicalize import canonicalize_edges
@@ -129,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- KG construction (flagship; non-SQL -> rows-only driver check,
         #     full oracle parity asserted in tests/test_pipeline.py)
         "kg_triples": _kg_triples,
+        "kg_triples_embedding": _kg_triples_embedding,
         "kg_edges": _kg_edges,
         "kg_nodes": _kg_nodes,
         "kg_nodes_enriched": _kg_nodes_enriched,

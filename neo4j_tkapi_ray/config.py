@@ -46,6 +46,16 @@ class MatchingConfig:
     # Speaker matching
     min_speaker_similarity_score: int = 60
 
+    # Embedding-index candidate retrieval (NEW-ENGINE EXTENSION, default
+    # off: the reference has no embedding tier and the oracle-parity gate
+    # runs with it disabled). When on, speakers that miss both the exact
+    # surname bucket and the contains-fallback get candidates from a
+    # char-trigram embedding index; the ACCEPTANCE rule is unchanged
+    # (same name_similarity score, same >= min_speaker_similarity_score
+    # gate) — only candidate retrieval widens.
+    enable_embedding_fallback: bool = False
+    embedding_topk: int = 20
+
     # Topic-normalization prefixes (reference vlos_config.py:45-50)
     common_topic_prefixes: List[str] = field(default_factory=lambda: [
         'tweeminutendebat', 'procedurevergadering', 'wetgevingsoverleg',

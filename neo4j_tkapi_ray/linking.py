@@ -131,6 +131,50 @@ class RegistryIndex:
         return self.activities[lo:hi][:cap]
 
 
+class NameEmbeddingIndex:
+    """Char-trigram hashing embeddings over person surnames — the 'embedding
+    index' half of the linker actor state (north_star stage [2]). Brute-force
+    cosine top-k retrieval (the person table is a dimension table; at larger
+    gazetteer scale this is where an IVF/LSH structure slots in)."""
+
+    DIM = 512
+
+    def __init__(self, persons_by_achternaam: Dict[str, List[dict]]):
+        import numpy as np
+        self._np = np
+        names, rows = [], []
+        for surname, persons in sorted(persons_by_achternaam.items()):
+            names.append((surname, persons))
+            rows.append(self._vec(surname))
+        self.surname_entries = names
+        self.matrix = (np.stack(rows) if rows
+                       else np.zeros((0, self.DIM), dtype=np.float32))
+
+    def _vec(self, text: str):
+        import numpy as np
+        v = np.zeros(self.DIM, dtype=np.float32)
+        t = f"^{text.lower()}$"
+        for i in range(len(t) - 2):
+            v[zlib_crc32(t[i:i + 3]) % self.DIM] += 1.0
+        n = float(np.linalg.norm(v))
+        return v / n if n else v
+
+    def topk(self, surname: str, k: int) -> List[dict]:
+        if not len(self.matrix):
+            return []
+        sims = self.matrix @ self._vec(surname)
+        order = sims.argsort()[::-1][:k]
+        out: List[dict] = []
+        for i in order:
+            out.extend(self.surname_entries[int(i)][1])
+        return out
+
+
+def zlib_crc32(s: str) -> int:
+    import zlib
+    return zlib.crc32(s.encode())
+
+
 def precompute_candidate_invariants(index: RegistryIndex, cfg: EngineConfig) -> None:
     """Attach per-candidate scoring invariants (UTC times — to_utc was 4
     calls per (mention, candidate) pair otherwise — and lowered soort).
@@ -156,6 +200,9 @@ class Linker:
         self._norm_cache: Dict[str, str] = {}
         self._speaker_cache: Dict[tuple, tuple] = {}
         precompute_candidate_invariants(index, cfg)
+        self._emb_index: Optional[NameEmbeddingIndex] = (
+            NameEmbeddingIndex(index.persons_by_achternaam)
+            if cfg.matching.enable_embedding_fallback else None)
 
     # -- topic normalization with memoization (api onderwerp reuse is heavy)
     def _norm(self, text: str) -> str:
@@ -371,6 +418,11 @@ class Linker:
             for surname in self.idx.surnames_containing(token):
                 cands.extend(self.idx.persons_by_achternaam[surname])
             cands = sorted(cands, key=lambda p: p["person_id"])[:self.cfg.processing.max_persoon_candidates]
+            best = self._best_person(voornaam, achternaam, cands)
+        if best is None and self._emb_index is not None:
+            # embedding-retrieval tier (extension; same acceptance gate)
+            cands = self._emb_index.topk(achternaam.strip().lower(),
+                                         self.cfg.matching.embedding_topk)
             best = self._best_person(voornaam, achternaam, cands)
         if best is None:
             return None, 0, "NO_MATCH"

@@ -147,6 +147,26 @@ def test_agenda_zaken_expansion(linker):
     assert linker.agenda_zaken("a2") == []
 
 
+def test_embedding_fallback_off_by_default(linker):
+    """Reference parity: a heavily misspelled surname that misses both the
+    exact bucket and the contains-fallback stays NO_MATCH by default."""
+    pid, score, mt = linker.match_speaker("Carla", "Jansne")  # transposition
+    assert pid is None and mt == "NO_MATCH"
+
+
+def test_embedding_fallback_recovers_typo_when_enabled():
+    cfg = EngineConfig.default()
+    cfg.matching.enable_embedding_fallback = True
+    linker = Linker(_mk_index(), cfg)
+    # 'Jansne' retrieves 'Jansen' via trigram embedding; the fuzzy score
+    # (ratio-20) must still clear the unchanged >= 60 acceptance gate
+    pid, score, mt = linker.match_speaker("Carla", "Jansne")
+    assert pid == "p3" and score >= 60
+    # garbage still fails the gate even with retrieval widened
+    pid, _, mt = linker.match_speaker("X", "Qqqqqwwww")
+    assert pid is None and mt == "NO_MATCH"
+
+
 def test_surname_trigram_index_equals_naive_contains(linker):
     """The contains-fallback trigram index must return exactly the naive
     substring scan's surname set (reference contains() semantics)."""
