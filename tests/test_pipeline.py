@@ -57,6 +57,40 @@ def test_all_predicate_families_present(ray_triples):
         assert expected in preds, f"missing predicate family {expected}"
 
 
+def test_extract_quarantines_garbage_rows(ray_session, tmp_path):
+    """Adversarial page payloads must land in the failed sidecar, never
+    crash a batch (reference item-level continuation semantics)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+    from neo4j_tkapi_ray import schemas as sch
+
+    rows = [
+        {"url": "u1", "warc_ts": datetime(2024, 1, 1), "html": b"", "text": "", "lang": "nl"},
+        {"url": "u2", "warc_ts": datetime(2024, 1, 1), "html": b"\xff\xfe garbage bytes",
+         "text": "", "lang": "nl"},
+        {"url": "u3", "warc_ts": datetime(2024, 1, 1),
+         "html": b"<html><vergadering soort='x' unclosed", "text": "", "lang": "nl"},
+        {"url": "u4", "warc_ts": datetime(2024, 1, 1),
+         "html": ("<html><vergadering soort=\"Plenair\" objectid=\"o\">"
+                  "<titel>T</titel><vergaderingnummer>1</vergaderingnummer>"
+                  "<datum>2024-01-01T00:00:00</datum></vergadering></html>").encode(),
+         "text": "", "lang": "nl"},
+    ]
+    p = tmp_path / "pages.parquet"
+    pq.write_table(pa.Table.from_pylist(rows, schema=sch.PAGES), p)
+
+    from neo4j_tkapi_ray.config import EngineConfig
+    from neo4j_tkapi_ray.sources.pages import read_pages
+    from neo4j_tkapi_ray.stages.extract import extract_docs
+    out = {r["url"]: r for r in extract_docs(read_pages(str(p)), EngineConfig.default()).take_all()}
+    assert out["u1"]["error"] is not None     # no session island
+    assert out["u2"]["error"] is not None     # undecodable garbage
+    assert out["u3"]["error"] is not None     # truncated island
+    assert out["u4"]["error"] is None         # minimal valid page
+    assert out["u4"]["text"] == "T 1 2024-01-01T00:00:00"
+
+
 def test_mention_truth_agreement(ray_session, corpus, oracle_result):
     """Linking accuracy vs the generator's intended entities — informative
     floor (the corpus includes deliberate near-threshold adversarial names,
