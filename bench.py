@@ -29,7 +29,12 @@ SF_TAG = os.path.basename(os.path.normpath(SF_DIR))
 # KG corpus scale per sf: sized so fixed costs (session init, actor-pool
 # spawn) are amortized and the 8-vs-32-CPU scaling measurement reflects
 # steady-state throughput, not startup
-KG_SESSIONS = {"sf0.001": 100, "sf0.01": 1200, "sf0.1": 40000}.get(SF_TAG, 40000)
+KG_SESSIONS = int(os.environ.get(
+    "NTR_BENCH_SESSIONS",
+    {"sf0.001": 100, "sf0.01": 1200, "sf0.1": 40_000}.get(SF_TAG, 40_000)))
+# --scaling uses a larger corpus so fixed costs (actor init, pool ramp,
+# exchange tail) amortize and the measurement reflects steady state
+SCALING_SESSIONS = int(os.environ.get("NTR_SCALING_SESSIONS", 100_000))
 KG_PAGE_SCALE = 2
 
 
@@ -122,24 +127,35 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    """Same job, fresh process per leg, at 8 and 32 CPUs. This VM's
+    effective per-core speed drifts +-30% over minutes (verified with
+    --hwprobe), so each leg runs TWICE interleaved (lo,hi,lo,hi) and the
+    best time per leg is used — otherwise the efficiency number mostly
+    measures which phase each leg happened to land in."""
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   NTR_BENCH_SESSIONS=str(SCALING_SESSIONS))
         out = subprocess.run([sys.executable, "bench.py"], env=env, cwd=os.path.dirname(
             os.path.abspath(__file__)), capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo = run(lo)
-    r_hi = run(hi)
-    thr_lo = r_lo["kg_pages"] / r_lo["value"]
-    thr_hi = r_hi["kg_pages"] / r_hi["value"]
+    legs = {lo: [], hi: []}
+    for ncpu in (lo, hi, lo, hi):
+        legs[ncpu].append(run(ncpu))
+    best_lo = min(legs[lo], key=lambda r: r["value"])
+    best_hi = min(legs[hi], key=lambda r: r["value"])
+    thr_lo = best_lo["kg_pages"] / best_lo["value"]
+    thr_hi = best_hi["kg_pages"] / best_hi["value"]
     eff = (thr_hi / thr_lo) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": r_lo["value"],
-        "sec_32": r_hi["value"],
+        "sec_8": best_lo["value"],
+        "sec_32": best_hi["value"],
+        "sec_8_runs": [r["value"] for r in legs[lo]],
+        "sec_32_runs": [r["value"] for r in legs[hi]],
         "pages_per_sec_8": round(thr_lo, 2),
         "pages_per_sec_32": round(thr_hi, 2),
         "sf": SF_TAG,
