@@ -199,6 +199,7 @@ class Linker:
         self._prefix_re = build_prefix_regex(cfg.matching.common_topic_prefixes)
         self._norm_cache: Dict[str, str] = {}
         self._speaker_cache: Dict[tuple, tuple] = {}
+        self._soort_cache: Dict[tuple, float] = {}
         precompute_candidate_invariants(index, cfg)
         self._emb_index: Optional[NameEmbeddingIndex] = (
             NameEmbeddingIndex(index.persons_by_achternaam)
@@ -350,21 +351,28 @@ class Linker:
             elif overlap:
                 score += m.score_time_overlap_only
 
-        # soort (activity_matcher.py:165-205)
+        # soort (activity_matcher.py:165-205) — memoized: both sides draw
+        # from small vocabularies, so the pair space is tiny
         api_s = cand.get("_soort_l") or (cand.get("soort") or "").lower()
-        if xml_s and api_s:
-            if xml_s == api_s:
-                score += m.score_soort_exact
-            elif xml_s in api_s:
-                score += m.score_soort_partial_xml_in_api
-            elif api_s in xml_s:
-                score += m.score_soort_partial_api_in_xml
-            else:
-                for main_soort, aliases in SOORT_ALIASES.items():
-                    if xml_s == main_soort and any(a in api_s for a in aliases):
-                        score += m.score_soort_partial_xml_in_api
-                        break
-        return score
+        key = (xml_s, api_s)
+        s = self._soort_cache.get(key)
+        if s is None:
+            s = 0.0
+            if xml_s and api_s:
+                if xml_s == api_s:
+                    s = m.score_soort_exact
+                elif xml_s in api_s:
+                    s = m.score_soort_partial_xml_in_api
+                elif api_s in xml_s:
+                    s = m.score_soort_partial_api_in_xml
+                else:
+                    for main_soort, aliases in SOORT_ALIASES.items():
+                        if xml_s == main_soort and any(a in api_s for a in aliases):
+                            s = m.score_soort_partial_xml_in_api
+                            break
+            if len(self._soort_cache) < 100_000:
+                self._soort_cache[key] = s
+        return score + s
 
     def _fuzzy_topic_score(self, nxo: str, nxt: str, napi: str,
                            xml_ond: str, xml_tit: str, api_nonempty: bool) -> float:
