@@ -64,7 +64,15 @@ def collapse_text(element: ET.Element) -> str:
 
 # ---------------------------------------------------------------------------
 # fuzzy ratio — reference uses thefuzz.fuzz.ratio (pure-python path =
-# difflib.SequenceMatcher ratio scaled to 0-100 and rounded).
+# difflib.SequenceMatcher ratio scaled to 0-100 and rounded). Two documented
+# deviations from a stock SequenceMatcher:
+#   * autojunk=False: with the default autojunk heuristic, strings >= 200
+#     chars treat popular characters as junk and the ratio collapses for
+#     long topic strings — diverging from thefuzz's rapidfuzz backend (no
+#     autojunk), which the reference uses. Long onderwerp/titel values are
+#     realistic, so autojunk is disabled (parity caveat: difflib ratio !=
+#     rapidfuzz Indel ratio in general; weights/thresholds are tuned against
+#     this difflib implementation on both the pipeline and oracle side).
 # ---------------------------------------------------------------------------
 
 def fuzz_ratio(s1: str, s2: str) -> int:
@@ -72,27 +80,31 @@ def fuzz_ratio(s1: str, s2: str) -> int:
         return 100
     if not s1 or not s2:
         return 0
-    m = SequenceMatcher(None, s1, s2)
+    m = SequenceMatcher(None, s1, s2, autojunk=False)
     return int(round(100 * m.ratio()))
 
 
 def fuzz_ratio_bounded(s1: str, s2: str, min_needed: int) -> int:
     """Exact-when-it-matters fuzzy ratio: if difflib's cheap upper bounds
-    prove ratio*100 < min_needed, return 0 WITHOUT the O(n^2) match pass.
+    prove round(ratio*100) < min_needed, return 0 WITHOUT the O(n^2) match
+    pass.
 
     Semantics-preserving for threshold checks (callers only compare the
-    result against thresholds >= min_needed): a true ratio below the bound
-    contributes nothing either way. This is the linker's hot path — most
-    candidate topics are unrelated and get rejected by the character-multiset
-    bound (quick_ratio) at O(n)."""
+    result against thresholds >= min_needed): a true rounded ratio below the
+    bound contributes nothing either way. The bounds compare against
+    min_needed - 0.5 because the exact path ROUNDS: a raw ratio*100 in
+    [min_needed - 0.5, min_needed) rounds up to the threshold and must NOT
+    be pruned. This is the linker's hot path — most candidate topics are
+    unrelated and get rejected by the character-multiset bound
+    (quick_ratio) at O(n)."""
     if not s1 and not s2:
         return 100
     if not s1 or not s2:
         return 0
-    m = SequenceMatcher(None, s1, s2)
-    if m.real_quick_ratio() * 100 < min_needed:
+    m = SequenceMatcher(None, s1, s2, autojunk=False)
+    if m.real_quick_ratio() * 100 < min_needed - 0.5:
         return 0
-    if m.quick_ratio() * 100 < min_needed:
+    if m.quick_ratio() * 100 < min_needed - 0.5:
         return 0
     return int(round(100 * m.ratio()))
 

@@ -73,3 +73,31 @@ def test_hot_key_skew_survives_salt(ray_session):
     assert len(hot) == 1 and hot[0]["weight"] == 1000
     nodes = canonicalize_nodes(ds, cfg, salted=True).take_all()
     assert sum(1 for n in nodes if n["node_id"] == "HOT") == 1
+
+
+def test_salt_varies_within_key():
+    """VERDICT r1 #1: the pre-round salt must spread one hot key's rows over
+    multiple (key, salt) partitions. Two adversarial shapes: (a) the key
+    always at row 0 of its batch but with per-doc props (post-partial shape);
+    (b) identical (key, props) rows repeated inside one batch."""
+    import pyarrow as pa
+    from datetime import datetime
+    from neo4j_tkapi_ray.stages.canonicalize import add_salt
+
+    def stub(props_list):
+        return pa.table({
+            "node_id": pa.array(["HOT"] * len(props_list)),
+            "label": pa.array(["A"] * len(props_list)),
+            "props": pa.array(props_list),
+            "warc_ts": pa.array([datetime(2024, 1, 1)] * len(props_list),
+                                pa.timestamp("us")),
+        })
+
+    # (a) one row per batch, distinct props, always at position 0
+    salts_a = {add_salt(stub([f'{{"last_url": "u{i}"}}']), 16)
+               .column("salt")[0].as_py() for i in range(24)}
+    assert len(salts_a) >= 2
+
+    # (b) one batch, identical props repeated
+    t = add_salt(stub(['{"last_url": "same"}'] * 32), 16)
+    assert len(set(t.column("salt").to_pylist())) >= 2

@@ -175,3 +175,29 @@ def test_rollups_over_kg(ray_session, corpus):
     pairs = interruption_pairs(triples).to_pandas()
     assert (pairs.n >= 1).all()
     assert (pairs.interrupter != pairs.interrupted).all()
+
+
+def test_exact_dedup_no_32bit_collision_merge(ray_session, tmp_path):
+    """ADVICE r1: round-1 keyed on crc32(text) + len<<32, so same-length
+    distinct texts shared 32 bits and collided at birthday scale. Find a
+    real same-length crc32 collision and assert both texts survive."""
+    import zlib as _zlib
+    import random as _random
+    rng = _random.Random(1234)
+    seen = {}
+    pair = None
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    while pair is None:
+        s = "".join(rng.choice(alphabet) for _ in range(12))
+        c = _zlib.crc32(s.encode())
+        if c in seen and seen[c] != s:
+            pair = (seen[c], s)
+        seen[c] = s
+    t1, t2 = pair
+    assert t1 != t2 and _zlib.crc32(t1.encode()) == _zlib.crc32(t2.encode())
+    rows = [{"doc_id": 0, "text": t1, "lang": "en", "source": "t", "n_chars": 12},
+            {"doc_id": 1, "text": t2, "lang": "en", "source": "t", "n_chars": 12}]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    from neo4j_tkapi_ray.ops.dedup import exact_dedup
+    df = exact_dedup(str(tmp_path)).to_pandas()
+    assert len(df) == 2 and set(df.n_copies) == {1}

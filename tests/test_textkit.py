@@ -139,3 +139,30 @@ def test_stable_id_process_stable():
     assert stable_id("a", "b", None) == stable_id("a", "b", None)
     assert stable_id("a", "b") != stable_id("a", "b", None)
     assert len(stable_id("x")) == 16
+
+
+def test_fuzz_ratio_bounded_respects_rounding_boundary():
+    """ADVICE r1: a raw ratio*100 in [threshold-0.5, threshold) ROUNDS UP to
+    the threshold; the bounded fast path must not prune it. Pair built so
+    ratio = 2*16/46 = 69.565 -> rounds to 70 (= medium threshold)."""
+    from neo4j_tkapi_ray.functions.textkit import fuzz_ratio_bounded
+    s1 = "abcdefghijklmnopqrstuvw"          # 23 distinct chars
+    s2 = "abcdefghijklmnop0123456"          # 16 shared + 7 disjoint
+    assert fuzz_ratio(s1, s2) == 70
+    assert fuzz_ratio_bounded(s1, s2, 70) == 70  # round-1 bug returned 0
+    # and the prune still fires when genuinely below threshold
+    assert fuzz_ratio_bounded("abcdefgh", "12345678", 70) == 0
+
+
+def test_fuzz_ratio_no_autojunk_collapse_on_long_strings():
+    """autojunk=False: >=200-char strings must not have popular chars junked
+    (the default heuristic collapses ratios for long topic strings)."""
+    base = ("wijziging van de begrotingsstaat onderwijs cultuur en wetenschap "
+            "voor het jaar tweeduizendvierentwintig " * 3)
+    other = base.replace("onderwijs", "jeugdzorg")
+    assert len(base) > 200
+    from difflib import SequenceMatcher
+    expect = int(round(100 * SequenceMatcher(None, base, other,
+                                             autojunk=False).ratio()))
+    assert fuzz_ratio(base, other) == expect
+    assert expect > 90  # with autojunk the ratio collapses far below this
