@@ -4,13 +4,26 @@ The driver calls ``ray.init`` itself before importing this module; nothing
 here (or in the library) calls ``ray.init`` / ``ray.shutdown``.
 
 ``queries()`` exposes one entry per implemented operator family
-(SURVEY.md §2 + the training-data ops); ``oracle_sql()`` provides the
-DuckDB-equivalent SQL for every SQL-expressible one (identical column
-names, aggregates rounded to 4-5 decimals on both sides). The KG-pipeline
-entries run over a deterministic synthetic pages corpus (BASELINE.json
-input_hint shape) generated per scale factor — they are non-SQL-expressible
-and get the driver's rows-only check; their real correctness gate is the
-pytest oracle-parity suite (tests/test_pipeline.py).
+(SURVEY.md §2 + the training-data ops); ``oracle_sql()`` provides a DuckDB
+oracle for EVERY entry:
+
+  * relational / sessionization / token / ANN / exact-dedup queries use
+    real derivational SQL over the driver's testdata views (unchanged
+    round-1 green set);
+  * the flagship ``kg_*`` queries check against generator-owned expected
+    tables (``neo4j_tkapi_ray.expected`` — a single-process oracle run
+    cached with the corpus). Where the SQL can re-derive the answer it
+    does (edges/nodes/pair-counts/rollup counts via GROUP BY + window
+    functions over expected_triples / expected_analysis), giving the
+    distributed shuffles an independent SQL check;
+  * approximate / stateful ops (MinHash, CC groups, SimHash, LSH ANN,
+    text stats, media) check against single-process reimplementations
+    (union-find vs label propagation, scalar rolling hash vs vectorized,
+    etc.) written by ``expected.ensure_op_expected``.
+
+Timestamps are surfaced as integer epoch seconds on BOTH sides; floats are
+produced by the same kernels on both sides (bit-identical), so no rounding
+is needed outside the round-1 SQL aggregates.
 """
 
 from __future__ import annotations
@@ -22,14 +35,25 @@ from typing import Any
 # KG corpus sizing per testdata scale factor (deterministic, cached in /tmp)
 _SF_SESSIONS = {"sf0.001": 24, "sf0.01": 120, "sf0.1": 800}
 _CORPUS_SEED = 42
+# the driver runs the correctness pass at sf0.01: oracle_sql() paths below
+# are rendered for this scale (oracle_sql(sf_dir=...) re-renders for tests)
+_ORACLE_SF = "/root/testdata/sf0.01"
+
+
+def _corpus_dir(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    return f"/tmp/ntr_corpus_{tag}_{_CORPUS_SEED}"
 
 
 def _kg_corpus(sf_dir: str) -> dict:
     from neo4j_tkapi_ray.corpus import generate_corpus
+    from neo4j_tkapi_ray.expected import ensure_kg_expected
     tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
     n_sessions = _SF_SESSIONS.get(tag, 120)
-    out = f"/tmp/ntr_corpus_{tag}_{_CORPUS_SEED}"
+    out = _corpus_dir(sf_dir)
     paths = generate_corpus(out, n_sessions=n_sessions, seed=_CORPUS_SEED)
+    if n_sessions <= 1000:  # expected tables: oracle run is cheap here
+        ensure_kg_expected(out)
     return {"dir": out, **paths}
 
 
@@ -42,57 +66,91 @@ def entry() -> Any:
 
 
 # ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _epochify(ds, col: str = "warc_ts", out: str = "ts_epoch"):
+    """Replace a timestamp column by integer epoch seconds (hash-stable on
+    both the Ray and DuckDB side)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(b: "pa.Table") -> "pa.Table":
+        cols = {n: b.column(n) for n in b.column_names if n != col}
+        cols[out] = pc.divide(b.column(col).cast(pa.int64()), 1_000_000)
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _linked(sf_dir: str, cfg=None):
+    from neo4j_tkapi_ray.config import EngineConfig
+    from neo4j_tkapi_ray.pipelines.kg import _registry_ref
+    from neo4j_tkapi_ray.sources.pages import read_pages
+    from neo4j_tkapi_ray.stages.extract import extract_docs
+    from neo4j_tkapi_ray.stages.link import link_docs
+    cfg = cfg or EngineConfig.default()
+    c = _kg_corpus(sf_dir)
+    return link_docs(extract_docs(read_pages(c["pages"]), cfg),
+                     _registry_ref(c["dir"], cfg), cfg)
+
+
+def _analysis_ds(sf_dir: str):
+    from neo4j_tkapi_ray.stages.triples import to_analysis
+    return to_analysis(_linked(sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
 
-def _kg_triples(sf_dir: str):
+def _kg_triples_raw(sf_dir: str, embedding: bool = False):
+    from neo4j_tkapi_ray.config import EngineConfig
     from neo4j_tkapi_ray.pipelines.kg import kg_triples_stream
+    cfg = EngineConfig.default()
+    if embedding:
+        cfg.matching.enable_embedding_fallback = True
     c = _kg_corpus(sf_dir)
-    return kg_triples_stream(c["pages"], c["dir"])
+    return kg_triples_stream(c["pages"], c["dir"], cfg)
+
+
+def _kg_triples(sf_dir: str):
+    return _epochify(_kg_triples_raw(sf_dir))
 
 
 def _kg_triples_embedding(sf_dir: str):
     """Flagship pipeline with the embedding-index retrieval tier enabled
     (engine extension; acceptance gate unchanged — see MatchingConfig)."""
-    from neo4j_tkapi_ray.config import EngineConfig
-    from neo4j_tkapi_ray.pipelines.kg import kg_triples_stream
-    cfg = EngineConfig.default()
-    cfg.matching.enable_embedding_fallback = True
-    c = _kg_corpus(sf_dir)
-    return kg_triples_stream(c["pages"], c["dir"], cfg)
+    return _epochify(_kg_triples_raw(sf_dir, embedding=True))
 
 
 def _kg_edges(sf_dir: str):
     from neo4j_tkapi_ray.config import EngineConfig
     from neo4j_tkapi_ray.stages.canonicalize import canonicalize_edges
-    return canonicalize_edges(_kg_triples(sf_dir), EngineConfig.default())
+    return canonicalize_edges(_kg_triples_raw(sf_dir), EngineConfig.default())
+
+
+def _kg_nodes_raw(sf_dir: str):
+    from neo4j_tkapi_ray.config import EngineConfig
+    from neo4j_tkapi_ray.stages.canonicalize import canonicalize_nodes
+    return canonicalize_nodes(_kg_triples_raw(sf_dir), EngineConfig.default())
 
 
 def _kg_nodes(sf_dir: str):
-    from neo4j_tkapi_ray.config import EngineConfig
-    from neo4j_tkapi_ray.stages.canonicalize import canonicalize_nodes
-    return canonicalize_nodes(_kg_triples(sf_dir), EngineConfig.default())
+    return _epochify(_kg_nodes_raw(sf_dir))
 
 
 def _kg_nodes_enriched(sf_dir: str):
     from neo4j_tkapi_ray.sources.pages import read_registry_tables
     from neo4j_tkapi_ray.stages.enrich import enrich_nodes
     c = _kg_corpus(sf_dir)
-    return enrich_nodes(_kg_nodes(sf_dir), read_registry_tables(c["dir"]))
+    return _epochify(enrich_nodes(_kg_nodes_raw(sf_dir),
+                                  read_registry_tables(c["dir"])))
 
 
 def _kg_mentions(sf_dir: str):
-    from neo4j_tkapi_ray.config import EngineConfig
-    from neo4j_tkapi_ray.pipelines.kg import _registry_ref
-    from neo4j_tkapi_ray.sources.pages import read_pages
-    from neo4j_tkapi_ray.stages.extract import extract_docs
-    from neo4j_tkapi_ray.stages.link import link_docs
     from neo4j_tkapi_ray.stages.triples import to_mentions
-    cfg = EngineConfig.default()
-    c = _kg_corpus(sf_dir)
-    linked = link_docs(extract_docs(read_pages(c["pages"]), cfg),
-                       _registry_ref(c["dir"]), cfg)
-    return to_mentions(linked)
+    return to_mentions(_linked(sf_dir))
 
 
 def _kg_docs_text(sf_dir: str):
@@ -100,23 +158,58 @@ def _kg_docs_text(sf_dir: str):
     from neo4j_tkapi_ray.sources.pages import read_pages
     from neo4j_tkapi_ray.stages.extract import extract_docs
     c = _kg_corpus(sf_dir)
-    return (extract_docs(read_pages(c["pages"]), EngineConfig.default())
-            .select_columns(["url", "warc_ts", "text", "error"]))
+    docs = extract_docs(read_pages(c["pages"]), EngineConfig.default())
+    return _epochify(docs.select_columns(["url", "warc_ts", "text", "error"]))
+
+
+def _kg_analysis_rows(sf_dir: str):
+    return _analysis_ds(sf_dir)
 
 
 def _kg_vote_rollup(sf_dir: str):
     from neo4j_tkapi_ray.stages.aggregates import fractie_vote_rollup
-    return fractie_vote_rollup(_kg_triples(sf_dir))
+    return fractie_vote_rollup(_kg_triples_raw(sf_dir))
 
 
 def _kg_topic_consensus(sf_dir: str):
     from neo4j_tkapi_ray.stages.aggregates import topic_consensus
-    return topic_consensus(_kg_triples(sf_dir))
+    return topic_consensus(_kg_triples_raw(sf_dir))
 
 
 def _kg_interruption_pairs(sf_dir: str):
     from neo4j_tkapi_ray.stages.aggregates import interruption_pairs
-    return interruption_pairs(_kg_triples(sf_dir))
+    return interruption_pairs(_kg_triples_raw(sf_dir))
+
+
+def _kg_fractie_topic_rollup(sf_dir: str):
+    from neo4j_tkapi_ray.stages.aggregates import fractie_topic_vote_rollup
+    return fractie_topic_vote_rollup(_analysis_ds(sf_dir))
+
+
+def _kg_topic_vote_patterns(sf_dir: str):
+    from neo4j_tkapi_ray.stages.aggregates import topic_vote_patterns
+    return topic_vote_patterns(_analysis_ds(sf_dir))
+
+
+def _kg_interruption_types(sf_dir: str):
+    from neo4j_tkapi_ray.stages.aggregates import interruption_type_counts
+    return interruption_type_counts(_analysis_ds(sf_dir))
+
+
+def _kg_interruption_topics(sf_dir: str):
+    from neo4j_tkapi_ray.stages.aggregates import interruption_topic_counts
+    return interruption_topic_counts(_analysis_ds(sf_dir))
+
+
+def _kg_response_patterns(sf_dir: str):
+    from neo4j_tkapi_ray.stages.aggregates import response_pattern_counts
+    return response_pattern_counts(_analysis_ds(sf_dir))
+
+
+def _kg_registry_edges(sf_dir: str):
+    from neo4j_tkapi_ray.stages.registry_edges import registry_edges
+    c = _kg_corpus(sf_dir)
+    return registry_edges(c["dir"])
 
 
 def _dedup_exact(sf_dir: str):
@@ -124,9 +217,19 @@ def _dedup_exact(sf_dir: str):
     return exact_dedup(sf_dir).select_columns(["doc_id", "n_copies"])
 
 
+def _with_op_expected(name: str, fn):
+    """Wrap an op query so its single-process expected table is written
+    (cached) before the driver's oracle SQL reads it."""
+    def run(sf_dir: str):
+        from neo4j_tkapi_ray.expected import ensure_op_expected
+        ensure_op_expected(sf_dir, name)
+        return fn(sf_dir)
+    return run
+
+
 def _media_decode(_sf_dir: str):
     from neo4j_tkapi_ray.ops.multimodal import decode_media, synth_media_dataset
-    return decode_media(synth_media_dataset(n=48), decode="fake")
+    return decode_media(synth_media_dataset(n=48), decode="real")
 
 
 def _media_frames(_sf_dir: str):
@@ -137,8 +240,7 @@ def _media_frames(_sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from neo4j_tkapi_ray.ops import ann, dedup, events, relational, textstats
     return {
-        # --- KG construction (flagship; non-SQL -> rows-only driver check,
-        #     full oracle parity asserted in tests/test_pipeline.py)
+        # --- KG construction (flagship; expected-table oracles)
         "kg_triples": _kg_triples,
         "kg_triples_embedding": _kg_triples_embedding,
         "kg_edges": _kg_edges,
@@ -146,9 +248,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes_enriched": _kg_nodes_enriched,
         "kg_mentions": _kg_mentions,
         "kg_docs_text": _kg_docs_text,
+        "kg_analysis_rows": _kg_analysis_rows,
+        "kg_registry_edges": _kg_registry_edges,
         "kg_vote_rollup": _kg_vote_rollup,
         "kg_topic_consensus": _kg_topic_consensus,
         "kg_interruption_pairs": _kg_interruption_pairs,
+        "kg_fractie_topic_rollup": _kg_fractie_topic_rollup,
+        "kg_topic_vote_patterns": _kg_topic_vote_patterns,
+        "kg_interruption_types": _kg_interruption_types,
+        "kg_interruption_topics": _kg_interruption_topics,
+        "kg_response_patterns": _kg_response_patterns,
         # --- relational operators (SQL-checkable)
         "pricing_summary": relational.lineitem_pricing_summary,
         "revenue_by_nation": relational.revenue_by_nation,
@@ -165,27 +274,129 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in-block cosine ~0.47), so a classic 0.9 near-dup threshold would
         # select nothing — 0.3 keeps the operator's selection path exercised
         "embedding_neardup": lambda sf: dedup.embedding_neardup_pairs(sf, 0.3),  # SQL-checkable
-        "minhash_neardup": lambda sf: dedup.minhash_lsh_pairs(sf),
-        "neardup_groups": lambda sf: dedup.neardup_groups(sf),
         "user_sessions": lambda sf: events.user_sessions(sf),  # SQL-checkable
         "session_stats": lambda sf: events.session_stats(sf),  # SQL-checkable
-        "simhash_signatures": dedup.simhash_signatures,
-        "language_id": textstats.language_id,
-        "quality_scores": textstats.quality_scores,
-        "fingerprints": textstats.fingerprints,
-        "ann_lsh_topk": lambda sf: ann.lsh_bucketed_topk(sf, n_queries=5, k=5),
-        # --- multimodal plumbing (stubbed decode, real Ray plumbing)
-        "media_decode": _media_decode,
-        "media_frames": _media_frames,
+        # --- ops with single-process expected-table oracles
+        "minhash_neardup": _with_op_expected(
+            "minhash_neardup", lambda sf: dedup.minhash_lsh_pairs(sf)),
+        "neardup_groups": _with_op_expected(
+            "neardup_groups", lambda sf: dedup.neardup_groups(sf)),
+        "simhash_signatures": _with_op_expected(
+            "simhash_signatures", dedup.simhash_signatures),
+        "language_id": _with_op_expected("language_id", textstats.language_id),
+        "quality_scores": _with_op_expected("quality_scores",
+                                            textstats.quality_scores),
+        "fingerprints": _with_op_expected("fingerprints", textstats.fingerprints),
+        "ann_lsh_topk": _with_op_expected(
+            "ann_lsh_topk", lambda sf: ann.lsh_bucketed_topk(sf, n_queries=5, k=5)),
+        # --- multimodal (REAL pure-python BMP/WAV/NTRV codecs in the pool)
+        "media_decode": _with_op_expected("media_decode", _media_decode),
+        "media_frames": _with_op_expected("media_frames", _media_frames),
     }
 
 
 # ---------------------------------------------------------------------------
-# oracle SQL (DuckDB; views pre-registered by the driver)
+# oracle SQL (DuckDB; testdata views pre-registered by the driver; expected
+# tables referenced by absolute path)
 # ---------------------------------------------------------------------------
 
-def oracle_sql() -> dict[str, str]:
+def _registry_edges_sql(corpus_dir: str) -> str:
+    from neo4j_tkapi_ray.stages.registry_edges import REGISTRY_REL_MAP
+    parts = []
+    for table, src_col, src_label, rel, dst_col, dst_label in REGISTRY_REL_MAP:
+        parts.append(
+            f"SELECT {src_col} AS subj, '{src_label}' AS subj_label, "
+            f"'{rel}' AS pred, {dst_col} AS obj, '{dst_label}' AS obj_label "
+            f"FROM read_parquet('{corpus_dir}/{table}.parquet') "
+            f"WHERE coalesce({dst_col}, '') <> '' AND coalesce({src_col}, '') <> ''")
+    return " UNION ALL ".join(parts)
+
+
+def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
+    cd = _corpus_dir(sf_dir)
+    from neo4j_tkapi_ray.expected import op_expected_dir
+    od = op_expected_dir(sf_dir)
+
+    def exp(name: str) -> str:
+        return f"read_parquet('{cd}/{name}.parquet')"
+
+    def op(name: str) -> str:
+        return f"SELECT * FROM read_parquet('{od}/{name}.parquet')"
+
+    kg = {
+        # expected-table pass-throughs (ground truth owned by the corpus
+        # generator's single-process oracle run)
+        "kg_triples": f"SELECT * FROM {exp('expected_triples')}",
+        "kg_triples_embedding":
+            f"SELECT * FROM {exp('expected_triples_embedding')}",
+        "kg_mentions": f"SELECT * FROM {exp('expected_mentions')}",
+        "kg_docs_text": f"SELECT * FROM {exp('expected_docs')}",
+        "kg_analysis_rows": f"SELECT * FROM {exp('expected_analysis')}",
+        "kg_nodes_enriched": f"SELECT * FROM {exp('expected_nodes_enriched')}",
+        "kg_vote_rollup": f"SELECT * FROM {exp('expected_vote_rollup')}",
+        "kg_topic_consensus": f"SELECT * FROM {exp('expected_topic_consensus')}",
+        "kg_topic_vote_patterns":
+            f"SELECT * FROM {exp('expected_topic_vote_patterns')}",
+        # derivational SQL: the D1/D2 shuffles re-derived independently
+        "kg_edges": f"""
+            SELECT subj, pred, obj, COUNT(*) AS weight, MAX(score) AS score
+            FROM {exp('expected_triples')}
+            WHERE pred <> '_FAILED' GROUP BY subj, pred, obj
+        """,
+        "kg_nodes": f"""
+            WITH t AS (SELECT * FROM {exp('expected_triples')}
+                       WHERE pred <> '_FAILED'),
+                 endpoints AS (
+                SELECT subj AS node_id, subj_label AS label,
+                       '{{"last_url": "' || url || '"}}' AS props, ts_epoch
+                FROM t
+                UNION ALL
+                SELECT obj, obj_label,
+                       '{{"last_url": "' || url || '"}}', ts_epoch
+                FROM t)
+            SELECT node_id, label, props, ts_epoch FROM (
+                SELECT node_id, label, props, ts_epoch,
+                       ROW_NUMBER() OVER (PARTITION BY node_id
+                                          ORDER BY ts_epoch DESC, props DESC)
+                           AS rn
+                FROM endpoints) WHERE rn = 1
+        """,
+        "kg_interruption_pairs": f"""
+            SELECT subj AS interrupter, obj AS interrupted, COUNT(*) AS n
+            FROM {exp('expected_triples')}
+            WHERE pred = 'INTERRUPTED' GROUP BY subj, obj
+        """,
+        "kg_fractie_topic_rollup": f"""
+            SELECT fractie_naam, topic, vote, COUNT(*) AS n
+            FROM {exp('expected_analysis')}
+            WHERE kind = 'vote_topic' GROUP BY fractie_naam, topic, vote
+        """,
+        "kg_interruption_types": f"""
+            SELECT type, COUNT(*) AS n FROM {exp('expected_analysis')}
+            WHERE kind = 'interruption' GROUP BY type
+        """,
+        "kg_interruption_topics": f"""
+            SELECT topic, COUNT(*) AS n FROM {exp('expected_analysis')}
+            WHERE kind = 'interruption_topic' GROUP BY topic
+        """,
+        "kg_response_patterns": f"""
+            SELECT responder, interrupter, COUNT(*) AS n
+            FROM {exp('expected_analysis')}
+            WHERE kind = 'interruption'
+              AND type = 'interruption_with_response'
+            GROUP BY responder, interrupter
+        """,
+        "kg_registry_edges": _registry_edges_sql(cd),
+    }
+
+    ops = {name: op(name) for name in
+           ["minhash_neardup", "neardup_groups", "simhash_signatures",
+            "language_id", "quality_scores", "fingerprints", "ann_lsh_topk",
+            "media_decode", "media_frames"]}
+
     return {
+        **kg,
+        **ops,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 4)                       AS sum_qty,

@@ -83,7 +83,7 @@ SENTENCE_WORDS = [
     "gelijk", "dat", "er", "meer", "aandacht", "nodig", "is",
 ]
 
-CORPUS_VERSION = "v2"  # bump to invalidate cached generated corpora
+CORPUS_VERSION = "v3"  # bump to invalidate cached generated corpora
 SHARD_SESSIONS = 250   # sessions per pages shard file (and per gen task)
 
 
@@ -162,7 +162,16 @@ def _gen_registry(rng: random.Random, n_sessions: int) -> Dict[str, list]:
             "toevoeging": dossier["toevoeging"],
             "stuknummer": 1 + rng.randrange(40),
             "onderwerp": _topic(rng),
+            "dossier_id": dossier["dossier_id"],
+            "vervangen_door": "",
         })
+    # ~6% of cases are superseded by another case (J9 self-referential
+    # REPLACED_BY — reference constants.py:7, zaak_loader_processor.py:44-50)
+    for c in cases:
+        if rng.random() < 0.06:
+            other = rng.choice(cases)
+            if other["zaak_id"] != c["zaak_id"]:
+                c["vervangen_door"] = other["zaak_id"]
 
     activity_cases = []
     for act in activities:
@@ -172,10 +181,73 @@ def _gen_registry(rng: random.Random, n_sessions: int) -> Dict[str, list]:
                 "zaak_id": rng.choice(cases)["zaak_id"],
             })
 
+    # activity actor rosters (reference ActiviteitActor, expanded-relation
+    # S3) — fragment speakers are mostly drawn from these, so the J4
+    # priority-1 actor tier has signal to exploit
+    activity_actors = []
+    for act in activities:
+        roster = rng.sample(persons, min(2 + rng.randrange(4), len(persons)))
+        for p in roster:
+            activity_actors.append({"activity_id": act["activity_id"],
+                                    "person_id": p["person_id"]})
+
+    # Document family: ~60% of cases carry one document whose (dossier,
+    # volgnummer=stuknummer) coordinates make the J5 tier-2 document
+    # fallback reachable for dossier-tier mentions
+    reg_documents = []
+    for c in cases:
+        if rng.random() < 0.6:
+            reg_documents.append({
+                "document_id": f"doc{len(reg_documents):05d}",
+                "dossier_id": c["dossier_id"],
+                "dossiernummer": c["dossiernummer"],
+                "toevoeging": c["toevoeging"],
+                "volgnummer": c["stuknummer"],
+                "onderwerp": c["onderwerp"],
+                "datum": base + timedelta(days=rng.randrange(260)),
+                "zaak_id": c["zaak_id"],
+            })
+        if rng.random() < 0.15:  # decoy: volgnummer off by one, no zaak link
+            reg_documents.append({
+                "document_id": f"doc{len(reg_documents):05d}",
+                "dossier_id": c["dossier_id"],
+                "dossiernummer": c["dossiernummer"],
+                "toevoeging": c["toevoeging"],
+                "volgnummer": c["stuknummer"] + 100,
+                "onderwerp": _topic(rng),
+                "datum": base + timedelta(days=rng.randrange(260)),
+                "zaak_id": "",
+            })
+
+    # Besluit + API-Stemming families (reference common_processors.py:75-190)
+    besluiten, api_stemmingen = [], []
+    for c in cases:
+        if rng.random() < 0.4:
+            bid = f"b{len(besluiten):05d}"
+            besluiten.append({
+                "besluit_id": bid,
+                "zaak_id": c["zaak_id"],
+                "activity_id": rng.choice(activities)["activity_id"],
+                "soort": rng.choice(["Stemming", "Hamerstuk", "Aangehouden"]),
+                "status": rng.choice(["Besluit", "Voorstel"]),
+                "tekst": ("hoofdelijk aangenomen" if rng.random() < 0.3
+                          else "met handopsteken"),
+            })
+            for fr in rng.sample(parties, 3 + rng.randrange(5)):
+                api_stemmingen.append({
+                    "stemming_id": f"st{len(api_stemmingen):06d}",
+                    "besluit_id": bid,
+                    "fractie_id": fr["fractie_id"],
+                    "soort": rng.choice(["Voor", "Tegen", "Voor", "Onthouding"]),
+                    "vergissing": rng.random() < 0.02,
+                })
+
     return {
         "persons": persons, "parties": parties, "sessions": sessions,
         "activities": activities, "cases": cases, "dossiers": dossiers,
-        "activity_cases": activity_cases,
+        "activity_cases": activity_cases, "activity_actors": activity_actors,
+        "reg_documents": reg_documents, "besluiten": besluiten,
+        "api_stemmingen": api_stemmingen,
     }
 
 
@@ -236,6 +308,7 @@ def _fmt(dt: datetime) -> str:
 def _render_page(rng: random.Random, session: dict, sess_acts: List[dict],
                  reg: Dict[str, list], url: str,
                  truth: list, skew_person: dict, skew_case: dict,
+                 actors_by_act: Dict[str, List[dict]],
                  page_scale: int = 1) -> str:
     party_by_id = {p["fractie_id"]: p for p in reg["parties"]}
     parts = []
@@ -279,12 +352,22 @@ def _render_page(rng: random.Random, session: dict, sess_acts: List[dict],
             parts.append(f"    <aanvangstijd>{_fmt(act['begin'] + jitter)}</aanvangstijd>")
             parts.append(f"    <eindtijd>{_fmt(act['einde'] + jitter)}</eindtijd>")
 
-        # fragments (ordered!) with speakers; build A->B->A patterns
+        # fragments (ordered!) with speakers; build A->B->A patterns. The
+        # pool draws mostly from the activity's ACTOR roster (so the J4
+        # actor-priority tier is the tier that usually resolves them),
+        # with the skew person and random non-actors mixed in
         n_frag = (2 + rng.randrange(6)) * page_scale
         frag_persons: List[Optional[dict]] = []
         pool: List[Optional[dict]] = []
+        roster = actors_by_act.get(act["activity_id"], [])
         for _ in range(3):
-            pool.append(skew_person if rng.random() < 0.3 else rng.choice(reg["persons"]))
+            r = rng.random()
+            if r < 0.3:
+                pool.append(skew_person)
+            elif r < 0.75 and roster:
+                pool.append(rng.choice(roster))
+            else:
+                pool.append(rng.choice(reg["persons"]))
         if rng.random() < 0.1:
             pool.append(None)  # unknown speaker
         for i in range(n_frag):
@@ -385,6 +468,11 @@ def _gen_pages_shard(shard_idx: int, sessions: List[dict], reg: Dict[str, list],
     acts_by_session: Dict[str, List[dict]] = {}
     for a in reg["activities"]:
         acts_by_session.setdefault(a["session_id"], []).append(a)
+    person_by_id = {p["person_id"]: p for p in reg["persons"]}
+    actors_by_act: Dict[str, List[dict]] = {}
+    for aa in reg.get("activity_actors", []):
+        actors_by_act.setdefault(aa["activity_id"], []).append(
+            person_by_id[aa["person_id"]])
     skew_person = reg["persons"][0]
     skew_case = reg["cases"][0]
 
@@ -394,7 +482,8 @@ def _gen_pages_shard(shard_idx: int, sessions: List[dict], reg: Dict[str, list],
         lang = "nl" if rng.random() < 0.92 else rng.choice(["en", "de"])
         page_truth: list = []
         html = _render_page(rng, session, acts_by_session.get(session["session_id"], []),
-                            reg, url, page_truth, skew_person, skew_case, page_scale)
+                            reg, url, page_truth, skew_person, skew_case,
+                            actors_by_act, page_scale)
         if rng.random() < 0.01:  # malformed row -> failed-row sidecar (FIXTURES §4.8)
             html = html[: len(html) // 2]
             page_truth = []
@@ -433,7 +522,9 @@ def generate_corpus(out_dir: str, n_sessions: int = 50, seed: int = 42,
                           f".complete-{CORPUS_VERSION}-{n_sessions}-{seed}-{page_scale}")
     paths = {name: os.path.join(out_dir, f"{name}.parquet")
              for name in ["persons", "parties", "sessions", "activities",
-                          "cases", "dossiers", "activity_cases", "truth_mentions"]}
+                          "cases", "dossiers", "activity_cases",
+                          "activity_actors", "reg_documents", "besluiten",
+                          "api_stemmingen", "truth_mentions"]}
     paths["pages"] = os.path.join(out_dir, "pages")  # sharded directory
     if os.path.exists(marker):
         return paths
@@ -476,6 +567,10 @@ def generate_corpus(out_dir: str, n_sessions: int = 50, seed: int = 42,
         "cases": pa.Table.from_pylist(reg["cases"], schema=schemas.CASES),
         "dossiers": pa.Table.from_pylist(reg["dossiers"], schema=schemas.DOSSIERS),
         "activity_cases": pa.Table.from_pylist(reg["activity_cases"], schema=schemas.ACTIVITY_CASES),
+        "activity_actors": pa.Table.from_pylist(reg["activity_actors"], schema=schemas.ACTIVITY_ACTORS),
+        "reg_documents": pa.Table.from_pylist(reg["reg_documents"], schema=schemas.REG_DOCUMENTS),
+        "besluiten": pa.Table.from_pylist(reg["besluiten"], schema=schemas.BESLUITEN),
+        "api_stemmingen": pa.Table.from_pylist(reg["api_stemmingen"], schema=schemas.API_STEMMINGEN),
         "truth_mentions": pa.Table.from_pylist(truth) if truth else pa.table(
             {"url": pa.array([], pa.string()), "kind": pa.array([], pa.string()),
              "surface": pa.array([], pa.string()), "entity_id": pa.array([], pa.string())}),

@@ -97,6 +97,13 @@ def emit_doc(linked: dict, url: str, warc_ts) -> tuple:
                 t(mid, MATCH_PRED[zm["entity_kind"]], zm["entity_id"], "XmlZaak",
                   ENTITY_LABEL[zm["entity_kind"]], zm["score"], f"zaak_match:{zm['source']}")
                 ok_zaken.append(zm)
+            if zm.get("document_id"):
+                # J5 tier-2 document-within-dossier fallback — the columnar
+                # re-expression of ZaakMatch.document_id /
+                # MatchResult.fallback_entity (api_extractor.py:196-201,
+                # vlos_pipeline.py:296-305)
+                t(mid, "MATCHES_API_DOCUMENT", zm["document_id"], "XmlZaak",
+                  "Document", zm["score"], "zaak_match:document_fallback")
 
         # J7: speaker x zaak cross product within the activity
         for sp in ok_speakers:
@@ -134,32 +141,27 @@ def emit_doc(linked: dict, url: str, warc_ts) -> tuple:
     return triples, mentions
 
 
-def _interruption_triples(act: dict, url: str, warc_ts) -> List[dict]:
-    """Fragment + sequential (A->B->A) interruption detection.
+def _interruption_events(act: dict) -> List[dict]:
+    """Fragment + sequential (A->B->A) interruption detection, as an event
+    list shared by triple emission and the A3 analysis rows.
 
-    Mirrors interruption_analyzer.py: the sequence is every spreker element of
-    every non-empty draadboekfragment, in document order; fragment
+    Mirrors interruption_analyzer.py: the sequence is every spreker element
+    of every non-empty draadboekfragment, in document order; fragment
     interruptions compare each later speaker of a fragment against the
-    fragment's first; the sequential scan walks i-1, i, i+1 over the whole
-    sequence. Events where either side failed to link carry no persoon id and
-    emit no triple (the reference persists them as unlinked nodes; here
-    unlinked endpoints cannot form edges).
-    """
-    out: List[dict] = []
+    fragment's first (:71-89); the sequential scan walks i-1, i, i+1
+    (:191-238). Events exist whenever both sides have a SPEAKER MATCH entry
+    (matched or not — the reference also creates events with persoon_id
+    None); ids may be '' for unlinked sides. Types mirror the reference's
+    InterruptionType enum (models.py:21-25)."""
+    events: List[dict] = []
     sms = act.get("speaker_matches", [])
     seq = []
     for entry in act.get("sequence", []):
         sm = _find_matching_speaker(entry["voornaam"], entry["achternaam"], sms)
         seq.append({"frag": entry["frag"], "sm": sm, "speech_len": entry["speech_len"]})
 
-    def t(subj, pred, obj, provenance):
-        out.append({"subj": subj, "pred": pred, "obj": obj,
-                    "subj_label": "Persoon", "obj_label": "Persoon",
-                    "url": url, "warc_ts": warc_ts, "score": 100.0,
-                    "provenance": provenance})
-
     def pid(e):
-        return e["sm"]["person_id"] if (e and e["sm"]) else None
+        return (e["sm"].get("person_id") or "") if (e and e["sm"]) else ""
 
     # fragment interruptions: multiple speakers in one fragment
     by_frag: dict = {}
@@ -170,22 +172,112 @@ def _interruption_triples(act: dict, url: str, warc_ts) -> List[dict]:
         if len(grp) <= 1:
             continue
         for i in range(1, len(grp)):
+            if not (grp[0]["sm"] and grp[i]["sm"]):
+                continue
             a, b = pid(grp[0]), pid(grp[i])
-            if a and b and a != b:
-                t(b, "INTERRUPTED", a, f"fragment:{frag_no}")
+            if a == b:
+                continue
+            events.append({"type": "fragment_interruption", "interrupted": a,
+                           "interrupter": b, "responder": "",
+                           "provenance": f"fragment:{frag_no}"})
 
     # sequential A->B->A
     for i in range(1, len(seq) - 1):
         prev_e, cur_e, next_e = seq[i - 1], seq[i], seq[i + 1]
-        a, b = pid(prev_e), pid(cur_e)
         if not (prev_e["sm"] and cur_e["sm"]):
             continue
-        if (prev_e["sm"].get("person_id") or None) == (cur_e["sm"].get("person_id") or None):
+        a, b = pid(prev_e), pid(cur_e)
+        if a == b:
             continue
-        responds = next_e["sm"] and (next_e["sm"].get("person_id") or None) == (
-            prev_e["sm"].get("person_id") or None)
+        responds = bool(next_e["sm"]) and pid(next_e) == a
+        if responds:
+            events.append({"type": "interruption_with_response", "interrupted": a,
+                           "interrupter": b, "responder": a,
+                           "provenance": "sequential_with_response"})
+        else:
+            events.append({"type": "simple_interruption", "interrupted": a,
+                           "interrupter": b, "responder": "",
+                           "provenance": "sequential"})
+    return events
+
+
+def _interruption_triples(act: dict, url: str, warc_ts) -> List[dict]:
+    """Edge emission from the interruption events: events where either side
+    failed to link carry no persoon id and emit no triple (the reference
+    persists them as unlinked nodes; here unlinked endpoints cannot form
+    edges)."""
+    out: List[dict] = []
+
+    def t(subj, pred, obj, provenance):
+        out.append({"subj": subj, "pred": pred, "obj": obj,
+                    "subj_label": "Persoon", "obj_label": "Persoon",
+                    "url": url, "warc_ts": warc_ts, "score": 100.0,
+                    "provenance": provenance})
+
+    for ev in _interruption_events(act):
+        a, b = ev["interrupted"], ev["interrupter"]
         if a and b:
-            t(b, "INTERRUPTED", a, "sequential_with_response" if responds else "sequential")
-            if responds and a:
+            t(b, "INTERRUPTED", a, ev["provenance"])
+            if ev["type"] == "interruption_with_response":
                 t(a, "RESPONDED_TO", b, "response")
     return out
+
+
+def emit_analysis_rows(linked: dict, url: str, warc_ts) -> List[dict]:
+    """A2/A3 analysis-grain rows for the corpus rollups — the distributed
+    re-expression of the reference's in-memory analyzer inputs:
+
+      * kind='vote':        one row per (voting event, fractie vote) —
+                            feeds fractie alignment / vote-type distribution
+                            (voting_analyzer.py:79-104,131-142)
+      * kind='vote_topic':  one row per (event, fractie vote, topic), topic
+                            = titel of each successful zaak match of the
+                            activity, duplicates preserved
+                            (voting_analyzer.py:53,108-122)
+      * kind='interruption': one row per interruption event incl. unlinked
+                            sides (interruption_analyzer.py:114-117 type
+                            counts include them)
+      * kind='interruption_topic': one row per (event, topic)
+                            (interruption_analyzer.py:148-157)
+
+    All rows share one wide schema; unused fields are ''/False.
+    """
+    rows: List[dict] = []
+
+    def base(kind: str, act: dict) -> dict:
+        return {"url": url, "activity_local_id": act["object_id"], "kind": kind,
+                "type": "", "event_id": "", "fractie_id": "", "fractie_naam": "",
+                "vote": "", "uitslag": "", "is_hoofdelijk": False, "topic": "",
+                "interrupter": "", "interrupted": "", "responder": ""}
+
+    for act in linked.get("activities", []):
+        topics = [zm["titel"] for zm in act.get("zaak_matches", [])
+                  if zm["entity_id"]]
+
+        for v in act.get("vote_links", []):
+            event_id = stable_id(url, act["object_id"], v["titel"], v["uitslag"])
+            hoofdelijk = "hoofdelijk" in (v.get("besluitvorm") or "").lower()  # M15
+            for fv in v["fracties"]:
+                row = base("vote", act)
+                row.update({"event_id": event_id, "fractie_id": fv["fractie_id"],
+                            "fractie_naam": fv["fractie"],
+                            "vote": fv["vote_normalized"], "uitslag": v["uitslag"],
+                            "is_hoofdelijk": hoofdelijk})
+                rows.append(row)
+                for topic in topics:
+                    trow = dict(row)
+                    trow.update({"kind": "vote_topic", "topic": topic})
+                    rows.append(trow)
+
+        for ev in _interruption_events(act):
+            row = base("interruption", act)
+            row.update({"type": ev["type"], "interrupter": ev["interrupter"],
+                        "interrupted": ev["interrupted"],
+                        "responder": ev["responder"]})
+            rows.append(row)
+            for topic in topics:
+                trow = dict(row)
+                trow.update({"kind": "interruption_topic", "topic": topic})
+                rows.append(trow)
+
+    return rows

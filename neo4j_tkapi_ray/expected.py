@@ -1,0 +1,482 @@
+"""Expected-output tables for the driver's DuckDB oracle.
+
+Round-1's flagship `kg_*` queries had NO driver-side oracle (every row
+`no_oracle` in CORRECTNESS_r01.json). The corpus generator owns the ground
+truth, so this module materializes it: a single-process oracle run
+(oracle.run_oracle_full — the reference semantics executed item-at-a-time)
+writes `expected_*.parquet` next to the corpus, and `__ray_entry__
+.oracle_sql()` points DuckDB at those files (directly, or via derivational
+SQL — e.g. edges/nodes are re-derived from expected_triples with GROUP BY /
+window functions, so the shuffle semantics get an independent SQL check).
+
+For the training-data ops over the driver's own testdata tables, the
+ground-truth owner is a single-process reimplementation in this module
+(independent loops sharing only the unit-tested kernels): minhash pairs,
+union-find connected components (a genuinely different algorithm than the
+engine's distributed label propagation), simhash, language-ID, quality,
+fingerprints, LSH ANN, and the media codecs.
+
+All floats are written as the exact float64 the shared kernels produce, so
+the driver's value-hash compares bit-identical values; timestamps are
+surfaced as integer epoch seconds on both sides.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime
+from typing import Dict, List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+EXPECTED_VERSION = "e1"
+
+KG_EXPECTED = ["expected_triples", "expected_triples_embedding",
+               "expected_mentions", "expected_docs", "expected_analysis",
+               "expected_nodes_enriched", "expected_vote_rollup",
+               "expected_topic_consensus", "expected_topic_vote_patterns"]
+
+
+def ts_epoch(dt) -> int:
+    """Naive datetime -> integer epoch seconds (no local-timezone surprise,
+    matching Arrow's naive-as-UTC int cast)."""
+    if isinstance(dt, pd.Timestamp):
+        dt = dt.to_pydatetime()
+    return int((dt - datetime(1970, 1, 1)).total_seconds())
+
+
+# ---------------------------------------------------------------------------
+# KG expected tables (written into the corpus dir, cached by marker)
+# ---------------------------------------------------------------------------
+
+def _triples_rows(res: dict) -> List[dict]:
+    """Oracle triples + the _FAILED dead-letter rows, epoch timestamps —
+    the exact multiset the fused Ray stream emits (stages/triples.py
+    triples_batch)."""
+    rows = []
+    for t in res["triples"]:
+        rows.append({**{k: t[k] for k in ("subj", "pred", "obj", "subj_label",
+                                          "obj_label", "url", "score",
+                                          "provenance")},
+                     "ts_epoch": ts_epoch(t["warc_ts"])})
+    for d in res["docs"]:
+        if d["error"] is not None:
+            rows.append({"subj": d["url"], "pred": "_FAILED", "obj": d["error"],
+                         "subj_label": "Page", "obj_label": "Error",
+                         "url": d["url"], "ts_epoch": ts_epoch(d["warc_ts"]),
+                         "score": 0.0, "provenance": "failed_row"})
+    return rows
+
+
+def _nodes_rows(triple_rows: List[dict]) -> List[dict]:
+    """Independent single-process MERGE: endpoint explode, last-write-wins
+    per key in (ts, props) order (mirrors helpers.py:13-27 semantics that
+    stages/canonicalize.py implements distributed)."""
+    best: Dict[str, dict] = {}
+    for t in triple_rows:
+        if t["pred"] == "_FAILED":
+            continue
+        props = json.dumps({"last_url": t["url"]})
+        for nid, label in ((t["subj"], t["subj_label"]),
+                           (t["obj"], t["obj_label"])):
+            cur = best.get(nid)
+            if cur is None or (t["ts_epoch"], props) >= (cur["ts_epoch"], cur["props"]):
+                best[nid] = {"node_id": nid, "label": label, "props": props,
+                             "ts_epoch": t["ts_epoch"]}
+    return sorted(best.values(), key=lambda r: r["node_id"])
+
+
+def _enriched_rows(node_rows: List[dict], registry_tables: dict) -> List[dict]:
+    from .stages.enrich import build_prop_maps
+    pm = build_prop_maps(registry_tables)
+    out = []
+    for r in node_rows:
+        base = dict(pm.get(r["node_id"], {}))
+        base.update(json.loads(r["props"]))
+        out.append({**r, "props": json.dumps(base, sort_keys=True)})
+    return out
+
+
+def _vote_rollup_rows(triple_rows: List[dict]) -> List[dict]:
+    """Mirror stages/aggregates.fractie_vote_rollup over the expected
+    triples (pred VOTED_*, provenance 'vote', linked fracties only)."""
+    counts: Dict[str, Dict[str, int]] = {}
+    for t in triple_rows:
+        if not t["pred"].startswith("VOTED_") or t["provenance"] != "vote":
+            continue
+        vote = t["pred"][len("VOTED_"):].lower()
+        counts.setdefault(t["subj"], {}).setdefault(vote, 0)
+        counts[t["subj"]][vote] += 1
+    rows = []
+    for fr, votes in sorted(counts.items()):
+        total = sum(votes.values())
+
+        def pct(v):
+            return round(votes.get(v, 0) / total * 100, 2) if total else 0.0
+
+        rows.append({"fractie_id": fr, "total_votes": total,
+                     "voor_pct": pct("voor"), "tegen_pct": pct("tegen"),
+                     "onthouding_pct": pct("onthouding")})
+    return rows
+
+
+def _topic_consensus_rows(triple_rows: List[dict]) -> List[dict]:
+    """Mirror stages/aggregates.topic_consensus (per voting event)."""
+    counts: Dict[str, Dict[str, int]] = {}
+    for t in triple_rows:
+        if not t["pred"].startswith("VOTED_") or t["provenance"] != "vote":
+            continue
+        vote = t["pred"][len("VOTED_"):].lower()
+        counts.setdefault(t["obj"], {}).setdefault(vote, 0)
+        counts[t["obj"]][vote] += 1
+    rows = []
+    for ev, votes in sorted(counts.items()):
+        total = sum(votes.values())
+        voor, tegen = votes.get("voor", 0), votes.get("tegen", 0)
+        level = round(max(voor, tegen) / total * 100, 2) if total else 0.0
+        rows.append({"event_id": ev, "total_votes": total,
+                     "consensus_level": level,
+                     "controversial": bool(level < 80),
+                     "unanimous": bool(level >= 95)})
+    return rows
+
+
+def _topic_patterns_rows(analysis_rows: List[dict]) -> List[dict]:
+    """Mirror stages/aggregates.topic_vote_patterns over vote_topic rows."""
+    counts: Dict[str, Dict[str, int]] = {}
+    for r in analysis_rows:
+        if r["kind"] != "vote_topic":
+            continue
+        counts.setdefault(r["topic"], {}).setdefault(r["vote"], 0)
+        counts[r["topic"]][r["vote"]] += 1
+    rows = []
+    for topic, votes in sorted(counts.items()):
+        total = sum(votes.values())
+        voor, tegen = votes.get("voor", 0), votes.get("tegen", 0)
+        level = round(max(voor, tegen) / total * 100, 2) if total else 0.0
+        rows.append({"topic": topic, "total_votes": total, "voor_n": voor,
+                     "tegen_n": tegen,
+                     "onthouding_n": votes.get("onthouding", 0),
+                     "consensus_level": level,
+                     "controversial": bool(level < 80 and total > 0),
+                     "unanimous": bool(level >= 95 and total > 0)})
+    return rows
+
+
+def ensure_kg_expected(corpus_dir: str) -> Dict[str, str]:
+    """Write all expected_* tables for a generated corpus (idempotent,
+    cached under a version marker). Returns {name: path}."""
+    paths = {n: os.path.join(corpus_dir, f"{n}.parquet") for n in KG_EXPECTED}
+    marker = os.path.join(corpus_dir, f".expected-{EXPECTED_VERSION}")
+    if os.path.exists(marker):
+        return paths
+
+    from .config import EngineConfig
+    from .oracle import run_oracle_full
+    from .sources.pages import read_registry_tables
+
+    pages = os.path.join(corpus_dir, "pages")
+    res = run_oracle_full(pages, corpus_dir)
+    cfg_emb = EngineConfig.default()
+    cfg_emb.matching.enable_embedding_fallback = True
+    res_emb = run_oracle_full(pages, corpus_dir, cfg_emb)
+
+    triple_rows = _triples_rows(res)
+
+    def write(name: str, rows: List[dict], schema: pa.Schema = None):
+        tbl = (pa.Table.from_pylist(rows, schema=schema) if rows or schema
+               else pa.table({}))
+        pq.write_table(tbl, paths[name])
+
+    tri_schema = pa.schema([
+        ("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
+        ("subj_label", pa.string()), ("obj_label", pa.string()),
+        ("url", pa.string()), ("score", pa.float64()),
+        ("provenance", pa.string()), ("ts_epoch", pa.int64())])
+    write("expected_triples", triple_rows, tri_schema)
+    write("expected_triples_embedding", _triples_rows(res_emb), tri_schema)
+
+    mention_schema = pa.schema([
+        ("url", pa.string()), ("mention_id", pa.string()), ("kind", pa.string()),
+        ("surface", pa.string()), ("activity_local_id", pa.string()),
+        ("entity_id", pa.string()), ("entity_kind", pa.string()),
+        ("match_type", pa.string()), ("score", pa.float64())])
+    write("expected_mentions",
+          [{k: m[k] for k in mention_schema.names} for m in res["mentions"]],
+          mention_schema)
+
+    write("expected_docs",
+          [{"url": d["url"], "ts_epoch": ts_epoch(d["warc_ts"]),
+            "text": d["text"], "error": d["error"]} for d in res["docs"]],
+          pa.schema([("url", pa.string()), ("ts_epoch", pa.int64()),
+                     ("text", pa.string()), ("error", pa.string())]))
+
+    from . import schemas as _schemas
+    ana_schema = pa.schema([(f.name, f.type) for f in _schemas.ANALYSIS])
+    write("expected_analysis",
+          [{k: r[k] for k in ana_schema.names} for r in res["analysis"]],
+          ana_schema)
+
+    node_rows = _nodes_rows(triple_rows)
+    reg = read_registry_tables(corpus_dir)
+    write("expected_nodes_enriched", _enriched_rows(node_rows, reg),
+          pa.schema([("node_id", pa.string()), ("label", pa.string()),
+                     ("props", pa.string()), ("ts_epoch", pa.int64())]))
+
+    write("expected_vote_rollup", _vote_rollup_rows(triple_rows),
+          pa.schema([("fractie_id", pa.string()), ("total_votes", pa.int64()),
+                     ("voor_pct", pa.float64()), ("tegen_pct", pa.float64()),
+                     ("onthouding_pct", pa.float64())]))
+    write("expected_topic_consensus", _topic_consensus_rows(triple_rows),
+          pa.schema([("event_id", pa.string()), ("total_votes", pa.int64()),
+                     ("consensus_level", pa.float64()),
+                     ("controversial", pa.bool_()), ("unanimous", pa.bool_())]))
+    write("expected_topic_vote_patterns", _topic_patterns_rows(res["analysis"]),
+          pa.schema([("topic", pa.string()), ("total_votes", pa.int64()),
+                     ("voor_n", pa.int64()), ("tegen_n", pa.int64()),
+                     ("onthouding_n", pa.int64()),
+                     ("consensus_level", pa.float64()),
+                     ("controversial", pa.bool_()), ("unanimous", pa.bool_())]))
+
+    with open(marker, "w") as f:
+        f.write("ok")
+    return paths
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops expected tables (single-process reimplementations over
+# the driver-provided testdata; written under /tmp, cached per (sf, name))
+# ---------------------------------------------------------------------------
+
+def op_expected_dir(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    return f"/tmp/ntr_opexpected_{tag}_{EXPECTED_VERSION}"
+
+
+def _minhash_pairs_sp(sf_dir: str, n_perm=64, bands=16,
+                      jaccard_threshold=0.7) -> pd.DataFrame:
+    """Single-process MinHash-LSH: same kernels (_token_shingles, _minhash,
+    band crc buckets), plain dict banding instead of the engine's
+    exchange + collision prune."""
+    from .ops.dedup import _minhash, _perm_params, _token_shingles
+    import zlib
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    a_par, b_par = _perm_params(n_perm)
+    rows_per_band = n_perm // bands
+    shingles = {d["doc_id"]: _token_shingles(d["text"]) for d in docs}
+    buckets: Dict[tuple, List[int]] = {}
+    for d in docs:
+        mh = _minhash(shingles[d["doc_id"]], a_par, b_par)
+        for band in range(bands):
+            seg = mh[band * rows_per_band:(band + 1) * rows_per_band]
+            buckets.setdefault((band, int(zlib.crc32(seg.tobytes()))),
+                               []).append(d["doc_id"])
+    cand = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    out = []
+    for a, b in sorted(cand):
+        sa, sb = shingles[a], shingles[b]
+        union = len(sa | sb)
+        jac = (len(sa & sb) / union) if union else 0.0
+        if jac >= jaccard_threshold:
+            out.append({"a": a, "b": b, "jaccard": round(jac, 4)})
+    return pd.DataFrame(out, columns=["a", "b", "jaccard"]).astype(
+        {"a": "int64", "b": "int64", "jaccard": "float64"})
+
+
+def _neardup_groups_sp(sf_dir: str, jaccard_threshold=0.7) -> pd.DataFrame:
+    """Union-find over the single-process pair graph — an independent
+    algorithm vs the engine's distributed min-label propagation."""
+    pairs = _minhash_pairs_sp(sf_dir, jaccard_threshold=jaccard_threshold)
+    parent: Dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        for v in (int(a), int(b)):
+            parent.setdefault(v, v)
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [{"doc_id": v, "group_id": find(v)} for v in sorted(parent)]
+    return pd.DataFrame(rows, columns=["doc_id", "group_id"]).astype("int64")
+
+
+def _simhash_sp(sf_dir: str) -> pd.DataFrame:
+    from .ops.dedup import _simhash64
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    return pd.DataFrame({
+        "doc_id": pd.Series([d["doc_id"] for d in docs], dtype="int64"),
+        "simhash": pd.Series([_simhash64(d["text"]) for d in docs],
+                             dtype="uint64")})
+
+
+def _language_id_sp(sf_dir: str) -> pd.DataFrame:
+    """Independent loop over the same public profile table."""
+    import re as _re
+    from .ops.textstats import LangIdActor
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "text"]).to_pylist()
+    rows = []
+    for d in docs:
+        hay = f" {d['text'].lower()} "
+        best_lang, best_score = "und", 0
+        for lang, grams in LangIdActor.PROFILES.items():
+            score = sum(len(_re.findall(_re.escape(g), hay)) for g in grams)
+            if score > best_score:
+                best_score, best_lang = score, lang
+        rows.append({"doc_id": d["doc_id"], "lang": d["lang"],
+                     "lang_pred": best_lang, "lang_hits": best_score})
+    return pd.DataFrame(rows).astype({"doc_id": "int64", "lang_hits": "int64"})
+
+
+def _quality_sp(sf_dir: str) -> pd.DataFrame:
+    """Independent reimplementation of the quality heuristics (C4/Gopher-
+    style public rules) — divergence from ops/textstats fails the check."""
+    stop = {"the", "a", "of", "to", "and", "de", "het", "een", "van", "en",
+            "data", "query", "table", "row"}
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    rows = []
+    for d in docs:
+        text = d["text"]
+        toks = text.split()
+        n = len(toks)
+        mt = (sum(len(t) for t in toks) / n) if n else 0.0
+        sr = (sum(1 for t in toks if t.lower() in stop) / n) if n else 0.0
+        pr = sum(1 for ch in text if ch in ".,;:!?") / max(1, len(text))
+        score = (0.4 * (1.0 if 3.0 <= mt <= 8.0 else 0.0)
+                 + 0.4 * (1.0 if 0.1 <= sr <= 0.6 else 0.0)
+                 + 0.2 * (1.0 if n >= 20 else 0.0))
+        rows.append({"doc_id": d["doc_id"], "mean_token_len": round(mt, 4),
+                     "stopword_ratio": round(sr, 4),
+                     "punct_ratio": round(pr, 4), "quality": round(score, 4)})
+    return pd.DataFrame(rows).astype({"doc_id": "int64"})
+
+
+def _fingerprints_sp(sf_dir: str, window=8) -> pd.DataFrame:
+    """Independent scalar rolling-hash (no numpy vector trick): same
+    polynomial, computed per window."""
+    import zlib
+    B = 1_000_003
+    MASK = (1 << 64) - 1
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    rows = []
+    for d in docs:
+        hs = [zlib.crc32(t.encode()) for t in d["text"].split()]
+        if len(hs) < window:
+            fp = min(hs) if hs else 0
+        else:
+            best = None
+            for i in range(len(hs) - window + 1):
+                acc = 0
+                for k in range(window):
+                    acc = (acc * B + hs[i + k]) & MASK
+                best = acc if best is None else min(best, acc)
+            fp = best
+        rows.append({"doc_id": d["doc_id"], "fingerprint": fp})
+    return pd.DataFrame({
+        "doc_id": pd.Series([r["doc_id"] for r in rows], dtype="int64"),
+        "fingerprint": pd.Series([r["fingerprint"] for r in rows],
+                                 dtype="uint64")})
+
+
+def _ann_lsh_sp(sf_dir: str, n_queries=5, k=5, n_planes=6, seed=13,
+                n_probes=4) -> pd.DataFrame:
+    """Single-process multi-probe LSH ANN with the same planes/buckets."""
+    from .ops.ann import _normalize
+    rng = np.random.RandomState(seed)
+    df = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).sort_values("vec_id")
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    planes = rng.randn(n_planes, mat.shape[1])
+    signs = (mat @ planes.T) > 0
+    buckets = signs.dot(1 << np.arange(n_planes)).astype(np.int64)
+    ids = df["vec_id"].to_numpy()
+    by_bucket: Dict[int, List[int]] = {}
+    for i, b in enumerate(buckets):
+        by_bucket.setdefault(int(b), []).append(i)
+    nmat = _normalize(mat)
+
+    rows = []
+    qidx = np.arange(min(n_queries, len(ids)))
+    for qi in qidx:
+        qid = int(ids[qi])
+        qb = int(buckets[qi])
+        probes = [qb] + [qb ^ (1 << b) for b in range(n_planes)][:max(0, n_probes - 1)]
+        cand = sorted({i for b in probes for i in by_bucket.get(b, [])})
+        cand = [i for i in cand if ids[i] != qid]
+        if not cand:
+            continue
+        sims = nmat[cand] @ nmat[qi]
+        order = np.lexsort((ids[cand], -sims))[:k]
+        for rank, j in enumerate(order, 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "vec_id": int(ids[cand[j]]),
+                         "cos": round(float(sims[j]), 5)})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "cos"]
+                        ).astype({"query_id": "int64", "rank": "int64",
+                                  "vec_id": "int64", "cos": "float64"})
+
+
+def _media_decode_sp(n=48) -> pd.DataFrame:
+    from .ops.multimodal import decode_one, synth_media_rows
+    rows = []
+    for r in synth_media_rows(n=n):
+        d = decode_one(r["kind"], r["payload"])
+        rows.append({"media_id": r["media_id"], "kind": r["kind"],
+                     "features": np.array(d["features"], dtype=np.float32),
+                     "width": d["width"], "height": d["height"],
+                     "duration_s": d["duration_s"], "decoded": d["decoded"]})
+    return pd.DataFrame(rows).astype({"width": "int32", "height": "int32"})
+
+
+def _media_frames_sp(n=48) -> pd.DataFrame:
+    from .ops.multimodal import frame_sample_rows, synth_media_rows
+    rows = []
+    for r in synth_media_rows(n=n):
+        rows.extend(frame_sample_rows(r["media_id"], r["kind"], r["payload"]))
+    df = pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_bytes"])
+    return df.astype({"frame_idx": "int32"})
+
+
+_OP_EXPECTED = {
+    "minhash_neardup": lambda sf: _minhash_pairs_sp(sf),
+    "neardup_groups": lambda sf: _neardup_groups_sp(sf),
+    "simhash_signatures": lambda sf: _simhash_sp(sf),
+    "language_id": lambda sf: _language_id_sp(sf),
+    "quality_scores": lambda sf: _quality_sp(sf),
+    "fingerprints": lambda sf: _fingerprints_sp(sf),
+    "ann_lsh_topk": lambda sf: _ann_lsh_sp(sf),
+    "media_decode": lambda sf: _media_decode_sp(),
+    "media_frames": lambda sf: _media_frames_sp(),
+}
+
+
+def ensure_op_expected(sf_dir: str, name: str) -> str:
+    """Compute + cache one op's expected table; returns the parquet path."""
+    out_dir = op_expected_dir(sf_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"{name}.parquet")
+    if not os.path.exists(path):
+        df = _OP_EXPECTED[name](sf_dir)
+        tmp = path + ".tmp"
+        df.to_parquet(tmp, index=False)
+        os.replace(tmp, path)
+    return path

@@ -104,6 +104,27 @@ class RegistryIndex:
             self.party_by_name.setdefault(fr["naam"].lower(), fr)
             self.party_by_name.setdefault(fr["afkorting"].lower(), fr)
 
+        # J4 priority-1 tier: the matched activity's actor roster
+        # (reference api_extractor.py:134-143, vlos_pipeline.py:95-99).
+        # Sorted by person_id for a deterministic first-of-equals scan.
+        person_by_id = {p["person_id"]: p for p in tables["persons"]}
+        self.actors_by_activity: Dict[str, List[dict]] = {}
+        for aa in tables.get("activity_actors", []):
+            p = person_by_id.get(aa["person_id"])
+            if p is not None:
+                self.actors_by_activity.setdefault(aa["activity_id"], []).append(p)
+        for roster in self.actors_by_activity.values():
+            roster.sort(key=lambda p: p["person_id"])
+
+        # J5 tier-2 document fallback: documents keyed by (dossiernummer,
+        # volgnummer) — reference _find_best_document filters volgnummer +
+        # dossier coordinates (api_extractor.py:257-268)
+        self.documents_by_dossier_volg: Dict[Tuple[int, int], List[dict]] = {}
+        for d in sorted(tables.get("reg_documents", []),
+                        key=lambda d: d["document_id"]):
+            key = (int(d["dossiernummer"]), int(d["volgnummer"]))
+            self.documents_by_dossier_volg.setdefault(key, []).append(d)
+
     def surnames_containing(self, token: str) -> List[str]:
         """Unique surnames with ``token`` as a substring (exact semantics of
         the reference's contains() filter, served from the trigram index)."""
@@ -118,11 +139,8 @@ class RegistryIndex:
 
     @classmethod
     def from_parquet_dir(cls, registry_dir: str) -> "RegistryIndex":
-        tables = {}
-        for name in ["persons", "parties", "sessions", "activities", "cases",
-                     "dossiers", "activity_cases"]:
-            tables[name] = pq.read_table(f"{registry_dir}/{name}.parquet").to_pylist()
-        return cls(tables)
+        from .sources.pages import read_registry_tables
+        return cls(read_registry_tables(registry_dir))
 
     def activities_in_window(self, start: datetime, end: datetime, cap: int) -> List[dict]:
         """J2: activities with begin in [start, end], begin-sorted, capped."""
@@ -199,6 +217,7 @@ class Linker:
         self._prefix_re = build_prefix_regex(cfg.matching.common_topic_prefixes)
         self._norm_cache: Dict[str, str] = {}
         self._speaker_cache: Dict[tuple, tuple] = {}
+        self._actor_cache: Dict[tuple, tuple] = {}
         self._soort_cache: Dict[tuple, float] = {}
         precompute_candidate_invariants(index, cfg)
         self._emb_index: Optional[NameEmbeddingIndex] = (
@@ -396,16 +415,40 @@ class Linker:
         return score
 
     # ------------------------------------------------------------------ J4
-    def match_speaker(self, voornaam: str, achternaam: str
-                      ) -> Tuple[Optional[str], int, str]:
-        """Returns (person_id | None, score, match_type). Cascade: exact
-        achternaam bucket (cap 20) -> contains-token fallback (cap
-        max_persoon_candidates); accept >= min_speaker_similarity_score;
-        EXACT iff score >= 90 (name_matcher.py:84-90)."""
+    def match_speaker(self, voornaam: str, achternaam: str,
+                      activity_id: str = "") -> Tuple[Optional[str], int, str]:
+        """Returns (person_id | None, score, match_type).
+
+        Priority-1 tier (reference api_extractor.py:134-143): when the
+        speaker's activity matched and that activity has an actor roster,
+        the best actor with score >= min_speaker_similarity_score wins
+        BEFORE any global search — speaker resolution is activity-dependent.
+        Then the global cascade: exact achternaam bucket (cap 20) ->
+        contains-token fallback (cap max_persoon_candidates); accept >=
+        min_speaker_similarity_score; EXACT iff score >= 90
+        (name_matcher.py:84-90)."""
         if not achternaam:
             return None, 0, "NO_MATCH"
-        # memoized: the cascade is a pure function of the surface name, and
-        # speaker surfaces repeat heavily across documents
+        actors = self.idx.actors_by_activity.get(activity_id, []) if activity_id else []
+        if actors:
+            # memoized per (activity, surface): hot speakers repeat within
+            # and across the documents of one matched activity
+            akey = (activity_id, voornaam, achternaam)
+            hit = self._actor_cache.get(akey)
+            if hit is None:
+                best = self._best_person(voornaam, achternaam, actors)
+                if best is not None:
+                    person, score = best
+                    hit = (person["person_id"], score,
+                           "EXACT" if score >= 90 else "FUZZY")
+                else:
+                    hit = (None, 0, "NO_MATCH")
+                if len(self._actor_cache) < 500_000:
+                    self._actor_cache[akey] = hit
+            if hit[0] is not None:
+                return hit
+        # global cascade — memoized: a pure function of the surface name,
+        # and speaker surfaces repeat heavily across documents
         ckey = (voornaam, achternaam)
         hit = self._speaker_cache.get(ckey)
         if hit is not None:
@@ -453,8 +496,14 @@ class Linker:
 
     # ------------------------------------------------------------------ J5
     def match_zaak(self, dossiernummer: str, stuknummer: str
-                   ) -> Tuple[Optional[str], str, float, str]:
-        """Returns (entity_id | None, entity_kind, score, match_type)."""
+                   ) -> Tuple[Optional[str], str, float, str, str]:
+        """Returns (entity_id | None, entity_kind, score, match_type,
+        document_id). ``document_id`` is non-empty only on the dossier
+        fallback tier when a Document with volgnummer == stuknummer exists
+        in the dossier (reference api_extractor.py:196-201 'Also try to
+        find document within this dossier', _find_best_document
+        :257-268; surfaced by vlos_pipeline.py:296-301 as
+        MatchResult.fallback_entity / ZaakMatch.document_id)."""
         dnr_int = safe_int(dossiernummer)
         snr_int = safe_int(stuknummer)
 
@@ -478,7 +527,7 @@ class Linker:
                             snr_int is None or int(c["stuknummer"]) == snr_int):
                         chosen = c
                         break
-            return chosen["zaak_id"], "zaak", 100.0, "EXACT"
+            return chosen["zaak_id"], "zaak", 100.0, "EXACT", ""
 
         # tier 2 — dossier fallback (api_extractor.py:188-205,242-254)
         num, toevoeg = split_dossier_code(dossiernummer)
@@ -487,9 +536,19 @@ class Linker:
             if toevoeg:
                 ds = [d for d in ds if d["toevoeging"] == toevoeg]
             if ds:
-                return ds[0]["dossier_id"], "dossier", 75.0, "FALLBACK"
+                # optional document within the dossier (api_extractor.py:
+                # 196-201): volgnummer == stuknummer, dossier coordinates
+                # match; first of <= 5 in document_id order
+                document_id = ""
+                if snr_int is not None:
+                    docs = self.idx.documents_by_dossier_volg.get((num, snr_int), [])
+                    if toevoeg:
+                        docs = [d for d in docs if d["toevoeging"] == toevoeg]
+                    if docs:
+                        document_id = docs[0]["document_id"]
+                return ds[0]["dossier_id"], "dossier", 75.0, "FALLBACK", document_id
 
-        return None, "", 0.0, "NO_MATCH"
+        return None, "", 0.0, "NO_MATCH", ""
 
     # ------------------------------------------------------------------ J6
     def agenda_zaken(self, activity_id: str) -> List[dict]:
@@ -525,16 +584,22 @@ def link_doc(doc: dict, linker: Linker) -> dict:
         a["activity_score"] = score
         a["activity_match_type"] = mt
 
+        # activity speakers resolve with the matched activity's actor roster
+        # as the priority tier (vlos_pipeline.py:95-99: actors only when the
+        # activity match succeeded); direct zaak speakers below resolve
+        # WITHOUT actors (vlos_pipeline.py:136 passes [])
         a["speaker_matches"] = []
         for sp in act.get("speakers", []):
-            pid, s, smt = linker.match_speaker(sp["voornaam"], sp["achternaam"])
+            pid, s, smt = linker.match_speaker(sp["voornaam"], sp["achternaam"],
+                                               activity_id=a["api_activity_id"])
             a["speaker_matches"].append({
                 **sp, "person_id": pid or "", "score": s, "match_type": smt,
                 "persoon_name": linker.idx.person_name_by_id.get(pid or "", "")})
 
         zms = []
         for zk in act.get("zaken", []):
-            eid, kind, zscore, zmt = linker.match_zaak(zk["dossiernummer"], zk["stuknummer"])
+            eid, kind, zscore, zmt, doc_id = linker.match_zaak(
+                zk["dossiernummer"], zk["stuknummer"])
             direct = []
             for sp in zk.get("speakers", []):
                 pid, s, smt = linker.match_speaker(sp["voornaam"], sp["achternaam"])
@@ -542,6 +607,7 @@ def link_doc(doc: dict, linker: Linker) -> dict:
             zms.append({"dossiernummer": zk["dossiernummer"], "stuknummer": zk["stuknummer"],
                         "titel": zk["titel"], "entity_id": eid or "", "entity_kind": kind,
                         "score": zscore, "match_type": zmt, "source": "xml",
+                        "document_id": doc_id,
                         "direct_speaker_matches": direct})
         # agendapunt expansion (J6): EXACT score 100 per linked zaak
         if a["api_activity_id"]:
@@ -550,7 +616,8 @@ def link_doc(doc: dict, linker: Linker) -> dict:
                             "stuknummer": str(case["stuknummer"]),
                             "titel": case["onderwerp"], "entity_id": case["zaak_id"],
                             "entity_kind": "zaak", "score": 100.0, "match_type": "EXACT",
-                            "source": "agendapunt", "direct_speaker_matches": []})
+                            "source": "agendapunt", "document_id": "",
+                            "direct_speaker_matches": []})
         a["zaak_matches"] = zms
 
         a["vote_links"] = []

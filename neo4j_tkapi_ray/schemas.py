@@ -58,6 +58,9 @@ CASES = pa.schema([
     ("toevoeging", pa.string()),
     ("stuknummer", pa.int32()),
     ("onderwerp", pa.string()),
+    ("dossier_id", pa.string()),     # fk -> dossiers (REL_MAP_ZAAK 'dossier')
+    ("vervangen_door", pa.string()),  # self-fk -> cases; '' if none (J9,
+                                      # reference constants.py:7 REPLACED_BY)
 ])
 
 DOSSIERS = pa.schema([
@@ -70,6 +73,47 @@ DOSSIERS = pa.schema([
 ACTIVITY_CASES = pa.schema([
     ("activity_id", pa.string()),
     ("zaak_id", pa.string()),
+])
+
+# activity actor roster — reference ActiviteitActor (expanded relation S3,
+# actor_loader.py:69-76); drives the J4 priority-1 speaker tier
+# (api_extractor.py:134-143)
+ACTIVITY_ACTORS = pa.schema([
+    ("activity_id", pa.string()),
+    ("person_id", pa.string()),
+])
+
+# Document entity family — reference document_loader.py:113-157; volgnummer
+# + dossier coordinates feed the J5 tier-2 document fallback
+# (api_extractor.py:196-201,257-268)
+REG_DOCUMENTS = pa.schema([
+    ("document_id", pa.string()),
+    ("dossier_id", pa.string()),
+    ("dossiernummer", pa.int32()),
+    ("toevoeging", pa.string()),
+    ("volgnummer", pa.int32()),
+    ("onderwerp", pa.string()),
+    ("datum", pa.timestamp("us")),
+    ("zaak_id", pa.string()),        # fk -> cases (REL_MAP_DOC 'zaken')
+])
+
+# Besluit family — reference common_processors.py:75-142
+BESLUITEN = pa.schema([
+    ("besluit_id", pa.string()),
+    ("zaak_id", pa.string()),        # fk -> cases (REL_MAP_BESLUIT 'zaken')
+    ("activity_id", pa.string()),    # fk -> activities (agendapunt analog)
+    ("soort", pa.string()),
+    ("status", pa.string()),
+    ("tekst", pa.string()),          # carries 'hoofdelijk' for M15
+])
+
+# API-side Stemming family — reference common_processors.py:145-190
+API_STEMMINGEN = pa.schema([
+    ("stemming_id", pa.string()),
+    ("besluit_id", pa.string()),     # fk -> besluiten (HAS_STEMMING)
+    ("fractie_id", pa.string()),     # fk -> parties (REPRESENTS_FRACTIE_VOTE)
+    ("soort", pa.string()),          # Voor | Tegen | Onthouding
+    ("vergissing", pa.bool_()),
 ])
 
 # Stage outputs.
@@ -104,6 +148,24 @@ TRIPLES = pa.schema([
     ("warc_ts", pa.timestamp("us")),
     ("score", pa.float64()),
     ("provenance", pa.string()),
+])
+
+# A2/A3 analysis-grain rows (emit.emit_analysis_rows) — wide union schema
+ANALYSIS = pa.schema([
+    ("url", pa.string()),
+    ("activity_local_id", pa.string()),
+    ("kind", pa.string()),           # vote | vote_topic | interruption | interruption_topic
+    ("type", pa.string()),           # interruption type (reference enum values)
+    ("event_id", pa.string()),
+    ("fractie_id", pa.string()),
+    ("fractie_naam", pa.string()),
+    ("vote", pa.string()),
+    ("uitslag", pa.string()),
+    ("is_hoofdelijk", pa.bool_()),
+    ("topic", pa.string()),
+    ("interrupter", pa.string()),
+    ("interrupted", pa.string()),
+    ("responder", pa.string()),
 ])
 
 NODES = pa.schema([

@@ -15,7 +15,8 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 REGISTRY_TABLES = ["persons", "parties", "sessions", "activities", "cases",
-                   "dossiers", "activity_cases"]
+                   "dossiers", "activity_cases", "activity_actors",
+                   "reg_documents", "besluiten", "api_stemmingen"]
 
 
 def read_pages(paths: Union[str, List[str]], lang: Optional[str] = "nl",
@@ -39,6 +40,11 @@ def read_pages(paths: Union[str, List[str]], lang: Optional[str] = "nl",
 def read_registry_tables(registry_dir: str) -> Dict[str, list]:
     """Load the small registry dimension tables driver-side (python lists —
     the gazetteer index is built from these inside each linker actor).
-    Broadcast once with ``ray.put`` by the pipeline."""
-    return {name: pq.read_table(f"{registry_dir}/{name}.parquet").to_pylist()
-            for name in REGISTRY_TABLES}
+    Broadcast once with ``ray.put`` by the pipeline. Tables absent from the
+    directory (older corpora / partial registries) load as empty."""
+    import os
+    out = {}
+    for name in REGISTRY_TABLES:
+        path = f"{registry_dir}/{name}.parquet"
+        out[name] = pq.read_table(path).to_pylist() if os.path.exists(path) else []
+    return out

@@ -99,6 +99,107 @@ def topic_consensus(triples: rd.Dataset) -> rd.Dataset:
     return grouped_apply(counts, ["event_id"], consensus)
 
 
+# ---------------------------------------------------------------------------
+# A2/A3 depth — rollups over the analysis-row stream (stages/triples.py
+# to_analysis): the distributed re-expression of voting_analyzer.py:62-172
+# and interruption_analyzer.py:100-189.
+# ---------------------------------------------------------------------------
+
+def _kind(analysis: rd.Dataset, kind: str) -> rd.Dataset:
+    return analysis.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), kind)),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fractie_topic_vote_rollup(analysis: rd.Dataset) -> rd.Dataset:
+    """fractie x topic x vote-type counts (voting_analyzer.py:108-111
+    fractie_topic_votes)."""
+    keys = ["fractie_naam", "topic", "vote"]
+    rows = _kind(analysis, "vote_topic").map_batches(
+        lambda b: b.select(keys), batch_format="pyarrow")
+    partial, final = _count_reduce(keys)
+    return reduce_blocks(rows.map_batches(partial, batch_format="pyarrow"),
+                         keys, final)
+
+
+def topic_vote_patterns(analysis: rd.Dataset) -> rd.Dataset:
+    """Per-topic vote pattern: total votes, voor/tegen/onthouding counts,
+    consensus level, controversial (<80) / unanimous (>=95) flags
+    (voting_analyzer.py:113-128,144-156). Totals count EVERY vote row for
+    the topic (any vote type), mirroring the reference's total_votes += 1."""
+    keys = ["topic", "vote"]
+    rows = _kind(analysis, "vote_topic").map_batches(
+        lambda b: b.select(keys), batch_format="pyarrow")
+    partial, final = _count_reduce(keys)
+    counts = reduce_blocks(rows.map_batches(partial, batch_format="pyarrow"),
+                           keys, final)
+
+    def pattern(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"topic": pd.Series(dtype="object"),
+                                 "total_votes": pd.Series(dtype="int64"),
+                                 "voor_n": pd.Series(dtype="int64"),
+                                 "tegen_n": pd.Series(dtype="int64"),
+                                 "onthouding_n": pd.Series(dtype="int64"),
+                                 "consensus_level": pd.Series(dtype="float64"),
+                                 "controversial": pd.Series(dtype="bool"),
+                                 "unanimous": pd.Series(dtype="bool")})
+        total = int(df["n"].sum())
+
+        def cnt(v):
+            return int(df.loc[df["vote"] == v, "n"].sum())
+
+        voor, tegen = cnt("voor"), cnt("tegen")
+        level = round(max(voor, tegen) / total * 100, 2) if total else 0.0
+        return pd.DataFrame([{
+            "topic": df["topic"].iloc[0], "total_votes": total,
+            "voor_n": voor, "tegen_n": tegen, "onthouding_n": cnt("onthouding"),
+            "consensus_level": level,
+            "controversial": bool(level < 80 and total > 0),
+            "unanimous": bool(level >= 95 and total > 0),
+        }])
+
+    return grouped_apply(counts, ["topic"], pattern)
+
+
+def interruption_type_counts(analysis: rd.Dataset) -> rd.Dataset:
+    """Counts per interruption type, INCLUDING events with unlinked sides
+    (interruption_analyzer.py:114-117)."""
+    rows = _kind(analysis, "interruption").map_batches(
+        lambda b: b.select(["type"]), batch_format="pyarrow")
+    partial, final = _count_reduce(["type"])
+    return reduce_blocks(rows.map_batches(partial, batch_format="pyarrow"),
+                         ["type"], final)
+
+
+def interruption_topic_counts(analysis: rd.Dataset) -> rd.Dataset:
+    """Topics causing interruptions (interruption_analyzer.py:148-157)."""
+    rows = _kind(analysis, "interruption_topic").map_batches(
+        lambda b: b.select(["topic"]), batch_format="pyarrow")
+    partial, final = _count_reduce(["topic"])
+    counts = reduce_blocks(rows.map_batches(partial, batch_format="pyarrow"),
+                           ["topic"], final)
+    return counts.sort(["n", "topic"], descending=[True, False])
+
+
+def response_pattern_counts(analysis: rd.Dataset) -> rd.Dataset:
+    """Who responds to whom after being interrupted
+    (interruption_analyzer.py:159-179): only interruption_with_response
+    events, keyed (responder, interrupter)."""
+    def fn(b: pa.Table) -> pa.Table:
+        sel = b.filter(pc.and_(
+            pc.equal(b.column("kind"), "interruption"),
+            pc.equal(b.column("type"), "interruption_with_response")))
+        return sel.select(["responder", "interrupter"])
+
+    rows = analysis.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    partial, final = _count_reduce(["responder", "interrupter"])
+    counts = reduce_blocks(rows.map_batches(partial, batch_format="pyarrow"),
+                           ["responder", "interrupter"], final)
+    return counts.sort(["n", "responder", "interrupter"],
+                       descending=[True, False, False])
+
+
 def interruption_pairs(triples: rd.Dataset) -> rd.Dataset:
     """who-interrupts-whom pair counts, sorted desc (A3)."""
     def fn(batch: pa.Table) -> pa.Table:

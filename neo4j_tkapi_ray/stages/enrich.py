@@ -48,6 +48,26 @@ def build_prop_maps(tables: Dict[str, list]) -> Dict[str, dict]:
     for s in tables["sessions"]:
         props[s["session_id"]] = {"soort": s["soort"], "nummer": str(s["nummer"]),
                                   "entity": "vergadering"}
+    # widened entity families (document_loader.py:148-157,
+    # common_processors.py:75-101 / :158-168 projections)
+    for d in tables.get("reg_documents", []):
+        props[d["document_id"]] = {
+            "dossiernummer": str(d["dossiernummer"]), "toevoeging": d["toevoeging"],
+            "volgnummer": str(d["volgnummer"]), "onderwerp": d["onderwerp"],
+            "datum": str(d["datum"]), "entity": "document",
+        }
+    for b in tables.get("besluiten", []):
+        props[b["besluit_id"]] = {
+            "soort": b["soort"], "status": b["status"], "tekst": b["tekst"],
+            # M15 is_hoofdelijk derivation (common_processors.py:152-156)
+            "is_hoofdelijk": "hoofdelijk" in (b["tekst"] or "").lower(),
+            "entity": "besluit",
+        }
+    for st in tables.get("api_stemmingen", []):
+        props[st["stemming_id"]] = {
+            "soort": st["soort"], "vergissing": bool(st["vergissing"]),
+            "entity": "stemming",
+        }
     return props
 
 

@@ -59,9 +59,28 @@ def mentions_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=schemas.MENTIONS)
 
 
+def analysis_batch(batch: pa.Table) -> pa.Table:
+    from ..emit import emit_analysis_rows
+    rows = []
+    for url, warc_ts, err, doc_json in zip(
+            batch.column("url").to_pylist(), batch.column("warc_ts").to_pylist(),
+            batch.column("error").to_pylist(), batch.column("doc").to_pylist()):
+        if err is not None or doc_json is None:
+            continue
+        rows.extend(emit_analysis_rows(json.loads(doc_json), url, warc_ts))
+    if not rows:
+        return _empty(schemas.ANALYSIS)
+    return pa.Table.from_pylist(rows, schema=schemas.ANALYSIS)
+
+
 def to_triples(linked: rd.Dataset) -> rd.Dataset:
     return linked.map_batches(triples_batch, batch_format="pyarrow")
 
 
 def to_mentions(linked: rd.Dataset) -> rd.Dataset:
     return linked.map_batches(mentions_batch, batch_format="pyarrow")
+
+
+def to_analysis(linked: rd.Dataset) -> rd.Dataset:
+    """A2/A3 analysis rows from linked docs (stateless map stage)."""
+    return linked.map_batches(analysis_batch, batch_format="pyarrow")

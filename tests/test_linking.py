@@ -79,24 +79,24 @@ def test_speaker_near_collision_prefers_higher_score(linker):
 
 
 def test_zaak_tier1_exact(linker):
-    eid, kind, score, mt = linker.match_zaak("36200", "12")
+    eid, kind, score, mt, doc_id = linker.match_zaak("36200", "12")
     assert (eid, kind, score, mt) == ("z1", "zaak", 100.0, "EXACT")
 
 
 def test_zaak_toevoeging_code_falls_to_dossier(linker):
     # '36201-VIII' is not an int -> tier 1 misses (reference semantics:
     # filter_nummer on the zaak's own nummer), dossier fallback hits d2
-    eid, kind, score, mt = linker.match_zaak("36201-VIII", "3")
+    eid, kind, score, mt, doc_id = linker.match_zaak("36201-VIII", "3")
     assert (eid, kind, mt) == ("d2", "dossier", "FALLBACK")
 
 
 def test_zaak_dossier_only_fallback(linker):
-    eid, kind, score, mt = linker.match_zaak("36999", "5")
+    eid, kind, score, mt, doc_id = linker.match_zaak("36999", "5")
     assert (eid, kind, mt) == ("d3", "dossier", "FALLBACK")
 
 
 def test_zaak_no_match(linker):
-    eid, kind, score, mt = linker.match_zaak("11111", "1")
+    eid, kind, score, mt, doc_id = linker.match_zaak("11111", "1")
     assert eid is None and mt == "NO_MATCH"
 
 
@@ -181,3 +181,50 @@ def test_fractie_match(linker):
     assert linker.match_fractie("Groene Unie") == "f1"
     assert linker.match_fractie("gu") == "f1"
     assert linker.match_fractie("Onbekend") is None
+
+
+def test_speaker_actor_priority_tier():
+    """J4 priority-1 (api_extractor.py:134-143): the matched activity's
+    actor roster resolves a speaker BEFORE the global search — an ambiguous
+    surname picks the activity's own actor, not the global best."""
+    idx = _mk_index(activity_actors=[{"activity_id": "a1", "person_id": "p2"}])
+    linker = Linker(idx, EngineConfig.default())
+    # globally 'Berg' resolves exactly to p1; within a1 the actor p2
+    # ('Bergh', fuzzy ratio-20 >= 60) wins the priority tier
+    pid, score, mt = linker.match_speaker("Bram", "Berg", activity_id="a1")
+    assert pid == "p2"
+    # without activity context the global cascade still picks p1
+    pid2, _, _ = linker.match_speaker("Bram", "Berg")
+    assert pid2 == "p1"
+    # an activity without actors falls through to the global cascade
+    pid3, _, _ = linker.match_speaker("Bram", "Berg", activity_id="a2")
+    assert pid3 == "p1"
+    # actor tier failing the >= 60 gate falls through too
+    pid4, _, _ = linker.match_speaker("Carla", "Jansen", activity_id="a1")
+    assert pid4 == "p3"
+
+
+def test_zaak_document_fallback():
+    """J5 tier-2 'also try to find document within this dossier'
+    (api_extractor.py:196-201,257-268)."""
+    idx = _mk_index(reg_documents=[
+        {"document_id": "docA", "dossier_id": "d2", "dossiernummer": 36201,
+         "toevoeging": "VIII", "volgnummer": 3, "onderwerp": "x",
+         "datum": datetime(2024, 1, 1), "zaak_id": "z2"},
+        {"document_id": "docB", "dossier_id": "d3", "dossiernummer": 36999,
+         "toevoeging": "", "volgnummer": 7, "onderwerp": "y",
+         "datum": datetime(2024, 1, 1), "zaak_id": ""},
+    ])
+    linker = Linker(idx, EngineConfig.default())
+    # dossier fallback with matching document (volgnummer == stuknummer)
+    eid, kind, score, mt, doc_id = linker.match_zaak("36201-VIII", "3")
+    assert (eid, kind, mt, doc_id) == ("d2", "dossier", "FALLBACK", "docA")
+    # wrong stuknummer -> dossier fallback without document
+    eid, kind, score, mt, doc_id = linker.match_zaak("36201-VIII", "9")
+    assert (eid, doc_id) == ("d2", "")
+    # tier-1 exact zaak never carries a document id
+    eid, kind, score, mt, doc_id = linker.match_zaak("36200", "12")
+    assert (eid, doc_id) == ("z1", "")
+    # toevoeging-less dossier document
+    eid, kind, score, mt, doc_id = linker.match_zaak("36999", "7")
+    assert (eid, kind, doc_id) == ("d3", "dossier", "docB")

@@ -146,7 +146,7 @@ def test_langid_profiles(ray_session, tmp_path):
 
 def test_media_plumbing(ray_session):
     from neo4j_tkapi_ray.ops.multimodal import (
-        MediaDecodeActor, decode_media, frame_sample, synth_media_dataset)
+        decode_media, frame_sample, synth_media_dataset)
     ds = synth_media_dataset(n=24)
     out = decode_media(ds, decode="fake").to_pandas()
     assert len(out) == 24
@@ -155,11 +155,47 @@ def test_media_plumbing(ray_session):
     out2 = decode_media(synth_media_dataset(n=24), decode="fake").to_pandas()
     assert (np.stack(out.sort_values("media_id").features.to_numpy())
             == np.stack(out2.sort_values("media_id").features.to_numpy())).all()
-    # real decode is an explicit stub at the actor-construction seam
-    with pytest.raises(NotImplementedError):
-        MediaDecodeActor(decode="real")
     frames = frame_sample(synth_media_dataset(n=24)).to_pandas()
     assert len(frames) > 0 and set(frames.columns) == {"media_id", "frame_idx", "frame_bytes"}
+
+
+def test_media_real_decode(ray_session):
+    """De-stubbed codecs: BMP width/height and mean pixel values, WAV
+    sample-rate/duration/RMS, NTRV frame counts — all parsed from the
+    actual bytes inside the actor pool."""
+    from neo4j_tkapi_ray.ops.multimodal import (
+        decode_bmp, decode_media, decode_wav, encode_bmp, encode_wav,
+        synth_media_dataset, synth_media_rows)
+    out = decode_media(synth_media_dataset(n=24), decode="real").to_pandas()
+    assert len(out) == 24 and out.decoded.all()
+    rows = {r["media_id"]: r for r in synth_media_rows(n=24)}
+    import json as _json
+    for _, r in out.iterrows():
+        meta = _json.loads(rows[r.media_id]["meta"])
+        if r.kind == "image":
+            assert (r.width, r.height) == (meta["width"], meta["height"])
+            assert r.duration_s == 0.0
+        elif r.kind == "audio":
+            assert r.width == meta["sample_rate"] and r.height == meta["n_samples"]
+            assert r.duration_s == pytest.approx(meta["n_samples"] / meta["sample_rate"], abs=1e-5)
+            assert r.features[0] > 1000  # sine RMS ~ 12000/sqrt(2)
+        else:
+            assert r.height == meta["n_frames"]
+    # codec unit checks on hand-built payloads
+    w, h, means = decode_bmp(encode_bmp(10, 4, seed=1))
+    assert (w, h) == (10, 4) and all(0 <= m <= 255 for m in means)
+    rate, n, dur, rms = decode_wav(encode_wav(1600, 8000, 440.0))
+    assert (rate, n) == (8000, 1600) and dur == pytest.approx(0.2)
+    assert rms == pytest.approx(12000 / np.sqrt(2), rel=0.01)
+    # corrupted payload -> decoded=False row, batch survives
+    import pyarrow as pa
+    from neo4j_tkapi_ray.ops.multimodal import MEDIA_SCHEMA
+    import ray.data as rd
+    bad = rd.from_arrow(pa.Table.from_pylist(
+        [{"media_id": "x", "kind": "image", "payload": b"junkbytes", "meta": "{}"}],
+        schema=MEDIA_SCHEMA))
+    bout = decode_media(bad, decode="real").to_pandas()
+    assert len(bout) == 1 and not bout.decoded.iloc[0]
 
 
 def test_rollups_over_kg(ray_session, corpus):

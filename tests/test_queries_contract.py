@@ -1,10 +1,10 @@
-"""Driver-contract simulation: every queries() entry runs; each oracle_sql()
-entry matches the Ray result (row count + columns + order-insensitive
-values), exactly as the driver's correctness gate does."""
-
-import math
+"""Driver-contract simulation: every queries() entry runs; every entry now
+has an oracle_sql() entry, and each must match the Ray result (row count +
+columns + order-insensitive values), exactly as the driver's correctness
+gate does."""
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -32,11 +32,22 @@ def _duck():
     return con
 
 
+def _cell(v):
+    """Hashable, representation-stable cell: lists/arrays -> tuples (floats
+    rounded to 6), bytes -> hex."""
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(round(float(x), 6) if isinstance(x, (int, float, np.floating))
+                     else x for x in v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return v
+
+
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            df[c] = df[c].map(_cell).astype(str)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
@@ -53,28 +64,24 @@ def test_entry_smoke(ray_session):
     assert {"subj", "pred", "obj"} <= set(res.columns)
 
 
-@pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
+def test_every_query_has_an_oracle():
+    """Round-2 bar: no more `no_oracle` rows — every queries() entry ships
+    a DuckDB oracle (real SQL or expected-table)."""
+    assert set(entrymod.queries().keys()) == set(entrymod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
 def test_query_matches_oracle(ray_session, con, name):
     q = entrymod.queries()[name]
     ours = _canon(_to_pandas(q(SF_DIR)))
-    theirs = _canon(con.execute(entrymod.oracle_sql()[name]).df())
+    theirs = _canon(con.execute(entrymod.oracle_sql(SF_DIR)[name]).df())
     assert list(ours.columns) == list(theirs.columns), (ours.columns, theirs.columns)
     assert len(ours) == len(theirs), f"row count {len(ours)} vs {len(theirs)}"
     for c in ours.columns:
         a, b = ours[c], theirs[c]
         if a.dtype.kind == "f" or b.dtype.kind == "f":
-            assert ((a - b).abs() < 1e-6).all(), f"column {c} differs"
+            both_nan = a.isna() & b.isna()
+            assert (((a - b).abs() < 1e-6) | both_nan).all(), f"column {c} differs"
         else:
-            assert (a.astype(str).values == b.astype(str).values).all(), f"column {c} differs"
-
-
-def test_all_queries_run(ray_session):
-    """Rows-only check for the non-SQL entries (driver's weaker gate)."""
-    qs = entrymod.queries()
-    sql_names = set(entrymod.oracle_sql())
-    for name, fn in qs.items():
-        if name in sql_names:
-            continue
-        df = _to_pandas(fn(SF_DIR))
-        assert df is not None and len(df) >= 0, name
-        assert len(df.columns) > 0, name
+            assert (a.astype(str).values == b.astype(str).values).all(), \
+                f"column {c} differs"
