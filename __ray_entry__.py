@@ -212,6 +212,18 @@ def _kg_registry_edges(sf_dir: str):
     return registry_edges(c["dir"])
 
 
+def _kg_person_gifts(sf_dir: str):
+    from neo4j_tkapi_ray.ops.nested import person_gifts
+    c = _kg_corpus(sf_dir)
+    return person_gifts(c["persons"])
+
+
+def _kg_nevenfunctie_incomes(sf_dir: str):
+    from neo4j_tkapi_ray.ops.nested import nevenfunctie_incomes
+    c = _kg_corpus(sf_dir)
+    return nevenfunctie_incomes(c["persons"])
+
+
 def _dedup_exact(sf_dir: str):
     from neo4j_tkapi_ray.ops.dedup import exact_dedup
     return exact_dedup(sf_dir).select_columns(["doc_id", "n_copies"])
@@ -250,6 +262,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_docs_text": _kg_docs_text,
         "kg_analysis_rows": _kg_analysis_rows,
         "kg_registry_edges": _kg_registry_edges,
+        "kg_person_gifts": _kg_person_gifts,
+        "kg_nevenfunctie_incomes": _kg_nevenfunctie_incomes,
         "kg_vote_rollup": _kg_vote_rollup,
         "kg_topic_consensus": _kg_topic_consensus,
         "kg_interruption_pairs": _kg_interruption_pairs,
@@ -387,6 +401,29 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
             GROUP BY responder, interrupter
         """,
         "kg_registry_edges": _registry_edges_sql(cd),
+        # nested list<struct> flattening re-derived with UNNEST (the
+        # PersoonGeschenk / PersoonNevenfunctie / Inkomsten child entities)
+        "kg_person_gifts": f"""
+            SELECT person_id,
+                   CAST(generate_subscripts(geschenken, 1) - 1 AS BIGINT)
+                       AS gift_idx,
+                   unnest(geschenken).omschrijving AS omschrijving,
+                   unnest(geschenken).waarde AS waarde,
+                   CAST(epoch(unnest(geschenken).datum) AS BIGINT)
+                       AS datum_epoch
+            FROM read_parquet('{cd}/persons.parquet')
+        """,
+        "kg_nevenfunctie_incomes": f"""
+            WITH nf AS (
+                SELECT person_id,
+                       CAST(generate_subscripts(nevenfuncties, 1) - 1 AS BIGINT)
+                           AS func_idx,
+                       unnest(nevenfuncties) AS f
+                FROM read_parquet('{cd}/persons.parquet'))
+            SELECT person_id, func_idx, f.omschrijving AS omschrijving,
+                   CAST(i.jaar AS BIGINT) AS jaar, i.bedrag AS bedrag
+            FROM nf, unnest(f.inkomsten) AS u(i)
+        """,
     }
 
     ops = {name: op(name) for name in

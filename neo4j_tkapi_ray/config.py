@@ -99,6 +99,7 @@ class RayExecConfig:
     single-process; cf. SURVEY.md §4)."""
 
     extract_batch_size: int = 64          # pages per extract batch (html rows are wide)
+    extract_num_cpus: float = 0.9         # per extract task (≠ linker args -> no fusion)
     link_batch_size: int = 64             # docs per linker batch
     link_concurrency: int = 8             # linker actor-pool size (scaled to cluster)
     canonical_salt_buckets: int = 16      # head-entity skew fan-out (SURVEY §4 skew)

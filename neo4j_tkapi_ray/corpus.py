@@ -83,7 +83,7 @@ SENTENCE_WORDS = [
     "gelijk", "dat", "er", "meer", "aandacht", "nodig", "is",
 ]
 
-CORPUS_VERSION = "v3"  # bump to invalidate cached generated corpora
+CORPUS_VERSION = "v4"  # bump to invalidate cached generated corpora
 SHARD_SESSIONS = 250   # sessions per pages shard file (and per gen task)
 
 
@@ -97,9 +97,25 @@ def _gen_registry(rng: random.Random, n_sessions: int) -> Dict[str, list]:
         for i, (naam, afk) in enumerate(PARTY_NAMES)
     ]
 
+    base = datetime(2024, 1, 8, 0, 0, 0)
+
     n_persons = max(40, min(400, n_sessions * 2))
     persons = []
+    gift_words = ["boek", "fles wijn", "schilderij", "toegangskaart", "pen"]
+    func_words = ["bestuurslid", "adviseur", "docent", "commissaris"]
     for i in range(n_persons):
+        # nested property lists (reference persoon_processor.py:64-167)
+        geschenken = [{
+            "omschrijving": f"{rng.choice(gift_words)} {rng.randrange(100)}",
+            "waarde": round(rng.uniform(5, 250), 2),
+            "datum": base + timedelta(days=rng.randrange(260)),
+        } for _ in range(rng.randrange(3))]
+        nevenfuncties = [{
+            "omschrijving": f"{rng.choice(func_words)} {rng.randrange(100)}",
+            "inkomsten": [{"jaar": 2023 + rng.randrange(2),
+                           "bedrag": round(rng.uniform(100, 9000), 2)}
+                          for _ in range(rng.randrange(3))],
+        } for _ in range(rng.randrange(3))]
         persons.append({
             "person_id": f"p{i:05d}",
             "voornamen": rng.choice(FIRSTNAME_POOL) + " " + rng.choice(FIRSTNAME_POOL),
@@ -107,9 +123,9 @@ def _gen_registry(rng: random.Random, n_sessions: int) -> Dict[str, list]:
             "tussenvoegsel": rng.choice(TUSSEN_POOL),
             "achternaam": rng.choice(SURNAME_POOL),
             "fractie_id": rng.choice(parties)["fractie_id"],
+            "geschenken": geschenken,
+            "nevenfuncties": nevenfuncties,
         })
-
-    base = datetime(2024, 1, 8, 0, 0, 0)
     sessions, activities = [], []
     act_counter = 0
     for i in range(n_sessions):

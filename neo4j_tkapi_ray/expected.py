@@ -170,8 +170,12 @@ def _topic_patterns_rows(analysis_rows: List[dict]) -> List[dict]:
 def ensure_kg_expected(corpus_dir: str) -> Dict[str, str]:
     """Write all expected_* tables for a generated corpus (idempotent,
     cached under a version marker). Returns {name: path}."""
+    from .corpus import CORPUS_VERSION
     paths = {n: os.path.join(corpus_dir, f"{n}.parquet") for n in KG_EXPECTED}
-    marker = os.path.join(corpus_dir, f".expected-{EXPECTED_VERSION}")
+    # marker ties to BOTH versions: regenerating the corpus in place must
+    # invalidate previously cached expected tables
+    marker = os.path.join(corpus_dir,
+                          f".expected-{EXPECTED_VERSION}-{CORPUS_VERSION}")
     if os.path.exists(marker):
         return paths
 

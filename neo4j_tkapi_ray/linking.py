@@ -142,11 +142,16 @@ class RegistryIndex:
         from .sources.pages import read_registry_tables
         return cls(read_registry_tables(registry_dir))
 
-    def activities_in_window(self, start: datetime, end: datetime, cap: int) -> List[dict]:
-        """J2: activities with begin in [start, end], begin-sorted, capped."""
+    def activities_in_window(self, start: datetime, end: datetime, cap: int
+                             ) -> Tuple[int, int]:
+        """J2: index window [lo, hi) of activities with begin in
+        [start, end], begin-sorted, capped. Candidates are addressed by
+        position into the struct-of-arrays (``cand_soa``), never as dict
+        rows — the dict form is dropped after precompute to keep the
+        broadcast index compact."""
         lo = bisect.bisect_left(self._act_begins, start)
         hi = bisect.bisect_right(self._act_begins, end)
-        return self.activities[lo:hi][:cap]
+        return lo, min(hi, lo + cap)
 
 
 class NameEmbeddingIndex:
@@ -194,18 +199,58 @@ def zlib_crc32(s: str) -> int:
 
 
 def precompute_candidate_invariants(index: RegistryIndex, cfg: EngineConfig) -> None:
-    """Attach per-candidate scoring invariants (UTC times — to_utc was 4
-    calls per (mention, candidate) pair otherwise — and lowered soort).
-    Idempotent; run ONCE on the driver before broadcasting the index so
-    every linker actor skips this work at spawn."""
-    acts = index.activities
-    if acts and "_begin_utc" in acts[0]:
+    """Build the candidate struct-of-arrays ONCE on the driver before
+    broadcasting the index.
+
+    Memory/locality design (round-2): the activity dimension is the big
+    index (450k rows at the 100k-session bench corpus). Per-candidate
+    scoring state lives in numpy arrays + flat string lists instead of
+    450k per-activity dicts with datetime objects — the numpy arrays
+    deserialize ZERO-COPY from the plasma broadcast, so all linker actors
+    on a node share one physical copy instead of 26 private dict forests
+    (the per-actor heap pressure was a measured drag on the 32-CPU leg).
+    Idempotent."""
+    import numpy as np
+    if getattr(index, "cand_soa", None) is not None:
         return
+    acts = index.activities
     off = cfg.time.local_timezone_offset_hours
-    for a in acts:
-        a["_begin_utc"] = to_utc(a["begin"], off)
-        a["_einde_utc"] = to_utc(a["einde"], off)
-        a["_soort_l"] = (a.get("soort") or "").lower()
+    prefix_re = build_prefix_regex(cfg.matching.common_topic_prefixes)
+    n = len(acts)
+    begin = np.full(n, np.nan)
+    einde = np.full(n, np.nan)
+    soort_l: List[str] = []
+    ond_l: List[str] = []
+    napi: List[str] = []
+    ids: List[str] = []
+    norm_cache: Dict[str, str] = {}
+    for i, a in enumerate(acts):
+        bu = to_utc(a["begin"], off)
+        eu = to_utc(a["einde"], off)
+        if bu is not None:
+            begin[i] = bu.timestamp()
+        if eu is not None:
+            einde[i] = eu.timestamp()
+        soort_l.append((a.get("soort") or "").lower())
+        ond = (a.get("onderwerp") or "").lower()
+        ond_l.append(ond)
+        got = norm_cache.get(ond)
+        if got is None:
+            got = normalize_topic(ond, prefix_re)
+            norm_cache[ond] = got
+        napi.append(got)
+        ids.append(a["activity_id"])
+    # soort as small-vocab ids -> pairwise score rows memoize per xml soort
+    vocab = sorted(set(soort_l))
+    vid = {s: i for i, s in enumerate(vocab)}
+    index.cand_soa = {
+        "begin": begin, "einde": einde, "soort_id": np.fromiter(
+            (vid[s] for s in soort_l), dtype=np.int32, count=n),
+        "soort_vocab": vocab, "ond": ond_l, "napi": napi, "ids": ids,
+    }
+    # the per-activity dict rows are no longer addressed anywhere on the
+    # hot path — drop them so the broadcast object ships only the SoA
+    index.activities = None
 
 
 class Linker:
@@ -218,6 +263,7 @@ class Linker:
         self._norm_cache: Dict[str, str] = {}
         self._speaker_cache: Dict[tuple, tuple] = {}
         self._actor_cache: Dict[tuple, tuple] = {}
+        self._name_score_cache: Dict[tuple, int] = {}
         self._soort_cache: Dict[tuple, float] = {}
         precompute_candidate_invariants(index, cfg)
         self._emb_index: Optional[NameEmbeddingIndex] = (
@@ -260,31 +306,36 @@ class Linker:
         return out[0] if out else None
 
     # ------------------------------------------------------------------ J2
-    def candidate_activities(self, session: dict) -> List[dict]:
+    def candidate_activities(self, session: dict) -> Tuple[int, int]:
+        """Returns the [lo, hi) candidate window into ``idx.cand_soa``."""
         buf = self.cfg.time.api_time_buffer
         return self.idx.activities_in_window(
             session["begin"] - buf, session["einde"] + buf,
             self.cfg.processing.max_candidate_activities)
 
     # ------------------------------------------------------------------ J3
-    def match_activity(self, act: dict, candidates: List[dict], session: dict
+    def match_activity(self, act: dict, window: Tuple[int, int], session: dict
                        ) -> Tuple[Optional[str], float, str]:
         """Returns (activity_id | None, best_score, match_type).
 
         Exact branch-and-bound over the reference scoring: cheap components
-        (time, soort, exact-topic equality) are computed for every candidate;
-        the O(n^2) fuzzy ratios run only for candidates whose score UPPER
-        BOUND can still affect the top-2 values or the first-of-equals
+        (time, soort, exact-topic equality) are computed for every candidate
+        — time + soort fully VECTORIZED over the struct-of-arrays window —
+        and the O(n^2) fuzzy ratios run only for candidates whose score
+        UPPER BOUND can still affect the top-2 values or the first-of-equals
         tie-break. The final (best activity, best score, runner-up score,
         accept decision) are bit-identical to scoring every candidate — the
         reference's argmax-with-margin semantics (activity_matcher.py:26-91,
         252-265) over <=200 candidates is preserved at a fraction of the
         fuzzy-ratio calls.
         """
+        import numpy as np
         m = self.cfg.matching
-        n = len(candidates)
-        if n == 0:
+        lo, hi = window
+        n = hi - lo
+        if n <= 0:
             return None, 0.0, "NO_MATCH"
+        soa = self.idx.cand_soa
         xml_start = parse_xml_datetime(act.get("start_time"))
         xml_end = parse_xml_datetime(act.get("end_time"))
         xml_ond = (act.get("onderwerp") or "").lower()
@@ -301,14 +352,33 @@ class Linker:
         xs_u = to_utc(xs, off)
         xe_u = to_utc(xe, off)
 
+        # time proximity (activity_matcher.py:125-163), vectorized over the
+        # window's epoch arrays; NaN = candidate without times -> 0
+        base = np.zeros(n)
+        if xs_u is not None and xe_u is not None:
+            cb = soa["begin"][lo:hi]
+            ce = soa["einde"][lo:hi]
+            xs_e, xe_e = xs_u.timestamp(), xe_u.timestamp()
+            with np.errstate(invalid="ignore"):
+                start_close = np.abs(xs_e - cb) <= m.time_start_proximity_tolerance_seconds
+                buf = float(m.time_general_overlap_buffer_seconds)
+                overlap = np.maximum(xs_e, cb - buf) < np.minimum(xe_e, ce + buf)
+            valid = ~(np.isnan(cb) | np.isnan(ce))
+            base = np.where(valid & start_close, m.score_time_start_proximity,
+                            np.where(valid & overlap, m.score_time_overlap_only,
+                                     0.0))
+        # soort score (activity_matcher.py:165-205): one memoized row per
+        # xml soort over the tiny api-soort vocabulary
+        base = base + self._soort_row(xml_s)[soa["soort_id"][lo:hi]]
+
+        napis = soa["napi"]
+        onds = soa["ond"]
         cheap = [0.0] * n       # exact part: time + soort + equal-topic
         fuzzy_ub = [0.0] * n    # max possible from the fuzzy comparisons
-        napis = [""] * n
-        for i, cand in enumerate(candidates):
-            c = self._time_soort_score(xs_u, xe_u, xml_s, cand)
-            api_ond = (cand.get("onderwerp") or "").lower()
-            napi = self._norm(api_ond)
-            napis[i] = napi
+        for i in range(n):
+            c = float(base[i])
+            api_ond = onds[lo + i]
+            napi = napis[lo + i]
             fub = 0.0
             if xml_ond and api_ond:
                 if nxo == napi:
@@ -330,8 +400,7 @@ class Linker:
             if ub < best2_val or (ub == best2_val and ub < best1_val):
                 break  # sorted desc: no remaining candidate can change top-2
             s = cheap[i] + self._fuzzy_topic_score(
-                nxo, nxt, napis[i], xml_ond, xml_tit,
-                bool((candidates[i].get("onderwerp") or "")))
+                nxo, nxt, napis[lo + i], xml_ond, xml_tit, bool(onds[lo + i]))
             if s > best1_val:
                 best2_val = best1_val
                 best1_val, best1_idx = s, i
@@ -349,49 +418,35 @@ class Linker:
             accept = (best1_val - best2_val >= 1.0 and best1_val >= 1.0)
         if accept and best1_idx is not None:
             mt = "EXACT" if best1_val >= m.min_match_score_for_activiteit + 2 else "FUZZY"
-            return candidates[best1_idx]["activity_id"], best1_val, mt
+            return soa["ids"][lo + best1_idx], best1_val, mt
         return None, best1_val, "NO_MATCH"
 
-    def _time_soort_score(self, xs_u, xe_u, xml_s: str, cand: dict) -> float:
-        m = self.cfg.matching
-        score = 0.0
+    def _soort_row(self, xml_s: str):
+        """Per-xml-soort score row over the api-soort vocabulary
+        (activity_matcher.py:165-205 semantics, unchanged)."""
+        import numpy as np
+        row = self._soort_cache.get(xml_s)
+        if row is None:
+            m = self.cfg.matching
 
-        # time proximity (activity_matcher.py:125-163); candidate UTC times
-        # precomputed in __init__
-        cb_u = cand.get("_begin_utc")
-        ce_u = cand.get("_einde_utc")
-        if xs_u and cb_u and ce_u:
-            start_diff = abs((xs_u - cb_u).total_seconds())
-            start_close = start_diff <= m.time_start_proximity_tolerance_seconds
-            buf = timedelta(seconds=m.time_general_overlap_buffer_seconds)
-            overlap = max(xs_u, cb_u - buf) < min(xe_u, ce_u + buf)
-            if start_close:
-                score += m.score_time_start_proximity
-            elif overlap:
-                score += m.score_time_overlap_only
-
-        # soort (activity_matcher.py:165-205) — memoized: both sides draw
-        # from small vocabularies, so the pair space is tiny
-        api_s = cand.get("_soort_l") or (cand.get("soort") or "").lower()
-        key = (xml_s, api_s)
-        s = self._soort_cache.get(key)
-        if s is None:
-            s = 0.0
-            if xml_s and api_s:
+            def pair(api_s: str) -> float:
+                if not (xml_s and api_s):
+                    return 0.0
                 if xml_s == api_s:
-                    s = m.score_soort_exact
-                elif xml_s in api_s:
-                    s = m.score_soort_partial_xml_in_api
-                elif api_s in xml_s:
-                    s = m.score_soort_partial_api_in_xml
-                else:
-                    for main_soort, aliases in SOORT_ALIASES.items():
-                        if xml_s == main_soort and any(a in api_s for a in aliases):
-                            s = m.score_soort_partial_xml_in_api
-                            break
-            if len(self._soort_cache) < 100_000:
-                self._soort_cache[key] = s
-        return score + s
+                    return m.score_soort_exact
+                if xml_s in api_s:
+                    return m.score_soort_partial_xml_in_api
+                if api_s in xml_s:
+                    return m.score_soort_partial_api_in_xml
+                for main_soort, aliases in SOORT_ALIASES.items():
+                    if xml_s == main_soort and any(a in api_s for a in aliases):
+                        return m.score_soort_partial_xml_in_api
+                return 0.0
+
+            row = np.array([pair(v) for v in self.idx.cand_soa["soort_vocab"]])
+            if len(self._soort_cache) < 10_000:
+                self._soort_cache[xml_s] = row
+        return row
 
     def _fuzzy_topic_score(self, nxo: str, nxt: str, napi: str,
                            xml_ond: str, xml_tit: str, api_nonempty: bool) -> float:
@@ -481,13 +536,27 @@ class Linker:
         mt = "EXACT" if score >= 90 else "FUZZY"
         return person["person_id"], score, mt
 
+    def _person_score(self, voornaam: str, achternaam: str, p: dict) -> int:
+        """name_similarity memoized per (surface, person): the person pool
+        is a small dimension, and the actor-priority tier re-scores the
+        same few persons across ~every activity roster — without this memo
+        the tier costs ~2-3 ms/doc in fresh fuzzy ratios."""
+        key = (voornaam, achternaam, p["person_id"])
+        s = self._name_score_cache.get(key)
+        if s is None:
+            s = name_similarity(voornaam, achternaam, p["achternaam"],
+                                p["tussenvoegsel"], p["roepnaam"], p["voornamen"],
+                                self.cfg.matching.fuzzy_firstname_threshold)
+            if len(self._name_score_cache) < 1_000_000:
+                self._name_score_cache[key] = s
+        return s
+
     def _best_person(self, voornaam: str, achternaam: str, candidates: List[dict]
                      ) -> Optional[Tuple[dict, int]]:
         m = self.cfg.matching
         best_p, best_s = None, 0
         for p in candidates:
-            s = name_similarity(voornaam, achternaam, p["achternaam"], p["tussenvoegsel"],
-                                p["roepnaam"], p["voornamen"], m.fuzzy_firstname_threshold)
+            s = self._person_score(voornaam, achternaam, p)
             if s > best_s:
                 best_s, best_p = s, p
         if best_p is not None and best_s >= m.min_speaker_similarity_score:
@@ -571,13 +640,13 @@ def link_doc(doc: dict, linker: Linker) -> dict:
     out = dict(doc)
     session = linker.find_canonical_session(doc)
     out["session_id"] = session["session_id"] if session else ""
-    candidates = linker.candidate_activities(session) if session else []
+    window = linker.candidate_activities(session) if session else (0, 0)
 
     linked_acts = []
     for act in doc.get("activities", []):
         a = dict(act)
         if session:
-            aid, score, mt = linker.match_activity(act, candidates, session)
+            aid, score, mt = linker.match_activity(act, window, session)
         else:
             aid, score, mt = None, 0.0, "NO_MATCH"
         a["api_activity_id"] = aid or ""

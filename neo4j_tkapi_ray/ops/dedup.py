@@ -192,7 +192,9 @@ def minhash_lsh_pairs(sf_dir: str, n_perm: int = 64, bands: int = 16,
         return pa.table({"a": g.column("a"), "b": g.column("b"),
                          "n_bands": g.column("a_count").cast(pa.int64())})
 
-    cand = reduce_blocks(cand, ["a", "b"], pair_dedup)
+    # pair-level reduces are near-dup-rate bounded: skip the coalesce
+    # pre-pass (pure fixed latency on small streams)
+    cand = reduce_blocks(cand, ["a", "b"], pair_dedup, coalesce_rows=None)
 
     # verification: exact Jaccard over the candidate pairs. Scale-safe join
     # shape (VERDICT r1 "What's wrong" #2 — no full-table text broadcast):
@@ -207,6 +209,12 @@ def minhash_lsh_pairs(sf_dir: str, n_perm: int = 64, bands: int = 16,
 def _attach_texts_and_verify(cand: rd.Dataset, sf_dir: str,
                              jaccard_threshold: float) -> rd.Dataset:
     import ray as _ray
+
+    # materialize the (small) candidate pair set ONCE: it is consumed twice
+    # (id collection + join hop A) and is the tail of the whole
+    # shingle->minhash->banding chain — leaving it lazy re-executes that
+    # chain per consumer
+    cand = cand.materialize()
 
     id_pdf = cand.map_batches(
         lambda b: pa.table({"doc_id": pa.chunked_array(
@@ -263,7 +271,7 @@ def _attach_texts_and_verify(cand: rd.Dataset, sf_dir: str,
     hop_a = reduce_blocks(cand.map_batches(pair_rows_a, batch_format="pyarrow")
                           .union(docs_needed),
                           ["key"], lambda df: join_hop(df, "text"),
-                          batch_format="pandas")
+                          batch_format="pandas", coalesce_rows=None)
 
     def rekey_b(batch: pa.Table) -> pa.Table:
         return pa.table({"key": batch.column("b"), "a": batch.column("a"),
@@ -273,7 +281,7 @@ def _attach_texts_and_verify(cand: rd.Dataset, sf_dir: str,
     hop_b = reduce_blocks(hop_a.map_batches(rekey_b, batch_format="pyarrow")
                           .union(docs_needed),
                           ["key"], lambda df: join_hop(df, "peer_text"),
-                          batch_format="pandas")
+                          batch_format="pandas", coalesce_rows=None)
 
     def verify(batch: pa.Table) -> pa.Table:
         cache: dict = {}
@@ -383,8 +391,10 @@ def neardup_groups(sf_dir: str, jaccard_threshold: float = 0.7,
             return pd.concat([out, keep], ignore_index=True).astype(
                 {"node": "int64", "label": "int64"})
 
-        proposals = reduce_blocks(mixed, ["node"], propose, batch_format="pandas")
-        new_labels = reduce_blocks(proposals, ["node"], label_min).materialize()
+        proposals = reduce_blocks(mixed, ["node"], propose,
+                                  batch_format="pandas", coalesce_rows=None)
+        new_labels = reduce_blocks(proposals, ["node"], label_min,
+                                   coalesce_rows=None).materialize()
 
         # distributed convergence check: exchange-join old/new labels by
         # node and count mismatches per block; the driver receives ONE
@@ -408,7 +418,8 @@ def neardup_groups(sf_dir: str, jaccard_threshold: float = 0.7,
         both = labels.map_batches(tag(0), batch_format="pyarrow").union(
             new_labels.map_batches(tag(1), batch_format="pyarrow"))
         changed = int(reduce_blocks(both, ["node"], diff_count,
-                                    batch_format="pandas").sum("changed") or 0)
+                                    batch_format="pandas",
+                                    coalesce_rows=None).sum("changed") or 0)
         labels = new_labels
         if changed == 0:
             break
@@ -493,7 +504,7 @@ def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
         return pa.table({"a": g.column("a"), "b": g.column("b"),
                          "hamming": g.column("hamming_min").cast(pa.int64())})
 
-    return reduce_blocks(cand, ["a", "b"], pair_min)
+    return reduce_blocks(cand, ["a", "b"], pair_min, coalesce_rows=None)
 
 
 # ---------------------------------------------------------------------------

@@ -18,6 +18,14 @@ PAGES = pa.schema([
 ])
 
 # Entity registry ("the canonical API side" — link targets).
+# Nested list<struct> property lists mirror the reference's persoon nesting
+# (persoon_processor.py:64-167: geschenken, nevenfuncties -> inkomsten).
+GESCHENK = pa.struct([("omschrijving", pa.string()),
+                      ("waarde", pa.float64()),
+                      ("datum", pa.timestamp("us"))])
+INKOMST = pa.struct([("jaar", pa.int32()), ("bedrag", pa.float64())])
+NEVENFUNCTIE = pa.struct([("omschrijving", pa.string()),
+                          ("inkomsten", pa.list_(INKOMST))])
 PERSONS = pa.schema([
     ("person_id", pa.string()),
     ("voornamen", pa.string()),
@@ -25,6 +33,8 @@ PERSONS = pa.schema([
     ("tussenvoegsel", pa.string()),
     ("achternaam", pa.string()),
     ("fractie_id", pa.string()),
+    ("geschenken", pa.list_(GESCHENK)),
+    ("nevenfuncties", pa.list_(NEVENFUNCTIE)),
 ])
 
 PARTIES = pa.schema([

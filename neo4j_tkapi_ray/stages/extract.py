@@ -51,15 +51,15 @@ def make_extract_fn(procedural_types: List[str]):
 def extract_docs(pages: rd.Dataset, cfg: EngineConfig) -> rd.Dataset:
     """Stateless task stage: html column is dropped on output (SURVEY §7.5
     risk 6 — wide binary rows must not travel past extraction)."""
-    # num_cpus=0.9: slightly under a full CPU (honest for the lighter
-    # parse-only stage) and — deliberately — different remote args than the
-    # downstream linker pool, which PREVENTS operator fusion: fused, the
-    # extract work would run inside the scarce linker actors; unfused it
-    # runs in the elastic task pool on leftover CPUs (~10% end-to-end win)
+    # num_cpus slightly under a full CPU (honest for the lighter parse-only
+    # stage) and — deliberately — different remote args than the downstream
+    # linker pool, which PREVENTS operator fusion: fused, the extract work
+    # would run inside the scarce linker actors; unfused it runs in the
+    # elastic task pool on leftover CPUs (~10% end-to-end win)
     return pages.map_batches(
         make_extract_fn(cfg.processing.procedural_activity_types),
         batch_format="pyarrow",
         batch_size=cfg.ray.extract_batch_size,
         zero_copy_batch=True,
-        num_cpus=0.9,
+        num_cpus=cfg.ray.extract_num_cpus,
     )

@@ -1,0 +1,107 @@
+"""A2/A3 analysis rows + registry-edge projection semantics."""
+
+from datetime import datetime
+
+import pandas as pd
+import pytest
+
+from neo4j_tkapi_ray.emit import emit_analysis_rows
+
+
+def _linked_doc():
+    sp = {"voornaam": "Anna", "achternaam": "Berg", "fractie": "GU",
+          "fragment_id": "a1_frag_1", "speech_preview": "x",
+          "person_id": "p1", "score": 100, "match_type": "EXACT",
+          "persoon_name": "Anna Berg"}
+    sp2 = {**sp, "voornaam": "Bram", "achternaam": "Vos", "person_id": "p2",
+           "persoon_name": "Bram Vos"}
+    sp3 = {**sp, "voornaam": "Zed", "achternaam": "Qqq", "person_id": "",
+           "match_type": "NO_MATCH", "persoon_name": ""}
+    return {
+        "object_id": "doc1", "activities": [{
+            "object_id": "a1", "api_activity_id": "api_a1",
+            "activity_score": 10.0, "activity_match_type": "EXACT",
+            "speaker_matches": [sp, sp2, sp3],
+            "zaak_matches": [
+                {"dossiernummer": "36200", "stuknummer": "1", "titel": "Topic A",
+                 "entity_id": "z1", "entity_kind": "zaak", "score": 100.0,
+                 "match_type": "EXACT", "source": "xml",
+                 "direct_speaker_matches": []},
+                {"dossiernummer": "9", "stuknummer": "9", "titel": "miss",
+                 "entity_id": "", "entity_kind": "", "score": 0.0,
+                 "match_type": "NO_MATCH", "source": "xml",
+                 "direct_speaker_matches": []},
+            ],
+            "vote_links": [{
+                "titel": "Stemming", "besluitvorm": "Hoofdelijk",
+                "uitslag": "Aangenomen",
+                "fracties": [
+                    {"fractie": "GU", "vote": "Voor", "vote_normalized": "voor",
+                     "fractie_id": "f1"},
+                    {"fractie": "Onbekend", "vote": "Tegen",
+                     "vote_normalized": "tegen", "fractie_id": ""},
+                ]}],
+            # A->B->A with response (a1: p1, p2, p1) then unlinked speaker
+            "sequence": [
+                {"frag": 1, "voornaam": "Anna", "achternaam": "Berg", "speech_len": 10},
+                {"frag": 2, "voornaam": "Bram", "achternaam": "Vos", "speech_len": 9},
+                {"frag": 3, "voornaam": "Anna", "achternaam": "Berg", "speech_len": 8},
+                {"frag": 4, "voornaam": "Zed", "achternaam": "Qqq", "speech_len": 7},
+            ],
+        }],
+    }
+
+
+def test_emit_analysis_rows_semantics():
+    rows = emit_analysis_rows(_linked_doc(), "u1", datetime(2024, 1, 1))
+    df = pd.DataFrame(rows)
+
+    votes = df[df.kind == "vote"]
+    # one row per (event, fractie) incl. the unlinked fractie
+    assert len(votes) == 2
+    assert set(votes.vote) == {"voor", "tegen"}
+    assert votes.is_hoofdelijk.all()  # M15: besluitvorm contains 'hoofdelijk'
+    assert (votes[votes.fractie_naam == "GU"].fractie_id == "f1").all()
+    assert (votes[votes.fractie_naam == "Onbekend"].fractie_id == "").all()
+
+    vt = df[df.kind == "vote_topic"]
+    # topics = successful zaak titles only ('miss' failed to link)
+    assert set(vt.topic) == {"Topic A"}
+    assert len(vt) == 2  # 2 votes x 1 topic
+
+    ints = df[df.kind == "interruption"]
+    # sequence p1,p2,p1,unlinked: i=2 is p2 interrupted by... walk: i=1
+    # (p1,p2,p1) -> with_response; i=2 (p2,p1,unlinked-sm) -> simple
+    assert sorted(ints.type) == ["interruption_with_response",
+                                 "simple_interruption"]
+    wr = ints[ints.type == "interruption_with_response"].iloc[0]
+    assert (wr.interrupter, wr.interrupted, wr.responder) == ("p2", "p1", "p1")
+
+    it = df[df.kind == "interruption_topic"]
+    assert set(it.topic) == {"Topic A"} and len(it) == 2
+
+
+def test_registry_edges_projection(ray_session, corpus):
+    from neo4j_tkapi_ray.stages.registry_edges import (
+        REGISTRY_REL_MAP, registry_edges)
+    df = registry_edges(corpus["dir"]).to_pandas()
+    assert set(df.columns) == {"subj", "subj_label", "pred", "obj", "obj_label"}
+    preds = set(df.pred)
+    # J9 self-referential edges actually exercised now
+    assert "REPLACED_BY" in preds
+    rb = df[df.pred == "REPLACED_BY"]
+    assert (rb.subj_label == "Zaak").all() and (rb.obj_label == "Zaak").all()
+    assert (rb.subj != rb.obj).all()
+    # every declared relation type with source data shows up
+    assert {"HAS_DOSSIER", "HAS_ACTIVITEIT", "HAS_ACT_ACTOR", "HAS_FRACTIE",
+            "REFERS_TO_ZAAK", "ABOUT_ZAAK", "HAS_STEMMING",
+            "REPRESENTS_FRACTIE_VOTE", "BELONGS_TO_ACTIVITEIT"} <= preds
+    # spot-check one projection against the raw table
+    cases = pd.read_parquet(f"{corpus['dir']}/cases.parquet")
+    exp = cases[cases.vervangen_door != ""]
+    got = rb.sort_values("subj").reset_index(drop=True)
+    assert list(got.subj) == sorted(exp.zaak_id)
+    # no empty endpoints anywhere
+    assert (df.subj != "").all() and (df.obj != "").all()
+    # rel map is total: every entry names a real table column pair
+    assert len(REGISTRY_REL_MAP) == 11

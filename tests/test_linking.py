@@ -104,12 +104,12 @@ def test_session_and_activity_match(linker):
     doc = {"soort": "Plenair", "nummer": "7", "datum": "2024-05-13T00:00:00"}
     s = linker.find_canonical_session(doc)
     assert s and s["session_id"] == "s1"
-    cands = linker.candidate_activities(s)
-    assert [c["activity_id"] for c in cands] == ["a1", "a2"]
+    lo, hi = linker.candidate_activities(s)
+    assert linker.idx.cand_soa["ids"][lo:hi] == ["a1", "a2"]
     act = {"soort": "Debat", "titel": "wijziging begroting onderwijs",
            "onderwerp": "wijziging begroting onderwijs",
            "start_time": "2024-05-13T10:06:00", "end_time": "2024-05-13T11:00:00"}
-    aid, score, mt = linker.match_activity(act, cands, s)
+    aid, score, mt = linker.match_activity(act, (lo, hi), s)
     assert aid == "a1"
     # exact topic (4.0) + soort exact (2.0) + time proximity (3.0) + titel exact (1.5)
     assert score == pytest.approx(10.5)
@@ -119,12 +119,12 @@ def test_session_and_activity_match(linker):
 def test_activity_margin_rule(linker):
     """Accept below threshold when >= 1.0 ahead of runner-up (and >= 1.0)."""
     s = linker.idx.sessions[0]
-    cands = linker.candidate_activities(s)
+    window = linker.candidate_activities(s)
     act = {"soort": "", "titel": "", "onderwerp": "",
            # close to a1's start but no topic/soort signals -> 3.0 time-only...
            # use a start 20 min away so only overlap (1.5) for a1, nothing for a2
            "start_time": "2024-05-13T10:25:00", "end_time": "2024-05-13T10:40:00"}
-    aid, score, mt = linker.match_activity(act, cands, s)
+    aid, score, mt = linker.match_activity(act, window, s)
     assert aid == "a1" and score == pytest.approx(1.5) and mt == "FUZZY"
 
 
