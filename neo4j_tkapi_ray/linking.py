@@ -23,7 +23,6 @@ implementation, two execution models.
 
 from __future__ import annotations
 
-import bisect
 from datetime import datetime, timedelta
 from typing import Dict, List, Optional, Tuple
 
@@ -40,6 +39,19 @@ from .functions.textkit import (
     split_dossier_code,
     to_utc,
 )
+
+_EPOCH0 = datetime(1970, 1, 1)
+
+
+def naive_epoch(dt: datetime) -> float:
+    """Naive datetime -> epoch seconds, timezone-free (never .timestamp()
+    on naive values — that would apply the process's local zone)."""
+    return (dt - _EPOCH0).total_seconds()
+
+
+def epoch_naive(e: float) -> datetime:
+    return _EPOCH0 + timedelta(seconds=e)
+
 
 # soort aliases — reference activity_matcher.py:193-197
 SOORT_ALIASES = {
@@ -58,18 +70,42 @@ class RegistryIndex:
     """
 
     def __init__(self, tables: Dict[str, list]):
-        self.sessions = sorted(tables["sessions"], key=lambda s: (s["datum"], s["session_id"]))
-        self.sessions_by_nummer: Dict[int, List[dict]] = {}
-        for s in self.sessions:
-            self.sessions_by_nummer.setdefault(int(s["nummer"]), []).append(s)
+        import numpy as np
+
+        # ------- memory/broadcast design (round 2) ------------------------
+        # Every large dimension is stored as numpy arrays + flat python
+        # lists, NEVER as per-row dicts or dict-of-list indexes: the index
+        # is broadcast once and deserialized by EVERY linker actor, and 26
+        # simultaneous unpickles of a dict forest were measured at 26 s per
+        # actor (vs ~6 s uncontended) — numpy buffers deserialize
+        # zero-copy, flat string lists deserialize ~10x faster than dicts.
+        # Row "views" (small dicts) are materialized on demand only for the
+        # handful of rows a document actually touches.
+
+        sess = sorted(tables["sessions"], key=lambda s: (s["datum"], s["session_id"]))
+        self.sess_soa = {
+            "ids": [s["session_id"] for s in sess],
+            "soort": [s["soort"] for s in sess],
+            "nummer": np.array([int(s["nummer"]) for s in sess], dtype=np.int64),
+            "datum": np.array([naive_epoch(s["datum"]) for s in sess]),
+            "begin": np.array([naive_epoch(s["begin"]) for s in sess]),
+            "einde": np.array([naive_epoch(s["einde"]) for s in sess]),
+        }
+        order = np.argsort(self.sess_soa["nummer"], kind="stable")
+        self._sess_num_sorted = self.sess_soa["nummer"][order]
+        self._sess_num_pos = order.astype(np.int64)
 
         acts = sorted(tables["activities"], key=lambda a: (a["begin"], a["activity_id"]))
-        self.activities = acts
-        self._act_begins = [a["begin"] for a in acts]
+        self.activities = acts  # dropped by precompute_candidate_invariants
+        self._act_begins_ep = np.array([naive_epoch(a["begin"]) for a in acts])
+        act_pos = {a["activity_id"]: i for i, a in enumerate(acts)}
 
         self.persons_by_achternaam: Dict[str, List[dict]] = {}
         self.person_name_by_id: Dict[str, str] = {}
-        for p in sorted(tables["persons"], key=lambda p: p["person_id"]):
+        persons_sorted = sorted(tables["persons"], key=lambda p: p["person_id"])
+        self.persons_list = persons_sorted
+        person_pos = {p["person_id"]: i for i, p in enumerate(persons_sorted)}
+        for p in persons_sorted:
             self.persons_by_achternaam.setdefault(p["achternaam"].lower(), []).append(p)
             # display name — reference name_matcher.py:105
             self.person_name_by_id[p["person_id"]] = (
@@ -84,46 +120,147 @@ class RegistryIndex:
             for i in range(max(1, len(s) - 2)):
                 self._surname_trigrams.setdefault(s[i:i + 3], set()).add(s)
 
-        self.cases_by_dossiernr: Dict[int, List[dict]] = {}
-        self.cases_by_nummer: Dict[str, List[dict]] = {}
-        for c in sorted(tables["cases"], key=lambda c: c["zaak_id"]):
-            self.cases_by_dossiernr.setdefault(int(c["dossiernummer"]), []).append(c)
-            self.cases_by_nummer.setdefault(c["nummer"], []).append(c)
+        cases = sorted(tables["cases"], key=lambda c: c["zaak_id"])
+        self.cases_soa = {
+            "ids": [c["zaak_id"] for c in cases],
+            "nummer": [c["nummer"] for c in cases],
+            "toevoeging": [c["toevoeging"] for c in cases],
+            "onderwerp": [c["onderwerp"] for c in cases],
+            "dossiernummer": np.array([int(c["dossiernummer"]) for c in cases],
+                                      dtype=np.int64),
+            "stuknummer": np.array([int(c["stuknummer"]) for c in cases],
+                                   dtype=np.int64),
+        }
+        corder = np.argsort(self.cases_soa["dossiernummer"], kind="stable")
+        self._case_dnr_sorted = self.cases_soa["dossiernummer"][corder]
+        self._case_dnr_pos = corder.astype(np.int64)  # zaak_id order within key
+        self._cases_by_nummer: Optional[Dict[str, List[int]]] = None  # lazy (rare path)
+        case_pos = {c["zaak_id"]: i for i, c in enumerate(cases)}
 
-        self.dossiers_by_nummer: Dict[int, List[dict]] = {}
-        for d in sorted(tables["dossiers"], key=lambda d: d["dossier_id"]):
-            self.dossiers_by_nummer.setdefault(int(d["nummer"]), []).append(d)
+        dossiers = sorted(tables["dossiers"], key=lambda d: d["dossier_id"])
+        self.dossiers_soa = {
+            "ids": [d["dossier_id"] for d in dossiers],
+            "toevoeging": [d["toevoeging"] for d in dossiers],
+            "nummer": np.array([int(d["nummer"]) for d in dossiers], dtype=np.int64),
+        }
+        dorder = np.argsort(self.dossiers_soa["nummer"], kind="stable")
+        self._dos_num_sorted = self.dossiers_soa["nummer"][dorder]
+        self._dos_num_pos = dorder.astype(np.int64)  # dossier_id order in key
 
-        self.agenda_cases: Dict[str, List[str]] = {}
+        # J6 agenda links as offsets per activity POSITION
+        agenda_lists: List[List[int]] = [[] for _ in acts]
         for ac in tables["activity_cases"]:
-            self.agenda_cases.setdefault(ac["activity_id"], []).append(ac["zaak_id"])
-        self.case_by_id = {c["zaak_id"]: c for c in tables["cases"]}
+            pos = act_pos.get(ac["activity_id"])
+            cpos = case_pos.get(ac["zaak_id"])
+            if pos is not None and cpos is not None:
+                agenda_lists[pos].append(cpos)
+        self._agenda_off = np.cumsum([0] + [len(l) for l in agenda_lists],
+                                     dtype=np.int64)
+        self._agenda_case_idx = np.array(
+            [i for l in agenda_lists for i in l], dtype=np.int64)
 
         self.party_by_name: Dict[str, dict] = {}
         for fr in tables["parties"]:
             self.party_by_name.setdefault(fr["naam"].lower(), fr)
             self.party_by_name.setdefault(fr["afkorting"].lower(), fr)
 
-        # J4 priority-1 tier: the matched activity's actor roster
-        # (reference api_extractor.py:134-143, vlos_pipeline.py:95-99).
-        # Sorted by person_id for a deterministic first-of-equals scan.
-        person_by_id = {p["person_id"]: p for p in tables["persons"]}
-        self.actors_by_activity: Dict[str, List[dict]] = {}
+        # J4 priority-1 tier: actor rosters as offsets per activity POSITION
+        # (reference api_extractor.py:134-143). Person idx sorted per roster
+        # for the deterministic first-of-equals scan.
+        roster_lists: List[List[int]] = [[] for _ in acts]
         for aa in tables.get("activity_actors", []):
-            p = person_by_id.get(aa["person_id"])
-            if p is not None:
-                self.actors_by_activity.setdefault(aa["activity_id"], []).append(p)
-        for roster in self.actors_by_activity.values():
-            roster.sort(key=lambda p: p["person_id"])
+            pos = act_pos.get(aa["activity_id"])
+            ppos = person_pos.get(aa["person_id"])
+            if pos is not None and ppos is not None:
+                roster_lists[pos].append(ppos)
+        for l in roster_lists:
+            l.sort()  # persons_list is person_id-sorted
+        self._roster_off = np.cumsum([0] + [len(l) for l in roster_lists],
+                                     dtype=np.int64)
+        self._roster_person_idx = np.array(
+            [i for l in roster_lists for i in l], dtype=np.int64)
+        self._act_pos_by_id: Optional[Dict[str, int]] = None  # lazy (tests)
 
-        # J5 tier-2 document fallback: documents keyed by (dossiernummer,
-        # volgnummer) — reference _find_best_document filters volgnummer +
-        # dossier coordinates (api_extractor.py:257-268)
-        self.documents_by_dossier_volg: Dict[Tuple[int, int], List[dict]] = {}
-        for d in sorted(tables.get("reg_documents", []),
-                        key=lambda d: d["document_id"]):
-            key = (int(d["dossiernummer"]), int(d["volgnummer"]))
-            self.documents_by_dossier_volg.setdefault(key, []).append(d)
+        # J5 tier-2 document fallback: documents keyed by packed
+        # (dossiernummer, volgnummer) in sorted arrays — reference
+        # _find_best_document (api_extractor.py:257-268)
+        docs = sorted(tables.get("reg_documents", []),
+                      key=lambda d: d["document_id"])
+        self.docs_soa = {
+            "ids": [d["document_id"] for d in docs],
+            "toevoeging": [d["toevoeging"] for d in docs],
+        }
+        dkey = np.array([(int(d["dossiernummer"]) << 21) | int(d["volgnummer"])
+                         for d in docs], dtype=np.int64)
+        dko = np.argsort(dkey, kind="stable")  # document_id order within key
+        self._doc_key_sorted = dkey[dko]
+        self._doc_key_pos = dko.astype(np.int64)
+
+    # ---- row views (materialized only for rows a document touches) -------
+
+    def session_view(self, pos: int) -> dict:
+        s = self.sess_soa
+        return {"session_id": s["ids"][pos], "soort": s["soort"][pos],
+                "nummer": int(s["nummer"][pos]),
+                "datum": epoch_naive(float(s["datum"][pos])),
+                "begin": epoch_naive(float(s["begin"][pos])),
+                "einde": epoch_naive(float(s["einde"][pos])),
+                "_pos": pos}
+
+    def sessions_with_nummer(self, nummer: int):
+        import numpy as np
+        lo = np.searchsorted(self._sess_num_sorted, nummer, side="left")
+        hi = np.searchsorted(self._sess_num_sorted, nummer, side="right")
+        return np.sort(self._sess_num_pos[lo:hi])  # datum order
+
+    def actors_for_pos(self, pos: int) -> List[dict]:
+        o = self._roster_off
+        return [self.persons_list[int(i)]
+                for i in self._roster_person_idx[o[pos]:o[pos + 1]]]
+
+    def actors_for_activity_id(self, activity_id: str) -> List[dict]:
+        """Id-keyed roster lookup (test/back-compat path; the pipeline
+        resolves rosters by position). The id->pos dict builds lazily."""
+        if self._act_pos_by_id is None:
+            self._act_pos_by_id = {aid: i
+                                   for i, aid in enumerate(self.cand_soa["ids"])}
+        pos = self._act_pos_by_id.get(activity_id)
+        return self.actors_for_pos(pos) if pos is not None else []
+
+    def case_view(self, cpos: int) -> dict:
+        c = self.cases_soa
+        return {"zaak_id": c["ids"][cpos], "nummer": c["nummer"][cpos],
+                "dossiernummer": int(c["dossiernummer"][cpos]),
+                "stuknummer": int(c["stuknummer"][cpos]),
+                "toevoeging": c["toevoeging"][cpos],
+                "onderwerp": c["onderwerp"][cpos]}
+
+    def case_positions_for_dossiernr(self, dnr: int):
+        import numpy as np
+        lo = np.searchsorted(self._case_dnr_sorted, dnr, side="left")
+        hi = np.searchsorted(self._case_dnr_sorted, dnr, side="right")
+        return np.sort(self._case_dnr_pos[lo:hi])  # zaak_id order
+
+    def case_positions_for_nummer(self, nummer: str) -> List[int]:
+        if self._cases_by_nummer is None:
+            by: Dict[str, List[int]] = {}
+            for i, n in enumerate(self.cases_soa["nummer"]):
+                by.setdefault(n, []).append(i)
+            self._cases_by_nummer = by
+        return self._cases_by_nummer.get(nummer, [])
+
+    def dossier_positions_for_nummer(self, nummer: int):
+        import numpy as np
+        lo = np.searchsorted(self._dos_num_sorted, nummer, side="left")
+        hi = np.searchsorted(self._dos_num_sorted, nummer, side="right")
+        return np.sort(self._dos_num_pos[lo:hi])  # dossier_id order
+
+    def document_positions_for(self, dnr: int, volg: int):
+        import numpy as np
+        key = (dnr << 21) | volg
+        lo = np.searchsorted(self._doc_key_sorted, key, side="left")
+        hi = np.searchsorted(self._doc_key_sorted, key, side="right")
+        return np.sort(self._doc_key_pos[lo:hi])  # document_id order
 
     def surnames_containing(self, token: str) -> List[str]:
         """Unique surnames with ``token`` as a substring (exact semantics of
@@ -149,8 +286,11 @@ class RegistryIndex:
         position into the struct-of-arrays (``cand_soa``), never as dict
         rows — the dict form is dropped after precompute to keep the
         broadcast index compact."""
-        lo = bisect.bisect_left(self._act_begins, start)
-        hi = bisect.bisect_right(self._act_begins, end)
+        import numpy as np
+        lo = int(np.searchsorted(self._act_begins_ep, naive_epoch(start),
+                                 side="left"))
+        hi = int(np.searchsorted(self._act_begins_ep, naive_epoch(end),
+                                 side="right"))
         return lo, min(hi, lo + cap)
 
 
@@ -285,25 +425,31 @@ class Linker:
         if not target:
             return None
         tc = self.cfg.time
-        lo = target - tc.vergadering_lookup_buffer - timedelta(hours=tc.local_timezone_offset_hours)
-        hi = target + tc.vergadering_lookup_buffer - timedelta(hours=tc.local_timezone_offset_hours)
+        lo = naive_epoch(target - tc.vergadering_lookup_buffer
+                         - timedelta(hours=tc.local_timezone_offset_hours))
+        hi = naive_epoch(target + tc.vergadering_lookup_buffer
+                         - timedelta(hours=tc.local_timezone_offset_hours))
         soort = (doc.get("soort") or "").lower()
         nummer = safe_int(doc.get("nummer"))
 
+        sess = self.idx.sess_soa
         # narrow by nummer when present (equality filter in the reference)
-        pool = self.idx.sessions_by_nummer.get(nummer, []) if nummer is not None else self.idx.sessions
-        out = []
-        for s in pool:
-            if not (lo <= s["datum"] <= hi):
+        if nummer is not None:
+            pool = self.idx.sessions_with_nummer(nummer)
+        else:
+            pool = range(len(sess["ids"]))
+        for pos in pool:
+            pos = int(pos)
+            if not (lo <= sess["datum"][pos] <= hi):
                 continue
-            if soort == "plenair" and s["soort"] != "Plenair":
+            s_soort = sess["soort"][pos]
+            if soort == "plenair" and s_soort != "Plenair":
                 continue
-            if soort == "commissie" and s["soort"] != "Commissie":
+            if soort == "commissie" and s_soort != "Commissie":
                 continue
-            out.append(s)
-            if len(out) >= self.cfg.processing.max_candidate_vergaderingen:
-                break
-        return out[0] if out else None
+            # reference takes the FIRST of <= max_candidate_vergaderingen
+            return self.idx.session_view(pos)
+        return None
 
     # ------------------------------------------------------------------ J2
     def candidate_activities(self, session: dict) -> Tuple[int, int]:
@@ -315,8 +461,10 @@ class Linker:
 
     # ------------------------------------------------------------------ J3
     def match_activity(self, act: dict, window: Tuple[int, int], session: dict
-                       ) -> Tuple[Optional[str], float, str]:
-        """Returns (activity_id | None, best_score, match_type).
+                       ) -> Tuple[Optional[str], float, str, int]:
+        """Returns (activity_id | None, best_score, match_type,
+        candidate_pos | -1) — the position feeds the J4 actor-roster and J6
+        agenda offset lookups.
 
         Exact branch-and-bound over the reference scoring: cheap components
         (time, soort, exact-topic equality) are computed for every candidate
@@ -334,7 +482,7 @@ class Linker:
         lo, hi = window
         n = hi - lo
         if n <= 0:
-            return None, 0.0, "NO_MATCH"
+            return None, 0.0, "NO_MATCH", -1
         soa = self.idx.cand_soa
         xml_start = parse_xml_datetime(act.get("start_time"))
         xml_end = parse_xml_datetime(act.get("end_time"))
@@ -418,8 +566,8 @@ class Linker:
             accept = (best1_val - best2_val >= 1.0 and best1_val >= 1.0)
         if accept and best1_idx is not None:
             mt = "EXACT" if best1_val >= m.min_match_score_for_activiteit + 2 else "FUZZY"
-            return soa["ids"][lo + best1_idx], best1_val, mt
-        return None, best1_val, "NO_MATCH"
+            return soa["ids"][lo + best1_idx], best1_val, mt, lo + best1_idx
+        return None, best1_val, "NO_MATCH", -1
 
     def _soort_row(self, xml_s: str):
         """Per-xml-soort score row over the api-soort vocabulary
@@ -471,7 +619,9 @@ class Linker:
 
     # ------------------------------------------------------------------ J4
     def match_speaker(self, voornaam: str, achternaam: str,
-                      activity_id: str = "") -> Tuple[Optional[str], int, str]:
+                      activity_id: str = "",
+                      actors: Optional[List[dict]] = None
+                      ) -> Tuple[Optional[str], int, str]:
         """Returns (person_id | None, score, match_type).
 
         Priority-1 tier (reference api_extractor.py:134-143): when the
@@ -481,10 +631,14 @@ class Linker:
         Then the global cascade: exact achternaam bucket (cap 20) ->
         contains-token fallback (cap max_persoon_candidates); accept >=
         min_speaker_similarity_score; EXACT iff score >= 90
-        (name_matcher.py:84-90)."""
+        (name_matcher.py:84-90). ``actors`` may be pre-resolved by the
+        caller (position-based roster lookup); ``activity_id`` keys the
+        per-activity memo either way."""
         if not achternaam:
             return None, 0, "NO_MATCH"
-        actors = self.idx.actors_by_activity.get(activity_id, []) if activity_id else []
+        if actors is None:
+            actors = (self.idx.actors_for_activity_id(activity_id)
+                      if activity_id else [])
         if actors:
             # memoized per (activity, surface): hot speakers repeat within
             # and across the documents of one matched activity
@@ -575,55 +729,64 @@ class Linker:
         MatchResult.fallback_entity / ZaakMatch.document_id)."""
         dnr_int = safe_int(dossiernummer)
         snr_int = safe_int(stuknummer)
+        cs = self.idx.cases_soa
 
         # tier 1 — exact zaak (api_extractor.py:207-240)
         if dnr_int is not None:
-            cands = self.idx.cases_by_dossiernr.get(dnr_int, [])
+            cpos = [int(i) for i in self.idx.case_positions_for_dossiernr(dnr_int)]
         elif dossiernummer:
-            cands = self.idx.cases_by_nummer.get(dossiernummer, [])
+            cpos = self.idx.case_positions_for_nummer(dossiernummer)
         else:
-            cands = []
+            cpos = []
         if snr_int is not None:
-            cands = [c for c in cands if int(c["stuknummer"]) == snr_int]
+            cpos = [i for i in cpos if int(cs["stuknummer"][i]) == snr_int]
         elif stuknummer:
-            cands = [c for c in cands if str(c["stuknummer"]) == stuknummer]
-        cands = cands[:self.cfg.processing.max_zaak_candidates]
-        if cands:
-            chosen = cands[0]
-            if len(cands) > 1:
-                for c in cands:
-                    if (dnr_int and int(c["dossiernummer"]) == dnr_int) and (
-                            snr_int is None or int(c["stuknummer"]) == snr_int):
-                        chosen = c
+            cpos = [i for i in cpos if str(cs["stuknummer"][i]) == stuknummer]
+        cpos = cpos[:self.cfg.processing.max_zaak_candidates]
+        if cpos:
+            chosen = cpos[0]
+            if len(cpos) > 1:
+                for i in cpos:
+                    if (dnr_int and int(cs["dossiernummer"][i]) == dnr_int) and (
+                            snr_int is None or int(cs["stuknummer"][i]) == snr_int):
+                        chosen = i
                         break
-            return chosen["zaak_id"], "zaak", 100.0, "EXACT", ""
+            return cs["ids"][chosen], "zaak", 100.0, "EXACT", ""
 
         # tier 2 — dossier fallback (api_extractor.py:188-205,242-254)
         num, toevoeg = split_dossier_code(dossiernummer)
         if num is not None:
-            ds = self.idx.dossiers_by_nummer.get(num, [])
+            dsoa = self.idx.dossiers_soa
+            dpos = [int(i) for i in self.idx.dossier_positions_for_nummer(num)]
             if toevoeg:
-                ds = [d for d in ds if d["toevoeging"] == toevoeg]
-            if ds:
+                dpos = [i for i in dpos if dsoa["toevoeging"][i] == toevoeg]
+            if dpos:
                 # optional document within the dossier (api_extractor.py:
                 # 196-201): volgnummer == stuknummer, dossier coordinates
                 # match; first of <= 5 in document_id order
                 document_id = ""
                 if snr_int is not None:
-                    docs = self.idx.documents_by_dossier_volg.get((num, snr_int), [])
+                    docsoa = self.idx.docs_soa
+                    doc_pos = [int(i) for i
+                               in self.idx.document_positions_for(num, snr_int)]
                     if toevoeg:
-                        docs = [d for d in docs if d["toevoeging"] == toevoeg]
-                    if docs:
-                        document_id = docs[0]["document_id"]
-                return ds[0]["dossier_id"], "dossier", 75.0, "FALLBACK", document_id
+                        doc_pos = [i for i in doc_pos
+                                   if docsoa["toevoeging"][i] == toevoeg]
+                    if doc_pos:
+                        document_id = docsoa["ids"][doc_pos[0]]
+                return (dsoa["ids"][dpos[0]], "dossier", 75.0, "FALLBACK",
+                        document_id)
 
         return None, "", 0.0, "NO_MATCH", ""
 
     # ------------------------------------------------------------------ J6
-    def agenda_zaken(self, activity_id: str) -> List[dict]:
-        return [self.idx.case_by_id[zid]
-                for zid in self.idx.agenda_cases.get(activity_id, [])
-                if zid in self.idx.case_by_id]
+    def agenda_zaken(self, activity_pos: int) -> List[dict]:
+        """Agendapunt-linked case views for the matched activity POSITION
+        (offset-array lookup; case views built on demand)."""
+        idx = self.idx
+        o = idx._agenda_off
+        return [idx.case_view(int(i))
+                for i in idx._agenda_case_idx[o[activity_pos]:o[activity_pos + 1]]]
 
     # ------------------------------------------------------------------ J8
     def match_fractie(self, name: str) -> Optional[str]:
@@ -646,12 +809,13 @@ def link_doc(doc: dict, linker: Linker) -> dict:
     for act in doc.get("activities", []):
         a = dict(act)
         if session:
-            aid, score, mt = linker.match_activity(act, window, session)
+            aid, score, mt, apos = linker.match_activity(act, window, session)
         else:
-            aid, score, mt = None, 0.0, "NO_MATCH"
+            aid, score, mt, apos = None, 0.0, "NO_MATCH", -1
         a["api_activity_id"] = aid or ""
         a["activity_score"] = score
         a["activity_match_type"] = mt
+        actors = linker.idx.actors_for_pos(apos) if apos >= 0 else []
 
         # activity speakers resolve with the matched activity's actor roster
         # as the priority tier (vlos_pipeline.py:95-99: actors only when the
@@ -660,7 +824,8 @@ def link_doc(doc: dict, linker: Linker) -> dict:
         a["speaker_matches"] = []
         for sp in act.get("speakers", []):
             pid, s, smt = linker.match_speaker(sp["voornaam"], sp["achternaam"],
-                                               activity_id=a["api_activity_id"])
+                                               activity_id=a["api_activity_id"],
+                                               actors=actors)
             a["speaker_matches"].append({
                 **sp, "person_id": pid or "", "score": s, "match_type": smt,
                 "persoon_name": linker.idx.person_name_by_id.get(pid or "", "")})
@@ -680,7 +845,7 @@ def link_doc(doc: dict, linker: Linker) -> dict:
                         "direct_speaker_matches": direct})
         # agendapunt expansion (J6): EXACT score 100 per linked zaak
         if a["api_activity_id"]:
-            for case in linker.agenda_zaken(a["api_activity_id"]):
+            for case in linker.agenda_zaken(apos):
                 zms.append({"dossiernummer": str(case["dossiernummer"]),
                             "stuknummer": str(case["stuknummer"]),
                             "titel": case["onderwerp"], "entity_id": case["zaak_id"],

@@ -26,8 +26,15 @@ class LinkerActor:
         # registry: ObjectRef of a PREBUILT RegistryIndex (preferred — the
         # driver builds and precomputes once, actors just deserialize), an
         # ObjectRef of the tables dict, a parquet dir, or the tables dict
+        import os as _os
+        import time as _time
+        trace_dir = _os.environ.get("NTR_ACTOR_TRACE_DIR")
+        t0 = _time.time() if trace_dir else 0.0
         if isinstance(registry, ray.ObjectRef):
             registry = ray.get(registry)
+        if trace_dir:
+            with open(_os.path.join(trace_dir, f"init-{_os.getpid()}.log"), "a") as f:
+                f.write(f"{t0:.3f} {_time.time():.3f} get\n")
         if isinstance(registry, RegistryIndex):
             index = registry
         elif isinstance(registry, str):
@@ -35,6 +42,9 @@ class LinkerActor:
         else:
             index = RegistryIndex(registry)
         self.linker = Linker(index, cfg)
+        if trace_dir:
+            with open(_os.path.join(trace_dir, f"init-{_os.getpid()}.log"), "a") as f:
+                f.write(f"{t0:.3f} {_time.time():.3f} init_done\n")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         docs = batch.column("doc").to_pylist()
@@ -60,11 +70,17 @@ class LinkEmitActor(LinkerActor):
     the linked-doc Parquet is its resume/lineage artifact."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: D102
+        import os as _os
+        import time as _time
+
         import pyarrow as _pa
 
         from .. import schemas
         from ..emit import emit_doc
         from ..linking import link_doc as _link_doc
+
+        trace_dir = _os.environ.get("NTR_ACTOR_TRACE_DIR")
+        t_start = _time.time() if trace_dir else 0.0
 
         rows = []
         for url, warc_ts, err, doc_json in zip(
@@ -79,9 +95,14 @@ class LinkEmitActor(LinkerActor):
             linked = _link_doc(json.loads(doc_json), self.linker)
             tr, _ = emit_doc(linked, url, warc_ts)
             rows.extend(tr)
-        if not rows:
-            return schemas.TRIPLES.empty_table()
-        return _pa.Table.from_pylist(rows, schema=schemas.TRIPLES)
+        out = (schemas.TRIPLES.empty_table() if not rows
+               else _pa.Table.from_pylist(rows, schema=schemas.TRIPLES))
+        if trace_dir:
+            # one line per batch: pid, start, end, docs — post-processed by
+            # bench tooling into pool-utilization numbers (diagnostic only)
+            with open(_os.path.join(trace_dir, f"{_os.getpid()}.log"), "a") as f:
+                f.write(f"{t_start:.3f} {_time.time():.3f} {batch.num_rows}\n")
+        return out
 
 
 def link_emit_docs(docs: rd.Dataset, registry, cfg: EngineConfig,

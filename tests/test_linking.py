@@ -109,7 +109,7 @@ def test_session_and_activity_match(linker):
     act = {"soort": "Debat", "titel": "wijziging begroting onderwijs",
            "onderwerp": "wijziging begroting onderwijs",
            "start_time": "2024-05-13T10:06:00", "end_time": "2024-05-13T11:00:00"}
-    aid, score, mt = linker.match_activity(act, (lo, hi), s)
+    aid, score, mt, pos = linker.match_activity(act, (lo, hi), s)
     assert aid == "a1"
     # exact topic (4.0) + soort exact (2.0) + time proximity (3.0) + titel exact (1.5)
     assert score == pytest.approx(10.5)
@@ -118,13 +118,13 @@ def test_session_and_activity_match(linker):
 
 def test_activity_margin_rule(linker):
     """Accept below threshold when >= 1.0 ahead of runner-up (and >= 1.0)."""
-    s = linker.idx.sessions[0]
+    s = linker.idx.session_view(0)
     window = linker.candidate_activities(s)
     act = {"soort": "", "titel": "", "onderwerp": "",
            # close to a1's start but no topic/soort signals -> 3.0 time-only...
            # use a start 20 min away so only overlap (1.5) for a1, nothing for a2
            "start_time": "2024-05-13T10:25:00", "end_time": "2024-05-13T10:40:00"}
-    aid, score, mt = linker.match_activity(act, window, s)
+    aid, score, mt, pos = linker.match_activity(act, window, s)
     assert aid == "a1" and score == pytest.approx(1.5) and mt == "FUZZY"
 
 
@@ -142,9 +142,10 @@ def test_procedural_activities_filtered():
 
 
 def test_agenda_zaken_expansion(linker):
-    cases = linker.agenda_zaken("a1")
+    ids = linker.idx.cand_soa["ids"]
+    cases = linker.agenda_zaken(ids.index("a1"))
     assert [c["zaak_id"] for c in cases] == ["z2"]
-    assert linker.agenda_zaken("a2") == []
+    assert linker.agenda_zaken(ids.index("a2")) == []
 
 
 def test_embedding_fallback_off_by_default(linker):
