@@ -83,7 +83,7 @@ SENTENCE_WORDS = [
     "gelijk", "dat", "er", "meer", "aandacht", "nodig", "is",
 ]
 
-CORPUS_VERSION = "v4"  # bump to invalidate cached generated corpora
+CORPUS_VERSION = "v5"  # bump to invalidate cached generated corpora
 SHARD_SESSIONS = 250   # sessions per pages shard file (and per gen task)
 
 
@@ -126,6 +126,11 @@ def _gen_registry(rng: random.Random, n_sessions: int) -> Dict[str, list]:
             "geschenken": geschenken,
             "nevenfuncties": nevenfuncties,
         })
+    commissies = [{"commissie_id": f"cm{i:03d}",
+                   "naam": f"Commissie voor {w}",
+                   "afkorting": w[:4].upper()}
+                  for i, w in enumerate(TOPIC_WORDS[:12])]
+
     sessions, activities = [], []
     act_counter = 0
     for i in range(n_sessions):
@@ -153,6 +158,10 @@ def _gen_registry(rng: random.Random, n_sessions: int) -> Dict[str, list]:
                 "onderwerp": _topic(rng),
                 "begin": a_begin,
                 "einde": a_end,
+                # committee lead only for commissie sessions (reference
+                # REL_MAP_ACTIVITEIT 'voortouwcommissies')
+                "commissie_id": (rng.choice(commissies)["commissie_id"]
+                                 if sessions[-1]["soort"] == "Commissie" else ""),
             })
             act_counter += 1
             t = a_end
@@ -258,12 +267,47 @@ def _gen_registry(rng: random.Random, n_sessions: int) -> Dict[str, list]:
                     "vergissing": rng.random() < 0.02,
                 })
 
+    zalen = [{"zaal_id": f"zl{i:02d}", "naam": f"Zaal {chr(65 + i)}"}
+             for i in range(8)]
+    reserveringen = []
+    for act in activities:
+        if rng.random() < 0.5:
+            reserveringen.append({
+                "reservering_id": f"rv{len(reserveringen):06d}",
+                "zaal_id": rng.choice(zalen)["zaal_id"],
+                "activity_id": act["activity_id"],
+            })
+
+    # toezeggingen with self-referential fk pairs (J9 —
+    # reference REL_MAP_TOEZEGGING, constants.py:35-42)
+    toezeggingen = []
+    n_toez = max(5, n_sessions // 4)
+    for i in range(n_toez):
+        toezeggingen.append({
+            "toezegging_id": f"tz{i:05d}",
+            "tekst": _sentence(rng, 12),
+            "activity_id": rng.choice(activities)["activity_id"],
+            "person_id": rng.choice(persons)["person_id"],
+            "is_aanvulling_op": "", "is_herhaling_van": "",
+        })
+    for t in toezeggingen:
+        if rng.random() < 0.12:
+            other = rng.choice(toezeggingen)
+            if other["toezegging_id"] != t["toezegging_id"]:
+                t["is_aanvulling_op"] = other["toezegging_id"]
+        if rng.random() < 0.08:
+            other = rng.choice(toezeggingen)
+            if other["toezegging_id"] != t["toezegging_id"]:
+                t["is_herhaling_van"] = other["toezegging_id"]
+
     return {
         "persons": persons, "parties": parties, "sessions": sessions,
         "activities": activities, "cases": cases, "dossiers": dossiers,
         "activity_cases": activity_cases, "activity_actors": activity_actors,
         "reg_documents": reg_documents, "besluiten": besluiten,
-        "api_stemmingen": api_stemmingen,
+        "api_stemmingen": api_stemmingen, "commissies": commissies,
+        "zalen": zalen, "reserveringen": reserveringen,
+        "toezeggingen": toezeggingen,
     }
 
 
@@ -540,7 +584,8 @@ def generate_corpus(out_dir: str, n_sessions: int = 50, seed: int = 42,
              for name in ["persons", "parties", "sessions", "activities",
                           "cases", "dossiers", "activity_cases",
                           "activity_actors", "reg_documents", "besluiten",
-                          "api_stemmingen", "truth_mentions"]}
+                          "api_stemmingen", "commissies", "zalen",
+                          "reserveringen", "toezeggingen", "truth_mentions"]}
     paths["pages"] = os.path.join(out_dir, "pages")  # sharded directory
     if os.path.exists(marker):
         return paths
@@ -587,6 +632,10 @@ def generate_corpus(out_dir: str, n_sessions: int = 50, seed: int = 42,
         "reg_documents": pa.Table.from_pylist(reg["reg_documents"], schema=schemas.REG_DOCUMENTS),
         "besluiten": pa.Table.from_pylist(reg["besluiten"], schema=schemas.BESLUITEN),
         "api_stemmingen": pa.Table.from_pylist(reg["api_stemmingen"], schema=schemas.API_STEMMINGEN),
+        "commissies": pa.Table.from_pylist(reg["commissies"], schema=schemas.COMMISSIES),
+        "zalen": pa.Table.from_pylist(reg["zalen"], schema=schemas.ZALEN),
+        "reserveringen": pa.Table.from_pylist(reg["reserveringen"], schema=schemas.RESERVERINGEN),
+        "toezeggingen": pa.Table.from_pylist(reg["toezeggingen"], schema=schemas.TOEZEGGINGEN),
         "truth_mentions": pa.Table.from_pylist(truth) if truth else pa.table(
             {"url": pa.array([], pa.string()), "kind": pa.array([], pa.string()),
              "surface": pa.array([], pa.string()), "entity_id": pa.array([], pa.string())}),

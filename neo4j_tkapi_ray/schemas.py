@@ -59,6 +59,38 @@ ACTIVITIES = pa.schema([
     ("onderwerp", pa.string()),
     ("begin", pa.timestamp("us")),
     ("einde", pa.timestamp("us")),
+    ("commissie_id", pa.string()),   # fk -> commissies ('' for plenary;
+                                      # REL_MAP_ACTIVITEIT 'voortouwcommissies')
+])
+
+# Commissie / Zaal / Reservering / Toezegging families — reference
+# commissie_loader.py:51-67, zaal_loader.py:69-94, reservering_loader.py:
+# 69-94, toezegging_loader.py:70-116
+COMMISSIES = pa.schema([
+    ("commissie_id", pa.string()),
+    ("naam", pa.string()),
+    ("afkorting", pa.string()),
+])
+
+ZALEN = pa.schema([
+    ("zaal_id", pa.string()),
+    ("naam", pa.string()),
+])
+
+RESERVERINGEN = pa.schema([
+    ("reservering_id", pa.string()),
+    ("zaal_id", pa.string()),        # fk (REL_MAP_RESERVERING 'zaal')
+    ("activity_id", pa.string()),    # fk (REL_MAP_RESERVERING 'activiteit')
+])
+
+TOEZEGGINGEN = pa.schema([
+    ("toezegging_id", pa.string()),
+    ("tekst", pa.string()),
+    ("activity_id", pa.string()),    # made during
+    ("person_id", pa.string()),      # made by
+    # self-referential fk pairs (REL_MAP_TOEZEGGING, constants.py:35-42)
+    ("is_aanvulling_op", pa.string()),
+    ("is_herhaling_van", pa.string()),
 ])
 
 CASES = pa.schema([

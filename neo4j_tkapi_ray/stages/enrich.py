@@ -68,6 +68,17 @@ def build_prop_maps(tables: Dict[str, list]) -> Dict[str, dict]:
             "soort": st["soort"], "vergissing": bool(st["vergissing"]),
             "entity": "stemming",
         }
+    for cm in tables.get("commissies", []):
+        props[cm["commissie_id"]] = {"naam": cm["naam"],
+                                     "afkorting": cm["afkorting"],
+                                     "entity": "commissie"}
+    for zl in tables.get("zalen", []):
+        props[zl["zaal_id"]] = {"naam": zl["naam"], "entity": "zaal"}
+    for rv in tables.get("reserveringen", []):
+        props[rv["reservering_id"]] = {"entity": "reservering"}
+    for tz in tables.get("toezeggingen", []):
+        props[tz["toezegging_id"]] = {"tekst": tz["tekst"],
+                                      "entity": "toezegging"}
     return props
 
 

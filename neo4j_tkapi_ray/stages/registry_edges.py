@@ -64,6 +64,24 @@ REGISTRY_REL_MAP: List[Tuple[str, str, str, str, str, str]] = [
      "stemming_id", "Stemming"),
     ("api_stemmingen", "stemming_id", "Stemming", "REPRESENTS_FRACTIE_VOTE",
      "fractie_id", "Fractie"),
+    # committee lead (REL_MAP_ACTIVITEIT 'voortouwcommissies')
+    ("activities", "activity_id", "Activity", "HAS_VOORTOUWCOMMISSIE",
+     "commissie_id", "Commissie"),
+    # rooms + reservations (REL_MAP_RESERVERING / REL_MAP_ZAAL)
+    ("reserveringen", "reservering_id", "Reservering", "RESERVES_ZAAL",
+     "zaal_id", "Zaal"),
+    ("reserveringen", "reservering_id", "Reservering", "FOR_ACTIVITEIT",
+     "activity_id", "Activity"),
+    # toezegging self-referential pairs (REL_MAP_TOEZEGGING,
+    # constants.py:35-42 — more J9 coverage) + provenance links
+    ("toezeggingen", "toezegging_id", "Toezegging", "SUPPLEMENTS",
+     "is_aanvulling_op", "Toezegging"),
+    ("toezeggingen", "toezegging_id", "Toezegging", "REITERATES",
+     "is_herhaling_van", "Toezegging"),
+    ("toezeggingen", "toezegging_id", "Toezegging", "BELONGS_TO_ACTIVITEIT",
+     "activity_id", "Activity"),
+    ("toezeggingen", "toezegging_id", "Toezegging", "MADE_BY",
+     "person_id", "Persoon"),
 ]
 
 EDGE_SCHEMA = pa.schema([

@@ -95,7 +95,13 @@ def test_registry_edges_projection(ray_session, corpus):
     # every declared relation type with source data shows up
     assert {"HAS_DOSSIER", "HAS_ACTIVITEIT", "HAS_ACT_ACTOR", "HAS_FRACTIE",
             "REFERS_TO_ZAAK", "ABOUT_ZAAK", "HAS_STEMMING",
-            "REPRESENTS_FRACTIE_VOTE", "BELONGS_TO_ACTIVITEIT"} <= preds
+            "REPRESENTS_FRACTIE_VOTE", "BELONGS_TO_ACTIVITEIT",
+            "HAS_VOORTOUWCOMMISSIE", "RESERVES_ZAAL", "FOR_ACTIVITEIT",
+            "SUPPLEMENTS", "REITERATES", "MADE_BY"} <= preds
+    # toezegging self-referential pairs never self-loop
+    for pred in ("SUPPLEMENTS", "REITERATES"):
+        sub = df[df.pred == pred]
+        assert len(sub) > 0 and (sub.subj != sub.obj).all()
     # spot-check one projection against the raw table
     cases = pd.read_parquet(f"{corpus['dir']}/cases.parquet")
     exp = cases[cases.vervangen_door != ""]
@@ -104,4 +110,4 @@ def test_registry_edges_projection(ray_session, corpus):
     # no empty endpoints anywhere
     assert (df.subj != "").all() and (df.obj != "").all()
     # rel map is total: every entry names a real table column pair
-    assert len(REGISTRY_REL_MAP) == 11
+    assert len(REGISTRY_REL_MAP) == 18
