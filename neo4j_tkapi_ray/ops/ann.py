@@ -14,6 +14,7 @@ from typing import List, Optional
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
@@ -25,8 +26,31 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 
 def load_queries(sf_dir: str, n_queries: int) -> pd.DataFrame:
-    df = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
-    return df.head(n_queries)
+    """First ``n_queries`` vectors by vec_id, WITHOUT a driver-side read of
+    the full embeddings table: row groups are visited in order of their
+    vec_id min-statistic and reading stops as soon as the n-th smallest
+    vec_id seen is below every unread group's minimum. On a sorted table
+    this touches exactly one row group. (At real scale the query set would
+    be an explicit input; this helper is the small-query-set path.)"""
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    idx = pf.schema_arrow.get_field_index("vec_id")
+    stats = [pf.metadata.row_group(g).column(idx).statistics
+             for g in range(pf.num_row_groups)]
+    if any(s is None or not s.has_min_max for s in stats):
+        df = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
+        return df.head(n_queries)
+    order = sorted(range(pf.num_row_groups), key=lambda g: stats[g].min)
+    parts: List[pd.DataFrame] = []
+    n_seen = 0
+    for pos, g in enumerate(order):
+        parts.append(pf.read_row_group(g).to_pandas())
+        n_seen += len(parts[-1])
+        if n_seen >= n_queries:
+            nth = pd.concat(parts)["vec_id"].nsmallest(n_queries).iloc[-1]
+            rest = order[pos + 1:]
+            if not rest or all(stats[r].min > nth for r in rest):
+                break
+    return pd.concat(parts).sort_values("vec_id").head(n_queries)
 
 
 def brute_force_topk(sf_dir: str, n_queries: int = 5, k: int = 5) -> rd.Dataset:
@@ -91,8 +115,9 @@ def lsh_bucketed_topk(sf_dir: str, n_queries: int = 5, k: int = 5,
     neighbors share hyperplane signs) is what makes it scan a fraction of
     the data at scale. Same output shape as brute_force_topk."""
     rng = np.random.RandomState(seed)
-    emb_df = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    dim = len(emb_df["embedding"].iloc[0])
+    # probe one row group for the dimensionality — never the whole table
+    dim = len(pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+              .read_row_group(0, columns=["embedding"]).column("embedding")[0])
     planes = rng.randn(n_planes, dim)
     planes_ref = ray.put(planes)
 

@@ -224,13 +224,11 @@ def _attach_texts_and_verify(cand: rd.Dataset, sf_dir: str,
         return rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
                                        "b": pa.array([], pa.int64()),
                                        "jaccard": pa.array([], pa.float64())}))
-    id_ref = _ray.put(set(id_pdf["doc_id"].tolist()))
+    id_ref = _ray.put(pa.array(id_pdf["doc_id"].unique(), pa.int64()))
 
     def docs_rows(batch: pa.Table) -> pa.Table:
         need = _ray.get(id_ref)
-        mask = pa.array([i in need for i in batch.column("doc_id").to_pylist()],
-                        pa.bool_())
-        sel = batch.filter(mask)
+        sel = batch.filter(pc.is_in(batch.column("doc_id"), value_set=need))
         return pa.table({"key": sel.column("doc_id"),
                          "a": pa.array([-1] * sel.num_rows, pa.int64()),
                          "b": pa.array([-1] * sel.num_rows, pa.int64()),

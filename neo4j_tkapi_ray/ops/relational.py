@@ -106,15 +106,17 @@ def revenue_by_nation(sf_dir: str) -> rd.Dataset:
     nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
                              columns=["n_nationkey", "n_name"])
     cust_nation = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-    lookup_ref = ray.put(dict(zip(cust_nation.c_custkey, cust_nation.n_name)))
+    # parallel key/value arrays: zero-copy from plasma, vectorized probe
+    lookup_ref = ray.put((pa.array(cust_nation.c_custkey, pa.int64()),
+                          pa.array(cust_nation.n_name, pa.string())))
 
     class Enrich:
         def __init__(self, ref):
-            self.lookup = ray.get(ref)
+            self.keys, self.names = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            names = [self.lookup.get(k) for k in batch.column("o_custkey").to_pylist()]
-            return pa.table({"n_name": pa.array(names, pa.string()),
+            idx = pc.index_in(batch.column("o_custkey"), value_set=self.keys)
+            return pa.table({"n_name": pc.take(self.names, idx),
                              "o_totalprice": batch.column("o_totalprice")})
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
@@ -191,13 +193,13 @@ def supplier_balance_by_region(sf_dir: str) -> rd.Dataset:
     nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
     region = pd.read_parquet(f"{sf_dir}/region.parquet")
     nr = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
-    lookup = dict(zip(nr.n_nationkey, nr.r_name))
-    ref = ray.put(lookup)
+    ref = ray.put((pa.array(nr.n_nationkey, pa.int64()),
+                   pa.array(nr.r_name, pa.string())))
 
     def enrich(batch: pa.Table) -> pa.Table:
-        lk = ray.get(ref)
-        names = [lk.get(k) for k in batch.column("s_nationkey").to_pylist()]
-        return pa.table({"r_name": pa.array(names, pa.string()),
+        keys, names = ray.get(ref)
+        idx = pc.index_in(batch.column("s_nationkey"), value_set=keys)
+        return pa.table({"r_name": pc.take(names, idx),
                          "s_acctbal": batch.column("s_acctbal")})
 
     sup = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"])

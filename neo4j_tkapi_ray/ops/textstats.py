@@ -1,14 +1,16 @@
 """Text analysis over the ``documents`` table: token counting, quality
 scoring, language-ID, document fingerprinting.
 
-All hot paths are vectorized (pyarrow.compute string kernels / numpy);
-language-ID holds its profiles in an actor pool (state loaded once per
-actor, not per batch).
+All hot paths are vectorized (pyarrow.compute string kernels / numpy):
+token/quality/language scoring run entirely on Arrow kernels + numpy
+reductions; fingerprints' only scalar loop is the per-token crc32 pass
+(no vectorized kernel exists) — its windowing is numpy over the whole
+batch. Language-ID holds its profiles in an actor pool (state loaded
+once per actor, not per batch).
 """
 
 from __future__ import annotations
 
-import re
 import zlib
 from typing import Dict, List
 
@@ -67,30 +69,46 @@ def quality_scores(sf_dir: str) -> rd.Dataset:
             "data", "query", "table", "row"}
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def fn(batch: pa.Table) -> pa.Table:
-        doc_ids, mean_tok, stop_ratio, punct_ratio, q = [], [], [], [], []
-        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
-                                batch.column("text").to_pylist()):
-            toks = text.split()
-            n = len(toks)
-            mt = (sum(len(t) for t in toks) / n) if n else 0.0
-            sr = (sum(1 for t in toks if t.lower() in stop) / n) if n else 0.0
-            np_punct = sum(1 for ch in text if ch in ".,;:!?") / max(1, len(text))
-            score = (0.4 * (1.0 if 3.0 <= mt <= 8.0 else 0.0)
-                     + 0.4 * (1.0 if 0.1 <= sr <= 0.6 else 0.0)
-                     + 0.2 * (1.0 if n >= 20 else 0.0))
-            doc_ids.append(doc_id)
-            mean_tok.append(round(mt, 4))
-            stop_ratio.append(round(sr, 4))
-            punct_ratio.append(round(np_punct, 4))
-            q.append(round(score, 4))
-        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
-                         "mean_token_len": pa.array(mean_tok, pa.float64()),
-                         "stopword_ratio": pa.array(stop_ratio, pa.float64()),
-                         "punct_ratio": pa.array(punct_ratio, pa.float64()),
-                         "quality": pa.array(q, pa.float64())})
+    stop_set = pa.array(sorted(stop), pa.string())
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "mean_token_len": pa.array([], pa.float64()),
+                             "stopword_ratio": pa.array([], pa.float64()),
+                             "punct_ratio": pa.array([], pa.float64()),
+                             "quality": pa.array([], pa.float64())})
+        text = batch.column("text").combine_chunks()
+        n_chars = pc.utf8_length(text).cast(pa.int64()).to_numpy()
+        trimmed = pc.utf8_trim_whitespace(text)
+        toks = pc.split_pattern_regex(trimmed, _WS)
+        n = pc.list_value_length(toks).cast(pa.int64())
+        # empty string -> 0 tokens (split gives [''] -> 1)
+        n = pc.if_else(pc.equal(pc.utf8_length(trimmed), 0),
+                       pa.scalar(0, pa.int64()), n).to_numpy()
+        # sum of token lengths == count of non-whitespace chars
+        non_ws = pc.count_substring_regex(text, r"\S").cast(pa.int64()).to_numpy()
+        # per-token stopword membership, summed per row via list offsets
+        hit = pc.is_in(pc.utf8_lower(pc.list_flatten(toks)), value_set=stop_set)
+        hit_np = hit.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = toks.offsets.to_numpy()
+        stop_hits = np.add.reduceat(hit_np, offsets[:-1]) if len(hit_np) else np.zeros(len(n), np.int64)
+        punct = pc.count_substring_regex(text, r"[.,;:!?]").cast(pa.int64()).to_numpy()
+
+        safe_n = np.maximum(n, 1).astype(np.float64)
+        mt = np.where(n > 0, non_ws / safe_n, 0.0)
+        sr = np.where(n > 0, stop_hits / safe_n, 0.0)
+        pr = punct / np.maximum(n_chars, 1)
+        score = (0.4 * ((mt >= 3.0) & (mt <= 8.0))
+                 + 0.4 * ((sr >= 0.1) & (sr <= 0.6))
+                 + 0.2 * (n >= 20))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "mean_token_len": pa.array(np.round(mt, 4), pa.float64()),
+                         "stopword_ratio": pa.array(np.round(sr, 4), pa.float64()),
+                         "punct_ratio": pa.array(np.round(pr, 4), pa.float64()),
+                         "quality": pa.array(np.round(score, 4), pa.float64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
 class LangIdActor:
@@ -108,23 +126,32 @@ class LangIdActor:
     }
 
     def __init__(self):
-        self.compiled = {lang: [re.compile(re.escape(g)) for g in grams]
-                         for lang, grams in self.PROFILES.items()}
+        # insertion order of PROFILES == first-wins tie order of the
+        # scalar reference loop (score > best_score keeps the earlier lang)
+        self.langs = list(self.PROFILES)
+        self.grams = [self.PROFILES[lang] for lang in self.langs]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds, confs = [], []
-        for text in batch.column("text").to_pylist():
-            hay = f" {text.lower()} "
-            best_lang, best_score = "und", 0
-            for lang, pats in self.compiled.items():
-                score = sum(len(p.findall(hay)) for p in pats)
-                if score > best_score:
-                    best_score, best_lang = score, lang
-            preds.append(best_lang)
-            confs.append(best_score)
+        n_rows = batch.num_rows
         out = {name: batch.column(name) for name in batch.column_names if name != "text"}
-        out["lang_pred"] = pa.array(preds, pa.string())
-        out["lang_hits"] = pa.array(confs, pa.int64())
+        if n_rows == 0:
+            out["lang_pred"] = pa.array([], pa.string())
+            out["lang_hits"] = pa.array([], pa.int64())
+            return pa.table(out)
+        # hay = " " + text.lower() + " "; count_substring is non-overlapping,
+        # matching re.findall on the escaped literal
+        hay = pc.binary_join_element_wise(
+            pa.scalar(" "), pc.utf8_lower(batch.column("text")), pa.scalar(" "),
+            pa.scalar(""))
+        scores = np.zeros((n_rows, len(self.langs)), dtype=np.int64)
+        for j, grams in enumerate(self.grams):
+            for g in grams:
+                scores[:, j] += pc.count_substring(hay, g).cast(pa.int64()).to_numpy()
+        best = scores.argmax(axis=1)          # first max wins, like the loop
+        hits = scores[np.arange(n_rows), best]
+        preds = np.where(hits > 0, np.array(self.langs, dtype=object)[best], "und")
+        out["lang_pred"] = pa.array(preds.tolist(), pa.string())
+        out["lang_hits"] = pa.array(hits, pa.int64())
         return pa.table(out)
 
 
@@ -141,23 +168,34 @@ def fingerprints(sf_dir: str, window: int = 8) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
-        ids, fps = [], []
-        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
-                                batch.column("text").to_pylist()):
-            toks = text.split()
-            hs = np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.uint64)
-            if len(hs) < window:
-                fp = int(hs.min()) if len(hs) else 0
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "fingerprint": pa.array([], pa.uint64())})
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch.column("text").combine_chunks()), _WS)
+        # crc32 has no vectorized kernel: one scalar pass over the flattened
+        # token stream of the whole batch (the only Python-level loop here).
+        # A whitespace-only doc yields [''] -> crc32('')=0 -> fp 0, same as
+        # the scalar reference's empty-list -> 0.
+        flat = pc.list_flatten(toks).to_pylist()
+        crc = np.fromiter((zlib.crc32(t.encode()) for t in flat),
+                          dtype=np.uint64, count=len(flat))
+        offsets = toks.offsets.to_numpy()
+        # rolling polynomial hash over the whole stream at once; windows that
+        # cross a document boundary are never read below
+        n_win = len(crc) - window + 1
+        if n_win > 0:
+            acc = np.zeros(n_win, dtype=np.uint64)
+            for k in range(window):
+                acc = acc * B + crc[k:k + n_win]
+        fps = np.empty(batch.num_rows, dtype=np.uint64)
+        for i in range(batch.num_rows):
+            s, e = int(offsets[i]), int(offsets[i + 1])
+            if e - s < window:
+                fps[i] = crc[s:e].min() if e > s else 0
             else:
-                # vectorized rolling polynomial hash over windows
-                n_win = len(hs) - window + 1
-                acc = np.zeros(n_win, dtype=np.uint64)
-                for k in range(window):
-                    acc = acc * B + hs[k:k + n_win]
-                fp = int(acc.min())
-            ids.append(doc_id)
-            fps.append(fp)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                fps[i] = acc[s:e - window + 1].min()
+        return pa.table({"doc_id": batch.column("doc_id"),
                          "fingerprint": pa.array(fps, pa.uint64())})
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
