@@ -83,7 +83,7 @@ SENTENCE_WORDS = [
     "gelijk", "dat", "er", "meer", "aandacht", "nodig", "is",
 ]
 
-CORPUS_VERSION = "v5"  # bump to invalidate cached generated corpora
+CORPUS_VERSION = "v6"  # bump to invalidate cached generated corpora
 SHARD_SESSIONS = 250   # sessions per pages shard file (and per gen task)
 
 
@@ -300,6 +300,29 @@ def _gen_registry(rng: random.Random, n_sessions: int) -> Dict[str, list]:
             if other["toezegging_id"] != t["toezegging_id"]:
                 t["is_herhaling_van"] = other["toezegging_id"]
 
+    # PersoonFunctie family (reference persoonfunctie_loader.py:85-116;
+    # generated LAST so earlier rng draws — and therefore every other table
+    # and page — are unchanged relative to prior corpus versions)
+    functie_titles = ["Tweede Kamerlid", "Fractievoorzitter", "Voorzitter",
+                      "Ondervoorzitter", "Commissievoorzitter"]
+    persoon_functies = []
+    for p in persons:
+        for _ in range(1 + rng.randrange(2)):
+            van = base - timedelta(days=365 * (1 + rng.randrange(8)))
+            still_held = rng.random() < 0.6
+            persoon_functies.append({
+                "functie_id": f"pf{len(persoon_functies):05d}",
+                "person_id": p["person_id"],
+                # fractie-bound for party roles, '' for chamber offices
+                "fractie_id": (p["fractie_id"] if rng.random() < 0.7 else ""),
+                "functie": rng.choice(functie_titles),
+                "omschrijving": _sentence(rng, 6),
+                "van": van,
+                "tot_en_met": (None if still_held
+                               else van + timedelta(days=30 * (6 + rng.randrange(60)))),
+                "soort": rng.choice(["Kamerlid", "Kabinet", "Overig"]),
+            })
+
     return {
         "persons": persons, "parties": parties, "sessions": sessions,
         "activities": activities, "cases": cases, "dossiers": dossiers,
@@ -307,7 +330,7 @@ def _gen_registry(rng: random.Random, n_sessions: int) -> Dict[str, list]:
         "reg_documents": reg_documents, "besluiten": besluiten,
         "api_stemmingen": api_stemmingen, "commissies": commissies,
         "zalen": zalen, "reserveringen": reserveringen,
-        "toezeggingen": toezeggingen,
+        "toezeggingen": toezeggingen, "persoon_functies": persoon_functies,
     }
 
 
@@ -585,7 +608,8 @@ def generate_corpus(out_dir: str, n_sessions: int = 50, seed: int = 42,
                           "cases", "dossiers", "activity_cases",
                           "activity_actors", "reg_documents", "besluiten",
                           "api_stemmingen", "commissies", "zalen",
-                          "reserveringen", "toezeggingen", "truth_mentions"]}
+                          "reserveringen", "toezeggingen", "persoon_functies",
+                          "truth_mentions"]}
     paths["pages"] = os.path.join(out_dir, "pages")  # sharded directory
     if os.path.exists(marker):
         return paths
@@ -636,6 +660,7 @@ def generate_corpus(out_dir: str, n_sessions: int = 50, seed: int = 42,
         "zalen": pa.Table.from_pylist(reg["zalen"], schema=schemas.ZALEN),
         "reserveringen": pa.Table.from_pylist(reg["reserveringen"], schema=schemas.RESERVERINGEN),
         "toezeggingen": pa.Table.from_pylist(reg["toezeggingen"], schema=schemas.TOEZEGGINGEN),
+        "persoon_functies": pa.Table.from_pylist(reg["persoon_functies"], schema=schemas.PERSOON_FUNCTIES),
         "truth_mentions": pa.Table.from_pylist(truth) if truth else pa.table(
             {"url": pa.array([], pa.string()), "kind": pa.array([], pa.string()),
              "surface": pa.array([], pa.string()), "entity_id": pa.array([], pa.string())}),

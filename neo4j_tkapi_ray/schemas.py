@@ -93,6 +93,22 @@ TOEZEGGINGEN = pa.schema([
     ("is_herhaling_van", pa.string()),
 ])
 
+# PersoonFunctie family — reference persoonfunctie_loader.py:85-116 (node
+# props functie/omschrijving/van/tot_en_met/soort) + REL_MAP_PERSOON_FUNCTIE
+# (constants.py:132-135: persoon -> PERSON_HAS_FUNCTION, fractie ->
+# FUNCTION_FOR_FRACTIE)
+PERSOON_FUNCTIES = pa.schema([
+    ("functie_id", pa.string()),
+    ("person_id", pa.string()),      # fk -> persons
+    ("fractie_id", pa.string()),     # fk -> parties ('' when function is
+                                      # not fractie-bound)
+    ("functie", pa.string()),
+    ("omschrijving", pa.string()),
+    ("van", pa.timestamp("us")),
+    ("tot_en_met", pa.timestamp("us")),  # null while the function is held
+    ("soort", pa.string()),
+])
+
 CASES = pa.schema([
     ("zaak_id", pa.string()),
     ("nummer", pa.string()),         # zaak's own number, e.g. 2024Z00123

@@ -17,7 +17,8 @@ import ray.data as rd
 REGISTRY_TABLES = ["persons", "parties", "sessions", "activities", "cases",
                    "dossiers", "activity_cases", "activity_actors",
                    "reg_documents", "besluiten", "api_stemmingen",
-                   "commissies", "zalen", "reserveringen", "toezeggingen"]
+                   "commissies", "zalen", "reserveringen", "toezeggingen",
+                   "persoon_functies"]
 
 
 def read_pages(paths: Union[str, List[str]], lang: Optional[str] = "nl",

@@ -79,6 +79,16 @@ def build_prop_maps(tables: Dict[str, list]) -> Dict[str, dict]:
     for tz in tables.get("toezeggingen", []):
         props[tz["toezegging_id"]] = {"tekst": tz["tekst"],
                                       "entity": "toezegging"}
+    # PersoonFunctie node props (persoonfunctie_loader.py:85-93: functie/
+    # omschrijving/van/tot_en_met/soort, dates stringified like the loader)
+    for pf in tables.get("persoon_functies", []):
+        props[pf["functie_id"]] = {
+            "functie": pf["functie"], "omschrijving": pf["omschrijving"],
+            "van": str(pf["van"]),
+            "tot_en_met": (str(pf["tot_en_met"])
+                           if pf["tot_en_met"] is not None else None),
+            "soort": pf["soort"], "entity": "persoon_functie",
+        }
     return props
 
 

@@ -33,6 +33,12 @@ Edge inventory (reference provenance cited per entry):
                                                           constants.py:45, common_processors.py:140-141
   api_stemmingen.fractie_id  Stemming -REPRESENTS_FRACTIE_VOTE-> Fractie
                                                           common_processors.py:186-187
+  persoon_functies.person_id  PersoonFunctie -PERSON_HAS_FUNCTION-> Persoon
+  persoon_functies.fractie_id PersoonFunctie -FUNCTION_FOR_FRACTIE-> Fractie
+                                                          constants.py:132-135
+  reg_documents.dossier_id  Dossier -CONTAINS_DOCUMENT-> Document
+  cases.dossier_id          Dossier -CONTAINS_ZAAK-> Zaak constants.py:137-140
+                                                          (REL_MAP_KAMERSTUKDOSSIER)
 """
 
 from __future__ import annotations
@@ -82,6 +88,16 @@ REGISTRY_REL_MAP: List[Tuple[str, str, str, str, str, str]] = [
      "activity_id", "Activity"),
     ("toezeggingen", "toezegging_id", "Toezegging", "MADE_BY",
      "person_id", "Persoon"),
+    # PersoonFunctie family (REL_MAP_PERSOON_FUNCTIE, constants.py:132-135)
+    ("persoon_functies", "functie_id", "PersoonFunctie", "PERSON_HAS_FUNCTION",
+     "person_id", "Persoon"),
+    ("persoon_functies", "functie_id", "PersoonFunctie", "FUNCTION_FOR_FRACTIE",
+     "fractie_id", "Fractie"),
+    # Kamerstukdossier containment (REL_MAP_KAMERSTUKDOSSIER,
+    # constants.py:137-140) — the reverse direction of the HAS_DOSSIER fks
+    ("reg_documents", "dossier_id", "Dossier", "CONTAINS_DOCUMENT",
+     "document_id", "Document"),
+    ("cases", "dossier_id", "Dossier", "CONTAINS_ZAAK", "zaak_id", "Zaak"),
 ]
 
 EDGE_SCHEMA = pa.schema([

@@ -97,7 +97,16 @@ def test_registry_edges_projection(ray_session, corpus):
             "REFERS_TO_ZAAK", "ABOUT_ZAAK", "HAS_STEMMING",
             "REPRESENTS_FRACTIE_VOTE", "BELONGS_TO_ACTIVITEIT",
             "HAS_VOORTOUWCOMMISSIE", "RESERVES_ZAAL", "FOR_ACTIVITEIT",
-            "SUPPLEMENTS", "REITERATES", "MADE_BY"} <= preds
+            "SUPPLEMENTS", "REITERATES", "MADE_BY",
+            "PERSON_HAS_FUNCTION", "FUNCTION_FOR_FRACTIE",
+            "CONTAINS_DOCUMENT", "CONTAINS_ZAAK"} <= preds
+    # PersoonFunctie edges target real persons; fractie edge only where bound
+    pf = df[df.pred == "PERSON_HAS_FUNCTION"]
+    persons = pd.read_parquet(f"{corpus['dir']}/persons.parquet")
+    assert len(pf) > 0 and set(pf.obj) <= set(persons.person_id)
+    functies = pd.read_parquet(f"{corpus['dir']}/persoon_functies.parquet")
+    ff = df[df.pred == "FUNCTION_FOR_FRACTIE"]
+    assert len(ff) == (functies.fractie_id != "").sum()
     # toezegging self-referential pairs never self-loop
     for pred in ("SUPPLEMENTS", "REITERATES"):
         sub = df[df.pred == pred]
@@ -110,4 +119,4 @@ def test_registry_edges_projection(ray_session, corpus):
     # no empty endpoints anywhere
     assert (df.subj != "").all() and (df.obj != "").all()
     # rel map is total: every entry names a real table column pair
-    assert len(REGISTRY_REL_MAP) == 18
+    assert len(REGISTRY_REL_MAP) == 22
