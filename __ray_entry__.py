@@ -224,6 +224,12 @@ def _kg_nevenfunctie_incomes(sf_dir: str):
     return nevenfunctie_incomes(c["persons"])
 
 
+def _kg_document_publicaties(sf_dir: str):
+    from neo4j_tkapi_ray.ops.nested import document_publicaties
+    c = _kg_corpus(sf_dir)
+    return document_publicaties(c["document_versies"])
+
+
 def _dedup_exact(sf_dir: str):
     from neo4j_tkapi_ray.ops.dedup import exact_dedup
     return exact_dedup(sf_dir).select_columns(["doc_id", "n_copies"])
@@ -264,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_registry_edges": _kg_registry_edges,
         "kg_person_gifts": _kg_person_gifts,
         "kg_nevenfunctie_incomes": _kg_nevenfunctie_incomes,
+        "kg_document_publicaties": _kg_document_publicaties,
         "kg_vote_rollup": _kg_vote_rollup,
         "kg_topic_consensus": _kg_topic_consensus,
         "kg_interruption_pairs": _kg_interruption_pairs,
@@ -317,12 +324,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def _registry_edges_sql(corpus_dir: str) -> str:
     from neo4j_tkapi_ray.stages.registry_edges import REGISTRY_REL_MAP
     parts = []
-    for table, src_col, src_label, rel, dst_col, dst_label in REGISTRY_REL_MAP:
+    for table, src_col, src_label, rel, dst_col, dst_label, *rest in REGISTRY_REL_MAP:
+        where = (f"coalesce({dst_col}, '') <> '' "
+                 f"AND coalesce({src_col}, '') <> ''")
+        if rest:
+            where += f" AND {rest[0][0]} = '{rest[0][1]}'"
         parts.append(
             f"SELECT {src_col} AS subj, '{src_label}' AS subj_label, "
             f"'{rel}' AS pred, {dst_col} AS obj, '{dst_label}' AS obj_label "
             f"FROM read_parquet('{corpus_dir}/{table}.parquet') "
-            f"WHERE coalesce({dst_col}, '') <> '' AND coalesce({src_col}, '') <> ''")
+            f"WHERE {where}")
     return " UNION ALL ".join(parts)
 
 
@@ -412,6 +423,16 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
                    CAST(epoch(unnest(geschenken).datum) AS BIGINT)
                        AS datum_epoch
             FROM read_parquet('{cd}/persons.parquet')
+        """,
+        "kg_document_publicaties": f"""
+            SELECT versie_id,
+                   CAST(generate_subscripts(publicaties, 1) - 1 AS BIGINT)
+                       AS pub_idx,
+                   unnest(publicaties).publicatie_id AS publicatie_id,
+                   unnest(publicaties).soort AS soort,
+                   CAST(epoch(unnest(publicaties).datum) AS BIGINT)
+                       AS datum_epoch
+            FROM read_parquet('{cd}/document_versies.parquet')
         """,
         "kg_nevenfunctie_incomes": f"""
             WITH nf AS (

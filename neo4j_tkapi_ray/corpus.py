@@ -83,7 +83,7 @@ SENTENCE_WORDS = [
     "gelijk", "dat", "er", "meer", "aandacht", "nodig", "is",
 ]
 
-CORPUS_VERSION = "v6"  # bump to invalidate cached generated corpora
+CORPUS_VERSION = "v7"  # bump to invalidate cached generated corpora
 SHARD_SESSIONS = 250   # sessions per pages shard file (and per gen task)
 
 
@@ -162,6 +162,8 @@ def _gen_registry(rng: random.Random, n_sessions: int) -> Dict[str, list]:
                 # REL_MAP_ACTIVITEIT 'voortouwcommissies')
                 "commissie_id": (rng.choice(commissies)["commissie_id"]
                                  if sessions[-1]["soort"] == "Commissie" else ""),
+                # assigned in the tail section (rng-draw ordering)
+                "vervangen_door": "", "voortgezet_vanuit": "", "zaal_id": "",
             })
             act_counter += 1
             t = a_end
@@ -231,6 +233,7 @@ def _gen_registry(rng: random.Random, n_sessions: int) -> Dict[str, list]:
                 "onderwerp": c["onderwerp"],
                 "datum": base + timedelta(days=rng.randrange(260)),
                 "zaak_id": c["zaak_id"],
+                "activity_id": "",
             })
         if rng.random() < 0.15:  # decoy: volgnummer off by one, no zaak link
             reg_documents.append({
@@ -242,6 +245,7 @@ def _gen_registry(rng: random.Random, n_sessions: int) -> Dict[str, list]:
                 "onderwerp": _topic(rng),
                 "datum": base + timedelta(days=rng.randrange(260)),
                 "zaak_id": "",
+                "activity_id": "",
             })
 
     # Besluit + API-Stemming families (reference common_processors.py:75-190)
@@ -257,6 +261,7 @@ def _gen_registry(rng: random.Random, n_sessions: int) -> Dict[str, list]:
                 "status": rng.choice(["Besluit", "Voorstel"]),
                 "tekst": ("hoofdelijk aangenomen" if rng.random() < 0.3
                           else "met handopsteken"),
+                "agendapunt_id": "",
             })
             for fr in rng.sample(parties, 3 + rng.randrange(5)):
                 api_stemmingen.append({
@@ -276,6 +281,7 @@ def _gen_registry(rng: random.Random, n_sessions: int) -> Dict[str, list]:
                 "reservering_id": f"rv{len(reserveringen):06d}",
                 "zaal_id": rng.choice(zalen)["zaal_id"],
                 "activity_id": act["activity_id"],
+                "vergadering_id": "",
             })
 
     # toezeggingen with self-referential fk pairs (J9 —
@@ -289,6 +295,7 @@ def _gen_registry(rng: random.Random, n_sessions: int) -> Dict[str, list]:
             "activity_id": rng.choice(activities)["activity_id"],
             "person_id": rng.choice(persons)["person_id"],
             "is_aanvulling_op": "", "is_herhaling_van": "",
+            "is_wijziging_van": "",
         })
     for t in toezeggingen:
         if rng.random() < 0.12:
@@ -323,6 +330,185 @@ def _gen_registry(rng: random.Random, n_sessions: int) -> Dict[str, list]:
                 "soort": rng.choice(["Kamerlid", "Kabinet", "Overig"]),
             })
 
+    # ---- tail section: every family below is generated after the tables
+    # above, so their rng draws never shift earlier tables or the rendered
+    # pages relative to prior corpus versions -----------------------------
+
+    # Activiteit self-referential fks (REL_MAP_ACTIVITEIT_SELF,
+    # constants.py:50-55) + zaal hosting (REL_MAP_ACTIVITEIT 'zaal')
+    for a in activities:
+        if rng.random() < 0.03:
+            other = rng.choice(activities)
+            if other["activity_id"] != a["activity_id"]:
+                a["vervangen_door"] = other["activity_id"]
+        if rng.random() < 0.03:
+            other = rng.choice(activities)
+            if other["activity_id"] != a["activity_id"]:
+                a["voortgezet_vanuit"] = other["activity_id"]
+        if rng.random() < 0.6:
+            a["zaal_id"] = rng.choice(zalen)["zaal_id"]
+
+    # Toezegging modification pair (REL_MAP_TOEZEGGING 'is_wijziging_van')
+    for t in toezeggingen:
+        if rng.random() < 0.15:
+            other = rng.choice(toezeggingen)
+            if other["toezegging_id"] != t["toezegging_id"]:
+                t["is_wijziging_van"] = other["toezegging_id"]
+    # small corpora may draw zero pairs — guarantee one so the MODIFIES /
+    # MODIFIED_BY projections are always exercised (deterministic)
+    if (len(toezeggingen) >= 2
+            and not any(t["is_wijziging_van"] for t in toezeggingen)):
+        toezeggingen[-1]["is_wijziging_van"] = toezeggingen[0]["toezegging_id"]
+
+    # Session-level room reservations (REL_MAP_RESERVERING 'vergadering' /
+    # REL_MAP_ZAAL 'vergaderingen')
+    for s in sessions:
+        if rng.random() < 0.4:
+            reserveringen.append({
+                "reservering_id": f"rv{len(reserveringen):06d}",
+                "zaal_id": rng.choice(zalen)["zaal_id"],
+                "activity_id": "",
+                "vergadering_id": s["session_id"],
+            })
+
+    # Some documents are activity-bound (REL_MAP_DOC 'activiteiten')
+    for d in reg_documents:
+        if rng.random() < 0.3:
+            d["activity_id"] = rng.choice(activities)["activity_id"]
+
+    # Agendapunt family (agendapunt_loader.py:98-107; REL_MAP_ZAAK /
+    # REL_MAP_ACTIVITEIT 'agendapunten', REL_MAP_BESLUIT 'agendapunt')
+    rubrieken = ["Hamerstukken", "Stemmingen", "Brieven", "Overig"]
+    agendapunten = []
+    for a in activities:
+        if rng.random() < 0.5:
+            for j in range(1 + rng.randrange(2)):
+                agendapunten.append({
+                    "agendapunt_id": f"ap{len(agendapunten):06d}",
+                    "activity_id": a["activity_id"],
+                    "zaak_id": (rng.choice(cases)["zaak_id"]
+                                if rng.random() < 0.7 else ""),
+                    "nummer": f"{len(agendapunten) + 1}",
+                    "onderwerp": _topic(rng),
+                    "volgorde": j + 1,
+                    "rubriek": rng.choice(rubrieken),
+                })
+    for b in besluiten:
+        if agendapunten and rng.random() < 0.5:
+            b["agendapunt_id"] = rng.choice(agendapunten)["agendapunt_id"]
+
+    # Fractie seat chain (REL_MAP_FRACTIE / _ZETEL / _ZETEL_PERSOON)
+    fractie_zetels, fractie_zetel_persons, fractie_zetel_vacatures = [], [], []
+    for fr in parties:
+        for _ in range(3 + rng.randrange(5)):
+            zid = f"fz{len(fractie_zetels):05d}"
+            fractie_zetels.append({"zetel_id": zid,
+                                   "fractie_id": fr["fractie_id"],
+                                   "gewicht": 1})
+            if rng.random() < 0.8:
+                van = base - timedelta(days=365 * (1 + rng.randrange(4)))
+                fractie_zetel_persons.append({
+                    "fzp_id": f"fzp{len(fractie_zetel_persons):05d}",
+                    "zetel_id": zid,
+                    "person_id": rng.choice(persons)["person_id"],
+                    "functie": "Lid",
+                    "van": van,
+                    "tot_en_met": (None if rng.random() < 0.7 else
+                                   van + timedelta(days=365 * (1 + rng.randrange(3)))),
+                })
+            elif rng.random() < 0.5:
+                fractie_zetel_vacatures.append({
+                    "vacature_id": f"fzv{len(fractie_zetel_vacatures):05d}",
+                    "zetel_id": zid, "functie": "Lid",
+                    "van": base - timedelta(days=rng.randrange(400)),
+                })
+
+    # Commissie seat chain (REL_MAP_COMMISSIE / _ZETEL / _ZETEL_PERSOON;
+    # vast/vervanger discriminator replaces the reference's four child types)
+    commissie_zetels, commissie_zetel_persons = [], []
+    commissie_zetel_vacatures = []
+    for cm in commissies:
+        for _ in range(2 + rng.randrange(4)):
+            zid = f"cz{len(commissie_zetels):05d}"
+            commissie_zetels.append({"zetel_id": zid,
+                                     "commissie_id": cm["commissie_id"],
+                                     "gewicht": 1})
+            for soort, prob in (("vast", 0.8), ("vervanger", 0.3)):
+                if rng.random() < prob:
+                    van = base - timedelta(days=365 * (1 + rng.randrange(3)))
+                    commissie_zetel_persons.append({
+                        "czp_id": f"czp{len(commissie_zetel_persons):05d}",
+                        "zetel_id": zid,
+                        "person_id": rng.choice(persons)["person_id"],
+                        "soort": soort,
+                        "functie": rng.choice(["Lid", "Voorzitter"]),
+                        "van": van,
+                        "tot_en_met": (None if rng.random() < 0.7 else
+                                       van + timedelta(days=365)),
+                    })
+            if rng.random() < 0.1:
+                commissie_zetel_vacatures.append({
+                    "vacature_id": f"czv{len(commissie_zetel_vacatures):05d}",
+                    "zetel_id": zid,
+                    "soort": rng.choice(["vast", "vervanger"]),
+                    "functie": "Lid",
+                    "van": base - timedelta(days=rng.randrange(400)),
+                })
+
+    # DocumentVersie family with nested publicaties (document_loader.py:
+    # 188-236)
+    document_versies = []
+    for d in reg_documents:
+        if rng.random() < 0.5:
+            for v in range(1 + rng.randrange(2)):
+                pubs = [{
+                    "publicatie_id":
+                        f"pub{len(document_versies):05d}x{k}",
+                    "soort": rng.choice(["Publicatie", "PublicatieMetadata"]),
+                    "datum": base + timedelta(days=rng.randrange(260)),
+                } for k in range(rng.randrange(3))]
+                document_versies.append({
+                    "versie_id": f"dv{len(document_versies):05d}",
+                    "document_id": d["document_id"],
+                    "versienummer": v + 1,
+                    "status": rng.choice(["Vastgesteld", "Concept"]),
+                    "datum": base + timedelta(days=rng.randrange(260)),
+                    "publicaties": pubs,
+                })
+
+    # Zaak/Document actor relations (REL_MAP_ZAAK 'actors' +
+    # REL_MAP_ZAAK_ACTOR / REL_MAP_DOCUMENT_ACTOR: one of persoon/fractie/
+    # commissie per actor row)
+    relaties = ["Indiener", "Medeindiener", "Rapporteur", "Volgcommissie"]
+
+    def _make_actor(prefix: str, count: int) -> dict:
+        roll = rng.random()
+        person_id = fractie_id = commissie_id = ""
+        if roll < 0.5:
+            p = rng.choice(persons)
+            person_id, naam = p["person_id"], p["achternaam"]
+        elif roll < 0.8:
+            fr = rng.choice(parties)
+            fractie_id, naam = fr["fractie_id"], fr["naam"]
+        else:
+            cm = rng.choice(commissies)
+            commissie_id, naam = cm["commissie_id"], cm["naam"]
+        return {"actor_id": f"{prefix}{count:06d}", "person_id": person_id,
+                "fractie_id": fractie_id, "commissie_id": commissie_id,
+                "naam": naam, "relatie": rng.choice(relaties)}
+
+    zaak_actors, document_actors = [], []
+    for c in cases:
+        if rng.random() < 0.4:
+            a = _make_actor("za", len(zaak_actors))
+            a["zaak_id"] = c["zaak_id"]
+            zaak_actors.append(a)
+    for d in reg_documents:
+        if rng.random() < 0.3:
+            a = _make_actor("da", len(document_actors))
+            a["document_id"] = d["document_id"]
+            document_actors.append(a)
+
     return {
         "persons": persons, "parties": parties, "sessions": sessions,
         "activities": activities, "cases": cases, "dossiers": dossiers,
@@ -331,6 +517,15 @@ def _gen_registry(rng: random.Random, n_sessions: int) -> Dict[str, list]:
         "api_stemmingen": api_stemmingen, "commissies": commissies,
         "zalen": zalen, "reserveringen": reserveringen,
         "toezeggingen": toezeggingen, "persoon_functies": persoon_functies,
+        "agendapunten": agendapunten,
+        "fractie_zetels": fractie_zetels,
+        "fractie_zetel_persons": fractie_zetel_persons,
+        "fractie_zetel_vacatures": fractie_zetel_vacatures,
+        "commissie_zetels": commissie_zetels,
+        "commissie_zetel_persons": commissie_zetel_persons,
+        "commissie_zetel_vacatures": commissie_zetel_vacatures,
+        "document_versies": document_versies,
+        "zaak_actors": zaak_actors, "document_actors": document_actors,
     }
 
 
@@ -609,6 +804,11 @@ def generate_corpus(out_dir: str, n_sessions: int = 50, seed: int = 42,
                           "activity_actors", "reg_documents", "besluiten",
                           "api_stemmingen", "commissies", "zalen",
                           "reserveringen", "toezeggingen", "persoon_functies",
+                          "agendapunten", "fractie_zetels",
+                          "fractie_zetel_persons", "fractie_zetel_vacatures",
+                          "commissie_zetels", "commissie_zetel_persons",
+                          "commissie_zetel_vacatures", "document_versies",
+                          "zaak_actors", "document_actors",
                           "truth_mentions"]}
     paths["pages"] = os.path.join(out_dir, "pages")  # sharded directory
     if os.path.exists(marker):
@@ -661,6 +861,16 @@ def generate_corpus(out_dir: str, n_sessions: int = 50, seed: int = 42,
         "reserveringen": pa.Table.from_pylist(reg["reserveringen"], schema=schemas.RESERVERINGEN),
         "toezeggingen": pa.Table.from_pylist(reg["toezeggingen"], schema=schemas.TOEZEGGINGEN),
         "persoon_functies": pa.Table.from_pylist(reg["persoon_functies"], schema=schemas.PERSOON_FUNCTIES),
+        "agendapunten": pa.Table.from_pylist(reg["agendapunten"], schema=schemas.AGENDAPUNTEN),
+        "fractie_zetels": pa.Table.from_pylist(reg["fractie_zetels"], schema=schemas.FRACTIE_ZETELS),
+        "fractie_zetel_persons": pa.Table.from_pylist(reg["fractie_zetel_persons"], schema=schemas.FRACTIE_ZETEL_PERSONS),
+        "fractie_zetel_vacatures": pa.Table.from_pylist(reg["fractie_zetel_vacatures"], schema=schemas.FRACTIE_ZETEL_VACATURES),
+        "commissie_zetels": pa.Table.from_pylist(reg["commissie_zetels"], schema=schemas.COMMISSIE_ZETELS),
+        "commissie_zetel_persons": pa.Table.from_pylist(reg["commissie_zetel_persons"], schema=schemas.COMMISSIE_ZETEL_PERSONS),
+        "commissie_zetel_vacatures": pa.Table.from_pylist(reg["commissie_zetel_vacatures"], schema=schemas.COMMISSIE_ZETEL_VACATURES),
+        "document_versies": pa.Table.from_pylist(reg["document_versies"], schema=schemas.DOCUMENT_VERSIES),
+        "zaak_actors": pa.Table.from_pylist(reg["zaak_actors"], schema=schemas.ZAAK_ACTORS),
+        "document_actors": pa.Table.from_pylist(reg["document_actors"], schema=schemas.DOCUMENT_ACTORS),
         "truth_mentions": pa.Table.from_pylist(truth) if truth else pa.table(
             {"url": pa.array([], pa.string()), "kind": pa.array([], pa.string()),
              "surface": pa.array([], pa.string()), "entity_id": pa.array([], pa.string())}),

@@ -61,6 +61,10 @@ ACTIVITIES = pa.schema([
     ("einde", pa.timestamp("us")),
     ("commissie_id", pa.string()),   # fk -> commissies ('' for plenary;
                                       # REL_MAP_ACTIVITEIT 'voortouwcommissies')
+    # self-referential fk pairs (REL_MAP_ACTIVITEIT_SELF, constants.py:50-55)
+    ("vervangen_door", pa.string()),
+    ("voortgezet_vanuit", pa.string()),
+    ("zaal_id", pa.string()),        # fk -> zalen (REL_MAP_ACTIVITEIT 'zaal')
 ])
 
 # Commissie / Zaal / Reservering / Toezegging families — reference
@@ -81,6 +85,8 @@ RESERVERINGEN = pa.schema([
     ("reservering_id", pa.string()),
     ("zaal_id", pa.string()),        # fk (REL_MAP_RESERVERING 'zaal')
     ("activity_id", pa.string()),    # fk (REL_MAP_RESERVERING 'activiteit')
+    ("vergadering_id", pa.string()),  # fk -> sessions (REL_MAP_RESERVERING
+                                      # 'vergadering'; '' for activity slots)
 ])
 
 TOEZEGGINGEN = pa.schema([
@@ -91,6 +97,7 @@ TOEZEGGINGEN = pa.schema([
     # self-referential fk pairs (REL_MAP_TOEZEGGING, constants.py:35-42)
     ("is_aanvulling_op", pa.string()),
     ("is_herhaling_van", pa.string()),
+    ("is_wijziging_van", pa.string()),
 ])
 
 # PersoonFunctie family — reference persoonfunctie_loader.py:85-116 (node
@@ -153,6 +160,8 @@ REG_DOCUMENTS = pa.schema([
     ("onderwerp", pa.string()),
     ("datum", pa.timestamp("us")),
     ("zaak_id", pa.string()),        # fk -> cases (REL_MAP_DOC 'zaken')
+    ("activity_id", pa.string()),    # fk -> activities (REL_MAP_DOC
+                                      # 'activiteiten'; '' for most)
 ])
 
 # Besluit family — reference common_processors.py:75-142
@@ -163,6 +172,116 @@ BESLUITEN = pa.schema([
     ("soort", pa.string()),
     ("status", pa.string()),
     ("tekst", pa.string()),          # carries 'hoofdelijk' for M15
+    ("agendapunt_id", pa.string()),  # fk -> agendapunten (REL_MAP_BESLUIT
+                                      # 'agendapunt' BELONGS_TO_AGENDAPUNT)
+])
+
+# Agendapunt family — reference agendapunt_loader.py:98-107 (node props
+# onderwerp/volgorde/rubriek) + REL_MAP_ZAAK / REL_MAP_ACTIVITEIT
+# 'agendapunten' (HAS_AGENDAPUNT)
+AGENDAPUNTEN = pa.schema([
+    ("agendapunt_id", pa.string()),
+    ("activity_id", pa.string()),    # fk -> activities
+    ("zaak_id", pa.string()),        # fk -> cases ('' for procedural items)
+    ("nummer", pa.string()),
+    ("onderwerp", pa.string()),
+    ("volgorde", pa.int32()),
+    ("rubriek", pa.string()),
+])
+
+# Fractie seat chain — reference REL_MAP_FRACTIE / REL_MAP_FRACTIE_ZETEL /
+# REL_MAP_FRACTIE_ZETEL_PERSOON (constants.py:70-83): Fractie -HAS_ZETEL->
+# FractieZetel -HAS_INCUMBENT-> FractieZetelPersoon -IS_PERSON-> Persoon,
+# plus Persoon -HAS_SEAT_ASSIGNMENT-> FractieZetelPersoon (REL_MAP_PERSOON
+# 'fractieleden') and FractieZetel -HAS_VACANCY-> FractieZetelVacature.
+FRACTIE_ZETELS = pa.schema([
+    ("zetel_id", pa.string()),
+    ("fractie_id", pa.string()),     # fk -> parties
+    ("gewicht", pa.int32()),
+])
+
+FRACTIE_ZETEL_PERSONS = pa.schema([
+    ("fzp_id", pa.string()),
+    ("zetel_id", pa.string()),       # fk -> fractie_zetels
+    ("person_id", pa.string()),      # fk -> persons
+    ("functie", pa.string()),
+    ("van", pa.timestamp("us")),
+    ("tot_en_met", pa.timestamp("us")),  # null while the seat is held
+])
+
+FRACTIE_ZETEL_VACATURES = pa.schema([
+    ("vacature_id", pa.string()),
+    ("zetel_id", pa.string()),       # fk -> fractie_zetels
+    ("functie", pa.string()),
+    ("van", pa.timestamp("us")),
+])
+
+# Commissie seat chain — reference REL_MAP_COMMISSIE / REL_MAP_COMMISSIE_ZETEL
+# / REL_MAP_COMMISSIE_ZETEL_PERSOON (constants.py:101-118). The reference's
+# four child types (vast/vervanger x persoon/vacature) are one table each
+# with a ``soort`` discriminator; the edge projection filters on it.
+COMMISSIE_ZETELS = pa.schema([
+    ("zetel_id", pa.string()),
+    ("commissie_id", pa.string()),   # fk -> commissies
+    ("gewicht", pa.int32()),
+])
+
+COMMISSIE_ZETEL_PERSONS = pa.schema([
+    ("czp_id", pa.string()),
+    ("zetel_id", pa.string()),       # fk -> commissie_zetels
+    ("person_id", pa.string()),      # fk -> persons
+    ("soort", pa.string()),          # vast | vervanger
+    ("functie", pa.string()),
+    ("van", pa.timestamp("us")),
+    ("tot_en_met", pa.timestamp("us")),
+])
+
+COMMISSIE_ZETEL_VACATURES = pa.schema([
+    ("vacature_id", pa.string()),
+    ("zetel_id", pa.string()),       # fk -> commissie_zetels
+    ("soort", pa.string()),          # vast | vervanger
+    ("functie", pa.string()),
+    ("van", pa.timestamp("us")),
+])
+
+# DocumentVersie family — reference document_loader.py:188-236 (versie node
+# props versienummer/status/datum; publicaties + metadata merged per versie
+# via REL_MAP_DOCUMENT_VERSIE, constants.py:64-67). Publications are a
+# nested list<struct> column flattened by ops.nested.document_publicaties.
+PUBLICATIE = pa.struct([("publicatie_id", pa.string()),
+                        ("soort", pa.string()),
+                        ("datum", pa.timestamp("us"))])
+DOCUMENT_VERSIES = pa.schema([
+    ("versie_id", pa.string()),
+    ("document_id", pa.string()),    # fk -> reg_documents (HAS_VERSIE)
+    ("versienummer", pa.int32()),
+    ("status", pa.string()),
+    ("datum", pa.timestamp("us")),
+    ("publicaties", pa.list_(PUBLICATIE)),
+])
+
+# Zaak/Document actor relations — reference ZaakActor / DocumentActor
+# entities (REL_MAP_ZAAK 'actors' HAS_ACTOR; REL_MAP_ZAAK_ACTOR /
+# REL_MAP_DOCUMENT_ACTOR: exactly one of persoon/fractie/commissie set,
+# constants.py:57-61,120-124)
+ZAAK_ACTORS = pa.schema([
+    ("actor_id", pa.string()),
+    ("zaak_id", pa.string()),        # fk -> cases
+    ("person_id", pa.string()),
+    ("fractie_id", pa.string()),
+    ("commissie_id", pa.string()),
+    ("naam", pa.string()),
+    ("relatie", pa.string()),
+])
+
+DOCUMENT_ACTORS = pa.schema([
+    ("actor_id", pa.string()),
+    ("document_id", pa.string()),    # fk -> reg_documents
+    ("person_id", pa.string()),
+    ("fractie_id", pa.string()),
+    ("commissie_id", pa.string()),
+    ("naam", pa.string()),
+    ("relatie", pa.string()),
 ])
 
 # API-side Stemming family — reference common_processors.py:145-190

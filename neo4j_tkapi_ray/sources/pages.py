@@ -18,7 +18,11 @@ REGISTRY_TABLES = ["persons", "parties", "sessions", "activities", "cases",
                    "dossiers", "activity_cases", "activity_actors",
                    "reg_documents", "besluiten", "api_stemmingen",
                    "commissies", "zalen", "reserveringen", "toezeggingen",
-                   "persoon_functies"]
+                   "persoon_functies", "agendapunten", "fractie_zetels",
+                   "fractie_zetel_persons", "fractie_zetel_vacatures",
+                   "commissie_zetels", "commissie_zetel_persons",
+                   "commissie_zetel_vacatures", "document_versies",
+                   "zaak_actors", "document_actors"]
 
 
 def read_pages(paths: Union[str, List[str]], lang: Optional[str] = "nl",

@@ -89,6 +89,45 @@ def build_prop_maps(tables: Dict[str, list]) -> Dict[str, dict]:
                            if pf["tot_en_met"] is not None else None),
             "soort": pf["soort"], "entity": "persoon_functie",
         }
+    # Agendapunt node props (agendapunt_loader.py:98-107: nummer/onderwerp/
+    # volgorde/rubriek)
+    for ap in tables.get("agendapunten", []):
+        props[ap["agendapunt_id"]] = {
+            "nummer": ap["nummer"], "onderwerp": ap["onderwerp"],
+            "volgorde": str(ap["volgorde"]), "rubriek": ap["rubriek"],
+            "entity": "agendapunt",
+        }
+    # DocumentVersie node props (document_loader.py:188-200)
+    for dv in tables.get("document_versies", []):
+        props[dv["versie_id"]] = {
+            "versienummer": str(dv["versienummer"]), "status": dv["status"],
+            "datum": str(dv["datum"]), "entity": "document_versie",
+        }
+    # Zaak/Document actor relation nodes (naam + relatie, the reference's
+    # ZaakActor/DocumentActor property projection)
+    for za in tables.get("zaak_actors", []):
+        props[za["actor_id"]] = {"naam": za["naam"], "relatie": za["relatie"],
+                                 "entity": "zaak_actor"}
+    for da in tables.get("document_actors", []):
+        props[da["actor_id"]] = {"naam": da["naam"], "relatie": da["relatie"],
+                                 "entity": "document_actor"}
+    # seat-chain rows (functie + validity window, fractie_loader.py /
+    # commissie_loader.py zetel projections)
+    for fzp in tables.get("fractie_zetel_persons", []):
+        props[fzp["fzp_id"]] = {
+            "functie": fzp["functie"], "van": str(fzp["van"]),
+            "tot_en_met": (str(fzp["tot_en_met"])
+                           if fzp["tot_en_met"] is not None else None),
+            "entity": "fractie_zetel_persoon",
+        }
+    for czp in tables.get("commissie_zetel_persons", []):
+        props[czp["czp_id"]] = {
+            "functie": czp["functie"], "soort": czp["soort"],
+            "van": str(czp["van"]),
+            "tot_en_met": (str(czp["tot_en_met"])
+                           if czp["tot_en_met"] is not None else None),
+            "entity": "commissie_zetel_persoon",
+        }
     return props
 
 

@@ -9,36 +9,21 @@ typed edges, emitted by a stateless vectorized ``map_batches`` over the
 parquet dimension tables (pure column select/rename + null filter — no
 shuffle; dedup happens downstream in canonicalize_edges if desired).
 
-Edge inventory (reference provenance cited per entry):
+The edge inventory is ``REGISTRY_REL_MAP`` itself — one entry per reference
+relationship type, grouped and cited inline. Entries are 6-tuples
+``(table, src_col, src_label, rel, dst_col, dst_label)``; an optional 7th
+element ``(filter_col, filter_val)`` restricts the projection to rows with
+that discriminator value (used where the reference models sibling child
+entity types — e.g. CommissieZetelVastPersoon vs VervangerPersoon,
+constants.py:105-110 — that this registry stores as one table with a
+``soort`` column).
 
-  cases.dossier_id        Zaak -HAS_DOSSIER-> Dossier     constants.py:8 (REL_MAP_ZAAK 'dossier')
-  cases.vervangen_door    Zaak -REPLACED_BY-> Zaak        constants.py:7 (J9 self-referential)
-  activities.session_id   Vergadering -HAS_ACTIVITEIT-> Activity
-                                                          vergadering_processor.py:15-20
-  activity_actors         Activity -HAS_ACT_ACTOR-> Persoon
-                                                          constants.py REL_MAP_ACTIVITEIT 'actors' +
-                                                          REL_MAP_ACTOR 'persoon' (ACTED_AS_PERSOON) —
-                                                          the intermediate ActiviteitActor node is
-                                                          collapsed into one edge (documented deviation)
-  persons.fractie_id      Persoon -HAS_FRACTIE-> Fractie  collapses the FractieZetel ->
-                                                          FractieZetelPersoon chain
-                                                          (constants.py REL_MAP_FRACTIE_ZETEL_PERSOON)
-  reg_documents.zaak_id   Document -REFERS_TO_ZAAK-> Zaak constants.py:12 (REL_MAP_DOC 'zaken')
-  reg_documents.dossier_id Document -HAS_DOSSIER-> Dossier constants.py:16 (REL_MAP_DOC 'dossiers')
-  besluiten.zaak_id       Besluit -ABOUT_ZAAK-> Zaak      constants.py:46 (REL_MAP_BESLUIT 'zaken')
-  besluiten.activity_id   Besluit -BELONGS_TO_ACTIVITEIT-> Activity
-                                                          constants.py:47 agendapunt analog (this
-                                                          registry models agendapunten as activities)
-  api_stemmingen.besluit_id  Besluit -HAS_STEMMING-> Stemming
-                                                          constants.py:45, common_processors.py:140-141
-  api_stemmingen.fractie_id  Stemming -REPRESENTS_FRACTIE_VOTE-> Fractie
-                                                          common_processors.py:186-187
-  persoon_functies.person_id  PersoonFunctie -PERSON_HAS_FUNCTION-> Persoon
-  persoon_functies.fractie_id PersoonFunctie -FUNCTION_FOR_FRACTIE-> Fractie
-                                                          constants.py:132-135
-  reg_documents.dossier_id  Dossier -CONTAINS_DOCUMENT-> Document
-  cases.dossier_id          Dossier -CONTAINS_ZAAK-> Zaak constants.py:137-140
-                                                          (REL_MAP_KAMERSTUKDOSSIER)
+Deliberate deviations from the reference taxonomy, kept for compactness:
+  - Activity -HAS_ACT_ACTOR-> Persoon collapses the intermediate
+    ActiviteitActor node (REL_MAP_ACTIVITEIT 'actors' + REL_MAP_ACTOR
+    'persoon') into one edge; ZaakActor/DocumentActor are modeled in full.
+  - Persoon -HAS_FRACTIE-> Fractie is a convenience edge alongside the full
+    FractieZetel chain (REL_MAP_FRACTIE_ZETEL_PERSOON).
 """
 
 from __future__ import annotations
@@ -49,9 +34,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-# (table, src_col, src_label, rel_type, dst_col, dst_label); src/dst cols are
-# the row key or the fk column — direction encoded explicitly per entry.
-REGISTRY_REL_MAP: List[Tuple[str, str, str, str, str, str]] = [
+# (table, src_col, src_label, rel_type, dst_col, dst_label[, (flt_col,
+# flt_val)]); src/dst cols are the row key or the fk column — direction
+# encoded explicitly per entry.
+REGISTRY_REL_MAP: List[tuple] = [
     ("cases", "zaak_id", "Zaak", "HAS_DOSSIER", "dossier_id", "Dossier"),
     ("cases", "zaak_id", "Zaak", "REPLACED_BY", "vervangen_door", "Zaak"),
     ("activities", "session_id", "Vergadering", "HAS_ACTIVITEIT",
@@ -98,6 +84,110 @@ REGISTRY_REL_MAP: List[Tuple[str, str, str, str, str, str]] = [
     ("reg_documents", "dossier_id", "Dossier", "CONTAINS_DOCUMENT",
      "document_id", "Document"),
     ("cases", "dossier_id", "Dossier", "CONTAINS_ZAAK", "zaak_id", "Zaak"),
+    # ---- REL_MAP_ZAAK completion (constants.py:1-9) ----------------------
+    ("activity_cases", "zaak_id", "Zaak", "HAS_ACTIVITEIT",
+     "activity_id", "Activity"),
+    ("activity_cases", "activity_id", "Activity", "PART_OF_ZAAK",
+     "zaak_id", "Zaak"),                      # REL_MAP_ACTIVITEIT 'zaken'
+    ("besluiten", "zaak_id", "Zaak", "HAS_BESLUIT", "besluit_id", "Besluit"),
+    ("reg_documents", "zaak_id", "Zaak", "HAS_DOCUMENT",
+     "document_id", "Document"),
+    ("agendapunten", "zaak_id", "Zaak", "HAS_AGENDAPUNT",
+     "agendapunt_id", "Agendapunt"),
+    ("zaak_actors", "zaak_id", "Zaak", "HAS_ACTOR", "actor_id", "ZaakActor"),
+    # REL_MAP_ZAAK_ACTOR (constants.py:120-124)
+    ("zaak_actors", "actor_id", "ZaakActor", "ACTED_AS_PERSOON",
+     "person_id", "Persoon"),
+    ("zaak_actors", "actor_id", "ZaakActor", "ACTED_AS_FRACTIE",
+     "fractie_id", "Fractie"),
+    ("zaak_actors", "actor_id", "ZaakActor", "ACTED_AS_COMMISSIE",
+     "commissie_id", "Commissie"),
+    # ---- REL_MAP_DOC completion (constants.py:11-17) ---------------------
+    ("reg_documents", "document_id", "Document", "HAS_ACTIVITEIT",
+     "activity_id", "Activity"),
+    ("document_actors", "document_id", "Document", "HAS_ACTOR",
+     "actor_id", "DocumentActor"),
+    # REL_MAP_DOCUMENT_ACTOR (constants.py:57-61)
+    ("document_actors", "actor_id", "DocumentActor", "ACTED_AS_PERSOON",
+     "person_id", "Persoon"),
+    ("document_actors", "actor_id", "DocumentActor", "ACTED_AS_FRACTIE",
+     "fractie_id", "Fractie"),
+    ("document_actors", "actor_id", "DocumentActor", "ACTED_AS_COMMISSIE",
+     "commissie_id", "Commissie"),
+    ("document_versies", "document_id", "Document", "HAS_VERSIE",
+     "versie_id", "DocumentVersie"),          # REL_MAP_DOC 'versies'
+    # ---- REL_MAP_ACTIVITEIT completion (constants.py:19-27) --------------
+    ("reg_documents", "activity_id", "Activity", "HAS_DOCUMENT",
+     "document_id", "Document"),
+    ("agendapunten", "activity_id", "Activity", "HAS_AGENDAPUNT",
+     "agendapunt_id", "Agendapunt"),
+    ("reserveringen", "activity_id", "Activity", "HAS_RESERVERING",
+     "reservering_id", "Reservering"),
+    ("activities", "activity_id", "Activity", "HAS_ZAAL", "zaal_id", "Zaal"),
+    # REL_MAP_ACTIVITEIT_SELF (constants.py:50-55): forward fks + derived
+    # inverse directions
+    ("activities", "activity_id", "Activity", "REPLACED_BY",
+     "vervangen_door", "Activity"),
+    ("activities", "vervangen_door", "Activity", "REPLACED_FROM",
+     "activity_id", "Activity"),
+    ("activities", "activity_id", "Activity", "CONTINUED_FROM",
+     "voortgezet_vanuit", "Activity"),
+    ("activities", "voortgezet_vanuit", "Activity", "CONTINUED_IN",
+     "activity_id", "Activity"),
+    # ---- REL_MAP_BESLUIT completion (constants.py:45-48) -----------------
+    ("besluiten", "besluit_id", "Besluit", "BELONGS_TO_AGENDAPUNT",
+     "agendapunt_id", "Agendapunt"),
+    # ---- REL_MAP_TOEZEGGING inverse + modification pairs
+    # (constants.py:35-42) -------------------------------------------------
+    ("toezeggingen", "is_aanvulling_op", "Toezegging", "SUPPLEMENTED_BY",
+     "toezegging_id", "Toezegging"),
+    ("toezeggingen", "is_herhaling_van", "Toezegging", "REITERATED_BY",
+     "toezegging_id", "Toezegging"),
+    ("toezeggingen", "toezegging_id", "Toezegging", "MODIFIES",
+     "is_wijziging_van", "Toezegging"),
+    ("toezeggingen", "is_wijziging_van", "Toezegging", "MODIFIED_BY",
+     "toezegging_id", "Toezegging"),
+    # ---- Fractie seat chain (REL_MAP_FRACTIE / _ZETEL / _ZETEL_PERSOON /
+    # REL_MAP_PERSOON 'fractieleden', constants.py:70-92) ------------------
+    ("fractie_zetels", "fractie_id", "Fractie", "HAS_ZETEL",
+     "zetel_id", "FractieZetel"),
+    ("fractie_zetel_persons", "zetel_id", "FractieZetel", "HAS_INCUMBENT",
+     "fzp_id", "FractieZetelPersoon"),
+    ("fractie_zetel_persons", "fzp_id", "FractieZetelPersoon", "IS_PERSON",
+     "person_id", "Persoon"),
+    ("fractie_zetel_persons", "person_id", "Persoon", "HAS_SEAT_ASSIGNMENT",
+     "fzp_id", "FractieZetelPersoon"),
+    ("fractie_zetel_vacatures", "zetel_id", "FractieZetel", "HAS_VACANCY",
+     "vacature_id", "FractieZetelVacature"),
+    # ---- Commissie seat chain (REL_MAP_COMMISSIE / _ZETEL /
+    # _ZETEL_PERSOON, constants.py:101-118) — the reference's four child
+    # types are the ``soort`` discriminator here ---------------------------
+    ("commissie_zetels", "commissie_id", "Commissie", "HAS_ZETEL",
+     "zetel_id", "CommissieZetel"),
+    ("commissie_zetel_persons", "zetel_id", "CommissieZetel", "HAS_MEMBER",
+     "czp_id", "CommissieZetelVastPersoon", ("soort", "vast")),
+    ("commissie_zetel_persons", "zetel_id", "CommissieZetel",
+     "HAS_TEMP_MEMBER", "czp_id", "CommissieZetelVervangerPersoon",
+     ("soort", "vervanger")),
+    ("commissie_zetel_persons", "czp_id", "CommissieZetelVastPersoon",
+     "IS_PERSON", "person_id", "Persoon", ("soort", "vast")),
+    ("commissie_zetel_persons", "czp_id", "CommissieZetelVervangerPersoon",
+     "IS_PERSON", "person_id", "Persoon", ("soort", "vervanger")),
+    ("commissie_zetel_vacatures", "zetel_id", "CommissieZetel", "HAS_VACANCY",
+     "vacature_id", "CommissieZetelVastVacature", ("soort", "vast")),
+    ("commissie_zetel_vacatures", "zetel_id", "CommissieZetel",
+     "HAS_TEMP_VACANCY", "vacature_id", "CommissieZetelVervangerVacature",
+     ("soort", "vervanger")),
+    # ---- REL_MAP_ZAAL / REL_MAP_RESERVERING completion
+    # (constants.py:142-152) -----------------------------------------------
+    ("reserveringen", "reservering_id", "Reservering", "FOR_VERGADERING",
+     "vergadering_id", "Vergadering"),
+    ("reserveringen", "zaal_id", "Zaal", "HOSTS_VERGADERING",
+     "vergadering_id", "Vergadering"),
+    ("reserveringen", "zaal_id", "Zaal", "HAS_RESERVERING",
+     "reservering_id", "Reservering"),
+    ("activities", "zaal_id", "Zaal", "HOSTS_ACTIVITEIT",
+     "activity_id", "Activity"),
 ]
 
 EDGE_SCHEMA = pa.schema([
@@ -106,45 +196,68 @@ EDGE_SCHEMA = pa.schema([
 ])
 
 
-def _project(src_col: str, src_label: str, rel: str, dst_col: str,
-             dst_label: str):
+def _project_one(batch: pa.Table, src_col: str, src_label: str, rel: str,
+                 dst_col: str, dst_label: str,
+                 flt: Tuple[str, str] = None) -> pa.Table:
+    if flt is not None:
+        batch = batch.filter(
+            pc.fill_null(pc.equal(batch.column(flt[0]), flt[1]), False))
+    subj = batch.column(src_col)
+    obj = batch.column(dst_col)
+    # fk may be '' / null (e.g. vervangen_door on non-superseded zaken);
+    # Kleene nulls in the mask filter out as false
+    mask = pc.fill_null(pc.and_kleene(pc.not_equal(obj, ""),
+                                      pc.not_equal(subj, "")), False)
+    subj, obj = subj.filter(mask), obj.filter(mask)
+    n = len(subj)
+    return pa.table({
+        "subj": subj,
+        "subj_label": pa.array([src_label] * n, pa.string()),
+        "pred": pa.array([rel] * n, pa.string()),
+        "obj": obj,
+        "obj_label": pa.array([dst_label] * n, pa.string()),
+    })
+
+
+def _project_table(entries: List[tuple]):
+    """Emit ALL of a table's edge projections from one batch pass — the
+    table's parquet is read once, not once per relation type."""
     def fn(batch: pa.Table) -> pa.Table:
-        subj = batch.column(src_col)
-        obj = batch.column(dst_col)
-        n = batch.num_rows
-        out = pa.table({
-            "subj": subj,
-            "subj_label": pa.array([src_label] * n, pa.string()),
-            "pred": pa.array([rel] * n, pa.string()),
-            "obj": obj,
-            "obj_label": pa.array([dst_label] * n, pa.string()),
-        })
-        # fk may be '' / null (e.g. vervangen_door on non-superseded zaken);
-        # Kleene nulls in the mask filter out as false
-        mask = pc.and_kleene(pc.not_equal(obj, ""), pc.not_equal(subj, ""))
-        return out.filter(pc.fill_null(mask, False))
+        outs = [_project_one(batch, *e) for e in entries]
+        outs = [o for o in outs if o.num_rows] or outs[:1]
+        return pa.concat_tables(outs)
     return fn
 
 
-def registry_edges(registry_dir: str,
-                   rel_map: List[Tuple[str, str, str, str, str, str]] = None
+def registry_edges(registry_dir: str, rel_map: List[tuple] = None
                    ) -> rd.Dataset:
     """All registry-projected edges as one Dataset (SQL-mirrorable: each
-    entry is SELECT src, 'REL', dst FROM table WHERE fk <> '')."""
+    rel-map entry is SELECT src, 'REL', dst FROM table WHERE fk <> ''
+    [AND flt_col = flt_val]).
+
+    Entries are grouped by source table: each dimension parquet is read
+    ONCE with the union of the columns its projections need, and a single
+    vectorized ``map_batches`` emits every edge type for that table. This
+    keeps the plan width at #tables (~20), not #relation-types (~66) — a
+    66-way Dataset union is quadratic in the executor and reads hot tables
+    (activities, reg_documents) many times over."""
     import os
     rel_map = rel_map or REGISTRY_REL_MAP
+    by_table: dict = {}
+    for table, *entry in rel_map:
+        by_table.setdefault(table, []).append(tuple(entry))
     parts: List[rd.Dataset] = []
-    for table, src_col, src_label, rel, dst_col, dst_label in rel_map:
+    for table, entries in by_table.items():
         path = os.path.join(registry_dir, f"{table}.parquet")
         if not os.path.exists(path):
             continue
-        ds = rd.read_parquet(path, columns=list({src_col, dst_col}))
-        parts.append(ds.map_batches(
-            _project(src_col, src_label, rel, dst_col, dst_label),
-            batch_format="pyarrow", zero_copy_batch=True))
+        cols = set()
+        for src_col, _, _, dst_col, _, *rest in entries:
+            cols |= {src_col, dst_col} | ({rest[0][0]} if rest else set())
+        ds = rd.read_parquet(path, columns=sorted(cols))
+        parts.append(ds.map_batches(_project_table(entries),
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True))
     if not parts:
         return rd.from_arrow(EDGE_SCHEMA.empty_table())
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.union(p)
-    return out
+    return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]

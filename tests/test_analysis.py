@@ -89,8 +89,9 @@ def test_registry_edges_projection(ray_session, corpus):
     preds = set(df.pred)
     # J9 self-referential edges actually exercised now
     assert "REPLACED_BY" in preds
-    rb = df[df.pred == "REPLACED_BY"]
-    assert (rb.subj_label == "Zaak").all() and (rb.obj_label == "Zaak").all()
+    # Zaak and Activity both carry the self-referential pair now
+    rb = df[(df.pred == "REPLACED_BY") & (df.subj_label == "Zaak")]
+    assert len(rb) > 0 and (rb.obj_label == "Zaak").all()
     assert (rb.subj != rb.obj).all()
     # every declared relation type with source data shows up
     assert {"HAS_DOSSIER", "HAS_ACTIVITEIT", "HAS_ACT_ACTOR", "HAS_FRACTIE",
@@ -99,7 +100,18 @@ def test_registry_edges_projection(ray_session, corpus):
             "HAS_VOORTOUWCOMMISSIE", "RESERVES_ZAAL", "FOR_ACTIVITEIT",
             "SUPPLEMENTS", "REITERATES", "MADE_BY",
             "PERSON_HAS_FUNCTION", "FUNCTION_FOR_FRACTIE",
-            "CONTAINS_DOCUMENT", "CONTAINS_ZAAK"} <= preds
+            "CONTAINS_DOCUMENT", "CONTAINS_ZAAK",
+            # round-2 widening: zaak/doc completion, actors, versies,
+            # agendapunten, seat chains, zaal/reservering, self-refs
+            "HAS_BESLUIT", "HAS_DOCUMENT", "HAS_AGENDAPUNT", "HAS_ACTOR",
+            "ACTED_AS_PERSOON", "ACTED_AS_FRACTIE", "ACTED_AS_COMMISSIE",
+            "HAS_VERSIE", "PART_OF_ZAAK", "HAS_RESERVERING", "HAS_ZAAL",
+            "REPLACED_FROM", "CONTINUED_FROM", "CONTINUED_IN",
+            "BELONGS_TO_AGENDAPUNT", "SUPPLEMENTED_BY", "REITERATED_BY",
+            "MODIFIES", "MODIFIED_BY", "HAS_ZETEL", "HAS_INCUMBENT",
+            "IS_PERSON", "HAS_SEAT_ASSIGNMENT", "HAS_VACANCY", "HAS_MEMBER",
+            "HAS_TEMP_MEMBER", "FOR_VERGADERING", "HOSTS_VERGADERING",
+            "HOSTS_ACTIVITEIT"} <= preds
     # PersoonFunctie edges target real persons; fractie edge only where bound
     pf = df[df.pred == "PERSON_HAS_FUNCTION"]
     persons = pd.read_parquet(f"{corpus['dir']}/persons.parquet")
@@ -119,4 +131,21 @@ def test_registry_edges_projection(ray_session, corpus):
     # no empty endpoints anywhere
     assert (df.subj != "").all() and (df.obj != "").all()
     # rel map is total: every entry names a real table column pair
-    assert len(REGISTRY_REL_MAP) == 22
+    assert len(REGISTRY_REL_MAP) == 66
+    # soort-discriminated commissie seat projections partition correctly
+    czp = pd.read_parquet(f"{corpus['dir']}/commissie_zetel_persons.parquet")
+    hm = df[df.pred == "HAS_MEMBER"]
+    htm = df[df.pred == "HAS_TEMP_MEMBER"]
+    assert len(hm) == (czp.soort == "vast").sum()
+    assert len(htm) == (czp.soort == "vervanger").sum()
+    assert (hm.obj_label == "CommissieZetelVastPersoon").all()
+    assert (htm.obj_label == "CommissieZetelVervangerPersoon").all()
+    # IS_PERSON spans both discriminator values and totals the table
+    assert len(df[df.pred == "IS_PERSON"]) == len(czp) + len(
+        pd.read_parquet(f"{corpus['dir']}/fractie_zetel_persons.parquet"))
+    # inverse self-ref pairs mirror the forward fks row-for-row
+    acts = pd.read_parquet(f"{corpus['dir']}/activities.parquet")
+    n_repl = (acts.vervangen_door != "").sum()
+    assert len(df[(df.pred == "REPLACED_BY")
+                  & (df.subj_label == "Activity")]) == n_repl
+    assert len(df[df.pred == "REPLACED_FROM"]) == n_repl
