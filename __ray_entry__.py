@@ -230,6 +230,29 @@ def _kg_document_publicaties(sf_dir: str):
     return document_publicaties(c["document_versies"])
 
 
+def _full_graph_triples(sf_dir: str):
+    """VLOS page-derived triples UNION the registry edges lifted into the
+    triple schema — the reference's full ``main.py`` load (API entities +
+    relationships + VLOS analysis) as ONE stream."""
+    from neo4j_tkapi_ray.stages.registry_edges import registry_triples
+    c = _kg_corpus(sf_dir)
+    return _kg_triples_raw(sf_dir).union(registry_triples(c["dir"]))
+
+
+def _kg_graph_edges(sf_dir: str):
+    from neo4j_tkapi_ray.config import EngineConfig
+    from neo4j_tkapi_ray.stages.canonicalize import canonicalize_edges
+    return canonicalize_edges(_full_graph_triples(sf_dir),
+                              EngineConfig.default())
+
+
+def _kg_graph_nodes(sf_dir: str):
+    from neo4j_tkapi_ray.config import EngineConfig
+    from neo4j_tkapi_ray.stages.canonicalize import canonicalize_nodes
+    return _epochify(canonicalize_nodes(_full_graph_triples(sf_dir),
+                                        EngineConfig.default()))
+
+
 def _dedup_exact(sf_dir: str):
     from neo4j_tkapi_ray.ops.dedup import exact_dedup
     return exact_dedup(sf_dir).select_columns(["doc_id", "n_copies"])
@@ -271,6 +294,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_person_gifts": _kg_person_gifts,
         "kg_nevenfunctie_incomes": _kg_nevenfunctie_incomes,
         "kg_document_publicaties": _kg_document_publicaties,
+        "kg_graph_edges": _kg_graph_edges,
+        "kg_graph_nodes": _kg_graph_nodes,
         "kg_vote_rollup": _kg_vote_rollup,
         "kg_topic_consensus": _kg_topic_consensus,
         "kg_interruption_pairs": _kg_interruption_pairs,
@@ -412,6 +437,47 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
             GROUP BY responder, interrupter
         """,
         "kg_registry_edges": _registry_edges_sql(cd),
+        # full-graph assembly (reference main.py load: registry entities +
+        # relationships + VLOS facts through the same D1/D2 shuffles),
+        # re-derived as SQL over expected_triples UNION the registry
+        # projections
+        "kg_graph_edges": f"""
+            SELECT subj, pred, obj, COUNT(*) AS weight, MAX(score) AS score
+            FROM (
+                SELECT subj, pred, obj, score FROM {exp('expected_triples')}
+                WHERE pred <> '_FAILED'
+                UNION ALL
+                SELECT subj, pred, obj, 1.0 AS score
+                FROM ({_registry_edges_sql(cd)})
+            ) GROUP BY subj, pred, obj
+        """,
+        "kg_graph_nodes": f"""
+            WITH t AS (SELECT * FROM {exp('expected_triples')}
+                       WHERE pred <> '_FAILED'),
+                 r AS (SELECT * FROM ({_registry_edges_sql(cd)})),
+                 endpoints AS (
+                SELECT subj AS node_id, subj_label AS label,
+                       '{{"last_url": "' || url || '"}}' AS props, ts_epoch
+                FROM t
+                UNION ALL
+                SELECT obj, obj_label,
+                       '{{"last_url": "' || url || '"}}', ts_epoch
+                FROM t
+                UNION ALL
+                SELECT subj, subj_label,
+                       '{{"last_url": "registry"}}', CAST(0 AS BIGINT)
+                FROM r
+                UNION ALL
+                SELECT obj, obj_label,
+                       '{{"last_url": "registry"}}', CAST(0 AS BIGINT)
+                FROM r)
+            SELECT node_id, label, props, ts_epoch FROM (
+                SELECT node_id, label, props, ts_epoch,
+                       ROW_NUMBER() OVER (PARTITION BY node_id
+                                          ORDER BY ts_epoch DESC, props DESC)
+                           AS rn
+                FROM endpoints) WHERE rn = 1
+        """,
         # nested list<struct> flattening re-derived with UNNEST (the
         # PersoonGeschenk / PersoonNevenfunctie / Inkomsten child entities)
         "kg_person_gifts": f"""

@@ -158,22 +158,33 @@ def run_kg(pages_path: str, registry_dir: str, out_dir: str,
 
 
 def finalize_graph(out_dir: str, cfg: Optional[EngineConfig] = None,
-                   registry_dir: Optional[str] = None) -> dict:
+                   registry_dir: Optional[str] = None,
+                   include_registry_edges: bool = False) -> dict:
     """Global canonicalization over all partitions' triples (the D1/D2
     shuffles) -> nodes/ + edges/. Idempotent: derived dirs are rebuilt.
     With ``registry_dir``, node props are enriched with the canonical
-    entity properties (broadcast dimension join, stages/enrich.py)."""
+    entity properties (broadcast dimension join, stages/enrich.py).
+    ``include_registry_edges=True`` additionally unions the declarative
+    REGISTRY_REL_MAP projections (stages/registry_edges.registry_triples)
+    into both shuffles — the full reference ``main.py`` load (API entities
+    + relationships + VLOS facts in one graph)."""
     cfg = cfg or EngineConfig.default()
     triples_root = os.path.join(out_dir, "triples")
-    triples = rd.read_parquet(triples_root)
+
+    def _triples() -> rd.Dataset:
+        t = rd.read_parquet(triples_root)
+        if include_registry_edges and registry_dir is not None:
+            from ..stages.registry_edges import registry_triples
+            t = t.union(registry_triples(registry_dir))
+        return t
 
     edges_dir = os.path.join(out_dir, "edges")
     nodes_dir = os.path.join(out_dir, "nodes")
     shutil.rmtree(edges_dir, ignore_errors=True)
     shutil.rmtree(nodes_dir, ignore_errors=True)
 
-    canonicalize_edges(triples, cfg).write_parquet(edges_dir)
-    nodes = canonicalize_nodes(rd.read_parquet(triples_root), cfg)
+    canonicalize_edges(_triples(), cfg).write_parquet(edges_dir)
+    nodes = canonicalize_nodes(_triples(), cfg)
     if registry_dir is not None:
         from ..stages.enrich import enrich_nodes
         nodes = enrich_nodes(nodes, read_registry_tables(registry_dir))

@@ -261,3 +261,34 @@ def registry_edges(registry_dir: str, rel_map: List[tuple] = None
     if not parts:
         return rd.from_arrow(EDGE_SCHEMA.empty_table())
     return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+
+def registry_triples(registry_dir: str, rel_map: List[tuple] = None
+                     ) -> rd.Dataset:
+    """Registry edges lifted into the triple-stream schema (schemas.TRIPLES)
+    so the FULL graph — API entities + relationships + VLOS-derived facts,
+    the reference's ``python src/main.py`` load (SURVEY §3.1) — can flow
+    through the same canonicalize shuffles as the page stream.
+
+    Registry rows carry ``url='registry'``, ``warc_ts`` at epoch 0 (any
+    page-derived property wins the nodes' last-write-wins merge),
+    ``score=1.0`` and ``provenance='registry'``."""
+    from datetime import datetime
+
+    epoch0 = datetime(1970, 1, 1)
+
+    def lift(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "subj": b.column("subj"), "pred": b.column("pred"),
+            "obj": b.column("obj"),
+            "subj_label": b.column("subj_label"),
+            "obj_label": b.column("obj_label"),
+            "url": pa.array(["registry"] * n, pa.string()),
+            "warc_ts": pa.array([epoch0] * n, pa.timestamp("us")),
+            "score": pa.array([1.0] * n, pa.float64()),
+            "provenance": pa.array(["registry"] * n, pa.string()),
+        })
+
+    return registry_edges(registry_dir, rel_map).map_batches(
+        lift, batch_format="pyarrow", zero_copy_batch=True)

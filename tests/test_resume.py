@@ -101,3 +101,37 @@ def test_config_change_refuses_resume(ray_session, big_corpus, tmp_path_factory)
     cfg2.matching.min_speaker_similarity_score = 61
     with pytest.raises(RuntimeError, match="config fingerprint mismatch"):
         run_kg(big_corpus["pages"], big_corpus["dir"], out, cfg=cfg2)
+
+
+def test_finalize_with_registry_edges(ray_session, big_corpus, tmp_path_factory):
+    """include_registry_edges=True unions the REGISTRY_REL_MAP projections
+    into the same D1/D2 shuffles (the reference main.py full-load shape):
+    every registry edge appears with weight >= 1, VLOS-only edges are
+    unchanged, and registry-only nodes join the node table at epoch 0."""
+    from neo4j_tkapi_ray.pipelines.kg import finalize_graph
+    from neo4j_tkapi_ray.stages.registry_edges import registry_edges
+
+    out = str(tmp_path_factory.mktemp("kg_fullgraph"))
+    run_kg(big_corpus["pages"], big_corpus["dir"], out, files_per_partition=2,
+           finalize=False)
+    plain = finalize_graph(out, registry_dir=big_corpus["dir"])
+    e_plain = _edges(out)
+    full = finalize_graph(out, registry_dir=big_corpus["dir"],
+                          include_registry_edges=True)
+    e_full = _edges(out)
+
+    reg = registry_edges(big_corpus["dir"]).to_pandas()
+    reg_keys = set(zip(reg.subj, reg.pred, reg.obj))
+    assert full["edges"] > plain["edges"]
+    assert full["nodes"] > plain["nodes"]
+    full_keys = set(zip(e_full.subj, e_full.pred, e_full.obj))
+    assert reg_keys <= full_keys
+    # VLOS-only edges keep their weights exactly
+    vlos = e_plain.merge(e_full, on=["subj", "pred", "obj"],
+                         suffixes=("_p", "_f"))
+    assert len(vlos) == len(e_plain)
+    overlap = {(s, p, o) for (s, p, o) in
+               zip(e_plain.subj, e_plain.pred, e_plain.obj)} & reg_keys
+    same = vlos[[(s, p, o) not in overlap for s, p, o in
+                 zip(vlos.subj, vlos.pred, vlos.obj)]]
+    assert (same.weight_p == same.weight_f).all()
