@@ -212,6 +212,12 @@ def _kg_registry_edges(sf_dir: str):
     return registry_edges(c["dir"])
 
 
+def _kg_nested_child_edges(sf_dir: str):
+    from neo4j_tkapi_ray.ops.nested import nested_child_edges
+    c = _kg_corpus(sf_dir)
+    return nested_child_edges(c["dir"])
+
+
 def _kg_person_gifts(sf_dir: str):
     from neo4j_tkapi_ray.ops.nested import person_gifts
     c = _kg_corpus(sf_dir)
@@ -291,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_docs_text": _kg_docs_text,
         "kg_analysis_rows": _kg_analysis_rows,
         "kg_registry_edges": _kg_registry_edges,
+        "kg_nested_child_edges": _kg_nested_child_edges,
         "kg_person_gifts": _kg_person_gifts,
         "kg_nevenfunctie_incomes": _kg_nevenfunctie_incomes,
         "kg_document_publicaties": _kg_document_publicaties,
@@ -360,6 +367,11 @@ def _registry_edges_sql(corpus_dir: str) -> str:
             f"FROM read_parquet('{corpus_dir}/{table}.parquet') "
             f"WHERE {where}")
     return " UNION ALL ".join(parts)
+
+
+def _nested_edges_sql(corpus_dir: str) -> str:
+    from neo4j_tkapi_ray.ops.nested import nested_edges_sql
+    return nested_edges_sql(corpus_dir)
 
 
 def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
@@ -437,10 +449,11 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
             GROUP BY responder, interrupter
         """,
         "kg_registry_edges": _registry_edges_sql(cd),
+        "kg_nested_child_edges": _nested_edges_sql(cd),
         # full-graph assembly (reference main.py load: registry entities +
         # relationships + VLOS facts through the same D1/D2 shuffles),
-        # re-derived as SQL over expected_triples UNION the registry
-        # projections
+        # re-derived as SQL over expected_triples UNION the registry +
+        # nested-child projections
         "kg_graph_edges": f"""
             SELECT subj, pred, obj, COUNT(*) AS weight, MAX(score) AS score
             FROM (
@@ -448,13 +461,15 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
                 WHERE pred <> '_FAILED'
                 UNION ALL
                 SELECT subj, pred, obj, 1.0 AS score
-                FROM ({_registry_edges_sql(cd)})
+                FROM ({_registry_edges_sql(cd)}
+                      UNION ALL {_nested_edges_sql(cd)})
             ) GROUP BY subj, pred, obj
         """,
         "kg_graph_nodes": f"""
             WITH t AS (SELECT * FROM {exp('expected_triples')}
                        WHERE pred <> '_FAILED'),
-                 r AS (SELECT * FROM ({_registry_edges_sql(cd)})),
+                 r AS (SELECT * FROM ({_registry_edges_sql(cd)}
+                                      UNION ALL {_nested_edges_sql(cd)})),
                  endpoints AS (
                 SELECT subj AS node_id, subj_label AS label,
                        '{{"last_url": "' || url || '"}}' AS props, ts_epoch

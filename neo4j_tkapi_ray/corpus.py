@@ -83,7 +83,7 @@ SENTENCE_WORDS = [
     "gelijk", "dat", "er", "meer", "aandacht", "nodig", "is",
 ]
 
-CORPUS_VERSION = "v7"  # bump to invalidate cached generated corpora
+CORPUS_VERSION = "v8"  # bump to invalidate cached generated corpora
 SHARD_SESSIONS = 250   # sessions per pages shard file (and per gen task)
 
 
@@ -508,6 +508,46 @@ def _gen_registry(rng: random.Random, n_sessions: int) -> Dict[str, list]:
             a = _make_actor("da", len(document_actors))
             a["document_id"] = d["document_id"]
             document_actors.append(a)
+
+    # Remaining nested child families (REL_MAP_PERSOON 'contact_informaties'
+    # / 'loopbaan' / 'onderwijs' / 'reizen', REL_MAP_FRACTIE
+    # 'aanvullende_gegevens', REL_MAP_COMMISSIE 'contact_informaties' —
+    # constants.py:84-102). Child entities are list<struct> columns on the
+    # parent dimension; ops.nested emits the HAS_* edges + child rows.
+    contact_soorten = ["Email", "Telefoon", "Website"]
+    werkgevers = ["Universiteit", "Gemeente", "Stichting", "Ministerie"]
+    opleidingen = ["Rechten", "Economie", "Geschiedenis", "Bestuurskunde"]
+    bestemmingen = ["Berlijn", "Parijs", "Brussel", "Washington", "Genève"]
+    for p in persons:
+        p["contact_informaties"] = [
+            {"soort": rng.choice(contact_soorten),
+             "waarde": f"{p['person_id']}-{k}@example.org"}
+            for k in range(rng.randrange(3))]
+        p["loopbaan"] = [
+            {"functie": rng.choice(func_words),
+             "werkgever": rng.choice(werkgevers),
+             "van_jaar": 1995 + rng.randrange(20),
+             "tot_jaar": 2015 + rng.randrange(9)}
+            for _ in range(rng.randrange(3))]
+        p["onderwijs"] = [
+            {"opleiding": rng.choice(opleidingen),
+             "instelling": f"Universiteit {rng.choice(bestemmingen)}",
+             "jaar": 1990 + rng.randrange(20)}
+            for _ in range(rng.randrange(2))]
+        p["reizen"] = [
+            {"bestemming": rng.choice(bestemmingen),
+             "doel": "werkbezoek",
+             "betaald_door": rng.choice(werkgevers)}
+            for _ in range(rng.randrange(2))]
+    for fr in parties:
+        fr["aanvullende_gegevens"] = [
+            {"soort": "website", "waarde": f"https://{fr['afkorting'].lower()}.example.org"}
+        ] if rng.random() < 0.7 else []
+    for cm in commissies:
+        cm["contact_informaties"] = [
+            {"soort": rng.choice(contact_soorten),
+             "waarde": f"{cm['commissie_id']}-{k}@example.org"}
+            for k in range(rng.randrange(2))]
 
     return {
         "persons": persons, "parties": parties, "sessions": sessions,

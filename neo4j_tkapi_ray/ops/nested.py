@@ -100,3 +100,180 @@ def nevenfunctie_incomes(persons_path: str) -> rd.Dataset:
         return pa.Table.from_pylist(rows, schema=_INCOME_SCHEMA)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Nested child-entity EDGES — the REL_MAP_PERSOON / _FRACTIE / _COMMISSIE /
+# _PERSOON_NEVENFUNCTIE / _DOCUMENT_VERSIE completion (constants.py:63-102).
+# The reference creates one child NODE per nested record plus a typed edge
+# from the parent; here child ids are synthesized deterministically as
+# ``{parent_id}/{slug}/{ordinal}`` and the edges stream from the same
+# list<struct> columns the flatteners read.
+# ---------------------------------------------------------------------------
+
+# (table, parent_col, parent_label, nested_col, rel_type, child_label, slug)
+NESTED_EDGE_FAMILIES = [
+    ("persons", "person_id", "Persoon", "geschenken",
+     "RECEIVED_GIFT", "PersoonGeschenk", "gift"),
+    ("persons", "person_id", "Persoon", "nevenfuncties",
+     "HAS_SIDEPOSITION", "PersoonNevenfunctie", "nevenfunctie"),
+    ("persons", "person_id", "Persoon", "contact_informaties",
+     "HAS_CONTACTINFO", "PersoonContactinformatie", "contact"),
+    ("persons", "person_id", "Persoon", "loopbaan",
+     "HAS_CAREER", "PersoonLoopbaan", "loopbaan"),
+    ("persons", "person_id", "Persoon", "onderwijs",
+     "HAS_EDUCATION", "PersoonOnderwijs", "onderwijs"),
+    ("persons", "person_id", "Persoon", "reizen",
+     "HAS_TRAVEL", "PersoonReis", "reis"),
+    ("parties", "fractie_id", "Fractie", "aanvullende_gegevens",
+     "HAS_AANVULLEND", "FractieAanvullendGegeven", "aanvullend"),
+    ("commissies", "commissie_id", "Commissie", "contact_informaties",
+     "HAS_CONTACTINFO", "CommissieContactinformatie", "contact"),
+]
+
+_EDGE_SCHEMA = pa.schema([
+    ("subj", pa.string()), ("subj_label", pa.string()),
+    ("pred", pa.string()), ("obj", pa.string()), ("obj_label", pa.string())])
+
+
+def _explode_index(parent, lst):
+    """Vectorized (parent_id, ordinal) explode of a list column via list
+    lengths — no per-row Python until the final id-format step."""
+    import numpy as np
+    import pyarrow.compute as pc
+    lens = pc.fill_null(pc.list_value_length(lst), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    total = int(lens.sum())
+    par = np.repeat(parent.to_numpy(zero_copy_only=False), lens)
+    starts = np.repeat(np.cumsum(lens) - lens, lens)
+    idx = np.arange(total) - starts
+    return par, idx
+
+
+def _edge_table(subj, subj_label, pred, obj, obj_label, n) -> pa.Table:
+    return pa.table({
+        "subj": pa.array(subj, pa.string()),
+        "subj_label": pa.array([subj_label] * n, pa.string()),
+        "pred": pa.array([pred] * n, pa.string()),
+        "obj": pa.array(obj, pa.string()),
+        "obj_label": pa.array([obj_label] * n, pa.string())})
+
+
+def nested_child_edges(registry_dir: str) -> rd.Dataset:
+    """All nested-family edges as one Dataset: the flat single-level
+    families, the two-level nevenfunctie -> inkomsten chain (HAS_INCOME),
+    and the DocumentVersie publicaties split by soort into HAS_PUBLICATIE /
+    HAS_PUBLICATIE_METADATA (REL_MAP_DOCUMENT_VERSIE)."""
+    import os
+    by_table = {}
+    for table, pcol, plabel, ncol, rel, clabel, slug in NESTED_EDGE_FAMILIES:
+        by_table.setdefault(table, []).append(
+            (pcol, plabel, ncol, rel, clabel, slug))
+
+    parts = []
+    for table, fams in by_table.items():
+        path = os.path.join(registry_dir, f"{table}.parquet")
+        if not os.path.exists(path):
+            continue
+        cols = sorted({fams[0][0]} | {f[2] for f in fams})
+
+        def fn(batch: pa.Table, fams=fams) -> pa.Table:
+            outs = []
+            for pcol, plabel, ncol, rel, clabel, slug in fams:
+                if ncol not in batch.column_names:
+                    continue
+                par, idx = _explode_index(batch.column(pcol),
+                                          batch.column(ncol))
+                objs = [f"{p}/{slug}/{i}" for p, i in zip(par, idx)]
+                outs.append(_edge_table(list(par), plabel, rel, objs,
+                                        clabel, len(objs)))
+            outs = [o for o in outs if o.num_rows] or [
+                _EDGE_SCHEMA.empty_table()]
+            return pa.concat_tables(outs)
+
+        parts.append(rd.read_parquet(path, columns=cols).map_batches(
+            fn, batch_format="pyarrow", zero_copy_batch=True))
+
+    # two-level incomes: PersoonNevenfunctie -HAS_INCOME-> Inkomsten
+    p_path = os.path.join(registry_dir, "persons.parquet")
+    if os.path.exists(p_path):
+        def incomes(batch: pa.Table) -> pa.Table:
+            rows_s, rows_o = [], []
+            for pid, funcs in zip(batch.column("person_id").to_pylist(),
+                                  batch.column("nevenfuncties").to_pylist()):
+                for i, f in enumerate(funcs or []):
+                    parent = f"{pid}/nevenfunctie/{i}"
+                    for j, _ in enumerate(f["inkomsten"] or []):
+                        rows_s.append(parent)
+                        rows_o.append(f"{parent}/inkomst/{j}")
+            return _edge_table(rows_s, "PersoonNevenfunctie", "HAS_INCOME",
+                               rows_o, "PersoonNevenfunctieInkomsten",
+                               len(rows_s))
+        parts.append(rd.read_parquet(
+            p_path, columns=["person_id", "nevenfuncties"]).map_batches(
+            incomes, batch_format="pyarrow", zero_copy_batch=True))
+
+    # DocumentVersie publicaties (real child ids; soort discriminates the
+    # reference's two sibling types)
+    dv_path = os.path.join(registry_dir, "document_versies.parquet")
+    if os.path.exists(dv_path):
+        def pubs(batch: pa.Table) -> pa.Table:
+            outs = {("HAS_PUBLICATIE", "DocumentPublicatie"): ([], []),
+                    ("HAS_PUBLICATIE_METADATA",
+                     "DocumentPublicatieMetadata"): ([], [])}
+            for vid, ps in zip(batch.column("versie_id").to_pylist(),
+                               batch.column("publicaties").to_pylist()):
+                for p in ps or []:
+                    key = (("HAS_PUBLICATIE", "DocumentPublicatie")
+                           if p["soort"] == "Publicatie" else
+                           ("HAS_PUBLICATIE_METADATA",
+                            "DocumentPublicatieMetadata"))
+                    outs[key][0].append(vid)
+                    outs[key][1].append(p["publicatie_id"])
+            tables = [
+                _edge_table(s, "DocumentVersie", rel, o, clabel, len(s))
+                for (rel, clabel), (s, o) in outs.items() if s]
+            return (pa.concat_tables(tables) if tables
+                    else _EDGE_SCHEMA.empty_table())
+        parts.append(rd.read_parquet(
+            dv_path, columns=["versie_id", "publicaties"]).map_batches(
+            pubs, batch_format="pyarrow", zero_copy_batch=True))
+
+    if not parts:
+        return rd.from_arrow(_EDGE_SCHEMA.empty_table())
+    return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+
+def nested_edges_sql(corpus_dir: str) -> str:
+    """DuckDB mirror of nested_child_edges (UNNEST + generate_subscripts),
+    kept next to NESTED_EDGE_FAMILIES so the two stay in sync."""
+    parts = []
+    for table, pcol, plabel, ncol, rel, clabel, slug in NESTED_EDGE_FAMILIES:
+        parts.append(
+            f"SELECT {pcol} AS subj, '{plabel}' AS subj_label, "
+            f"'{rel}' AS pred, "
+            f"{pcol} || '/{slug}/' || CAST(generate_subscripts({ncol}, 1) - 1 "
+            f"AS VARCHAR) AS obj, '{clabel}' AS obj_label "
+            f"FROM read_parquet('{corpus_dir}/{table}.parquet')")
+    parts.append(f"""
+        SELECT person_id || '/nevenfunctie/' || i AS subj,
+               'PersoonNevenfunctie' AS subj_label, 'HAS_INCOME' AS pred,
+               person_id || '/nevenfunctie/' || i || '/inkomst/' ||
+                   CAST(generate_subscripts(f.inkomsten, 1) - 1 AS VARCHAR)
+                   AS obj,
+               'PersoonNevenfunctieInkomsten' AS obj_label
+        FROM (SELECT person_id,
+                     CAST(generate_subscripts(nevenfuncties, 1) - 1
+                          AS VARCHAR) AS i,
+                     unnest(nevenfuncties) AS f
+              FROM read_parquet('{corpus_dir}/persons.parquet'))""")
+    parts.append(f"""
+        SELECT versie_id AS subj, 'DocumentVersie' AS subj_label,
+               CASE WHEN p.soort = 'Publicatie' THEN 'HAS_PUBLICATIE'
+                    ELSE 'HAS_PUBLICATIE_METADATA' END AS pred,
+               p.publicatie_id AS obj,
+               CASE WHEN p.soort = 'Publicatie' THEN 'DocumentPublicatie'
+                    ELSE 'DocumentPublicatieMetadata' END AS obj_label
+        FROM (SELECT versie_id, unnest(publicaties) AS p
+              FROM read_parquet('{corpus_dir}/document_versies.parquet'))""")
+    return " UNION ALL ".join(parts)

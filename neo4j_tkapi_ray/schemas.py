@@ -26,6 +26,18 @@ GESCHENK = pa.struct([("omschrijving", pa.string()),
 INKOMST = pa.struct([("jaar", pa.int32()), ("bedrag", pa.float64())])
 NEVENFUNCTIE = pa.struct([("omschrijving", pa.string()),
                           ("inkomsten", pa.list_(INKOMST))])
+# remaining REL_MAP_PERSOON / _FRACTIE / _COMMISSIE nested children
+# (constants.py:84-102): contact info, career, education, travel, party
+# extras — child entities as list<struct> columns, flattened + edge-emitted
+# by ops.nested
+CONTACT = pa.struct([("soort", pa.string()), ("waarde", pa.string())])
+LOOPBAAN = pa.struct([("functie", pa.string()), ("werkgever", pa.string()),
+                      ("van_jaar", pa.int32()), ("tot_jaar", pa.int32())])
+ONDERWIJS = pa.struct([("opleiding", pa.string()),
+                       ("instelling", pa.string()), ("jaar", pa.int32())])
+REIS = pa.struct([("bestemming", pa.string()), ("doel", pa.string()),
+                  ("betaald_door", pa.string())])
+AANVULLEND = pa.struct([("soort", pa.string()), ("waarde", pa.string())])
 PERSONS = pa.schema([
     ("person_id", pa.string()),
     ("voornamen", pa.string()),
@@ -35,12 +47,17 @@ PERSONS = pa.schema([
     ("fractie_id", pa.string()),
     ("geschenken", pa.list_(GESCHENK)),
     ("nevenfuncties", pa.list_(NEVENFUNCTIE)),
+    ("contact_informaties", pa.list_(CONTACT)),
+    ("loopbaan", pa.list_(LOOPBAAN)),
+    ("onderwijs", pa.list_(ONDERWIJS)),
+    ("reizen", pa.list_(REIS)),
 ])
 
 PARTIES = pa.schema([
     ("fractie_id", pa.string()),
     ("naam", pa.string()),
     ("afkorting", pa.string()),
+    ("aanvullende_gegevens", pa.list_(AANVULLEND)),
 ])
 
 SESSIONS = pa.schema([
@@ -74,6 +91,7 @@ COMMISSIES = pa.schema([
     ("commissie_id", pa.string()),
     ("naam", pa.string()),
     ("afkorting", pa.string()),
+    ("contact_informaties", pa.list_(CONTACT)),
 ])
 
 ZALEN = pa.schema([

@@ -263,16 +263,11 @@ def registry_edges(registry_dir: str, rel_map: List[tuple] = None
     return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
 
 
-def registry_triples(registry_dir: str, rel_map: List[tuple] = None
-                     ) -> rd.Dataset:
-    """Registry edges lifted into the triple-stream schema (schemas.TRIPLES)
-    so the FULL graph — API entities + relationships + VLOS-derived facts,
-    the reference's ``python src/main.py`` load (SURVEY §3.1) — can flow
-    through the same canonicalize shuffles as the page stream.
-
-    Registry rows carry ``url='registry'``, ``warc_ts`` at epoch 0 (any
-    page-derived property wins the nodes' last-write-wins merge),
-    ``score=1.0`` and ``provenance='registry'``."""
+def lift_edges_to_triples(edges: rd.Dataset) -> rd.Dataset:
+    """Lift (subj, subj_label, pred, obj, obj_label) edge rows into the
+    triple-stream schema (schemas.TRIPLES): ``url='registry'``, ``warc_ts``
+    at epoch 0 (any page-derived property wins the nodes' last-write-wins
+    merge), ``score=1.0``, ``provenance='registry'``."""
     from datetime import datetime
 
     epoch0 = datetime(1970, 1, 1)
@@ -290,5 +285,21 @@ def registry_triples(registry_dir: str, rel_map: List[tuple] = None
             "provenance": pa.array(["registry"] * n, pa.string()),
         })
 
-    return registry_edges(registry_dir, rel_map).map_batches(
-        lift, batch_format="pyarrow", zero_copy_batch=True)
+    return edges.map_batches(lift, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def registry_triples(registry_dir: str, rel_map: List[tuple] = None,
+                     include_nested: bool = True) -> rd.Dataset:
+    """The full registry edge surface lifted into the triple-stream schema
+    so the FULL graph — API entities + relationships + VLOS-derived facts,
+    the reference's ``python src/main.py`` load (SURVEY §3.1) — can flow
+    through the same canonicalize shuffles as the page stream. With
+    ``include_nested`` the nested child-entity edges (gifts, side
+    positions, incomes, contacts, careers, publications — ops.nested)
+    ride along."""
+    edges = registry_edges(registry_dir, rel_map)
+    if include_nested:
+        from ..ops.nested import nested_child_edges
+        edges = edges.union(nested_child_edges(registry_dir))
+    return lift_edges_to_triples(edges)
