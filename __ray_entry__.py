@@ -259,6 +259,20 @@ def _kg_graph_nodes(sf_dir: str):
                                         EngineConfig.default()))
 
 
+def _kg_graph_nodes_enriched(sf_dir: str):
+    """Full-graph node table with EVERY entity family's property projection
+    merged in (incl. the nested child entities) — the closest analog of
+    the reference's fully-propertied Neo4j node set."""
+    from neo4j_tkapi_ray.config import EngineConfig
+    from neo4j_tkapi_ray.sources.pages import read_registry_tables
+    from neo4j_tkapi_ray.stages.canonicalize import canonicalize_nodes
+    from neo4j_tkapi_ray.stages.enrich import enrich_nodes
+    c = _kg_corpus(sf_dir)
+    nodes = canonicalize_nodes(_full_graph_triples(sf_dir),
+                               EngineConfig.default())
+    return _epochify(enrich_nodes(nodes, read_registry_tables(c["dir"])))
+
+
 def _dedup_exact(sf_dir: str):
     from neo4j_tkapi_ray.ops.dedup import exact_dedup
     return exact_dedup(sf_dir).select_columns(["doc_id", "n_copies"])
@@ -303,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_document_publicaties": _kg_document_publicaties,
         "kg_graph_edges": _kg_graph_edges,
         "kg_graph_nodes": _kg_graph_nodes,
+        "kg_graph_nodes_enriched": _kg_graph_nodes_enriched,
         "kg_vote_rollup": _kg_vote_rollup,
         "kg_topic_consensus": _kg_topic_consensus,
         "kg_interruption_pairs": _kg_interruption_pairs,
@@ -395,6 +410,8 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         "kg_docs_text": f"SELECT * FROM {exp('expected_docs')}",
         "kg_analysis_rows": f"SELECT * FROM {exp('expected_analysis')}",
         "kg_nodes_enriched": f"SELECT * FROM {exp('expected_nodes_enriched')}",
+        "kg_graph_nodes_enriched":
+            f"SELECT * FROM {exp('expected_graph_nodes_enriched')}",
         "kg_vote_rollup": f"SELECT * FROM {exp('expected_vote_rollup')}",
         "kg_topic_consensus": f"SELECT * FROM {exp('expected_topic_consensus')}",
         "kg_topic_vote_patterns":

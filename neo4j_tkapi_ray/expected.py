@@ -33,12 +33,13 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-EXPECTED_VERSION = "e1"
+EXPECTED_VERSION = "e2"
 
 KG_EXPECTED = ["expected_triples", "expected_triples_embedding",
                "expected_mentions", "expected_docs", "expected_analysis",
                "expected_nodes_enriched", "expected_vote_rollup",
-               "expected_topic_consensus", "expected_topic_vote_patterns"]
+               "expected_topic_consensus", "expected_topic_vote_patterns",
+               "expected_graph_nodes_enriched"]
 
 
 def ts_epoch(dt) -> int:
@@ -167,6 +168,53 @@ def _topic_patterns_rows(analysis_rows: List[dict]) -> List[dict]:
     return rows
 
 
+def _registry_edge_rows_sp(registry_tables: dict) -> List[dict]:
+    """Single-process enumeration of the full registry edge surface (flat
+    REGISTRY_REL_MAP projections + nested child families) as triple rows at
+    epoch 0 / url='registry' — plain dict loops over the same declarative
+    specs the distributed projection reads, no Ray."""
+    from .ops.nested import NESTED_EDGE_FAMILIES
+    from .stages.registry_edges import REGISTRY_REL_MAP
+
+    rows = []
+
+    def add(subj, slabel, pred, obj, olabel):
+        if subj and obj:
+            rows.append({"subj": subj, "subj_label": slabel, "pred": pred,
+                         "obj": obj, "obj_label": olabel, "url": "registry",
+                         "ts_epoch": 0, "score": 1.0,
+                         "provenance": "registry"})
+
+    for table, src_col, src_label, rel, dst_col, dst_label, *rest in \
+            REGISTRY_REL_MAP:
+        flt = rest[0] if rest else None
+        for r in registry_tables.get(table, []):
+            if flt is not None and r.get(flt[0]) != flt[1]:
+                continue
+            add(r.get(src_col), src_label, rel, r.get(dst_col), dst_label)
+
+    for table, pcol, plabel, ncol, rel, clabel, slug in NESTED_EDGE_FAMILIES:
+        for r in registry_tables.get(table, []):
+            for i, _ in enumerate(r.get(ncol) or []):
+                add(r[pcol], plabel, rel, f"{r[pcol]}/{slug}/{i}", clabel)
+    for p in registry_tables.get("persons", []):
+        for i, f in enumerate(p.get("nevenfuncties") or []):
+            parent = f"{p['person_id']}/nevenfunctie/{i}"
+            for j, _ in enumerate(f.get("inkomsten") or []):
+                add(parent, "PersoonNevenfunctie", "HAS_INCOME",
+                    f"{parent}/inkomst/{j}", "PersoonNevenfunctieInkomsten")
+    for dv in registry_tables.get("document_versies", []):
+        for pub in dv.get("publicaties") or []:
+            if pub["soort"] == "Publicatie":
+                add(dv["versie_id"], "DocumentVersie", "HAS_PUBLICATIE",
+                    pub["publicatie_id"], "DocumentPublicatie")
+            else:
+                add(dv["versie_id"], "DocumentVersie",
+                    "HAS_PUBLICATIE_METADATA", pub["publicatie_id"],
+                    "DocumentPublicatieMetadata")
+    return rows
+
+
 def ensure_kg_expected(corpus_dir: str) -> Dict[str, str]:
     """Write all expected_* tables for a generated corpus (idempotent,
     cached under a version marker). Returns {name: path}."""
@@ -227,9 +275,18 @@ def ensure_kg_expected(corpus_dir: str) -> Dict[str, str]:
 
     node_rows = _nodes_rows(triple_rows)
     reg = read_registry_tables(corpus_dir)
+    nodes_schema = pa.schema([("node_id", pa.string()),
+                              ("label", pa.string()),
+                              ("props", pa.string()),
+                              ("ts_epoch", pa.int64())])
     write("expected_nodes_enriched", _enriched_rows(node_rows, reg),
-          pa.schema([("node_id", pa.string()), ("label", pa.string()),
-                     ("props", pa.string()), ("ts_epoch", pa.int64())]))
+          nodes_schema)
+    # full-graph node set: VLOS triples + registry/nested edge endpoints
+    # through the same single-process MERGE, enriched with every family's
+    # props (incl. nested child entities)
+    graph_rows = _nodes_rows(triple_rows + _registry_edge_rows_sp(reg))
+    write("expected_graph_nodes_enriched", _enriched_rows(graph_rows, reg),
+          nodes_schema)
 
     write("expected_vote_rollup", _vote_rollup_rows(triple_rows),
           pa.schema([("fractie_id", pa.string()), ("total_votes", pa.int64()),

@@ -128,6 +128,55 @@ def build_prop_maps(tables: Dict[str, list]) -> Dict[str, dict]:
                            if czp["tot_en_met"] is not None else None),
             "entity": "commissie_zetel_persoon",
         }
+    # nested child-entity props — ids match ops.nested's deterministic
+    # {parent}/{slug}/{ordinal} scheme (persoon_processor.py:64-167,
+    # document_loader.py:205-236 projections)
+    for p in tables.get("persons", []):
+        pid = p["person_id"]
+        for i, g in enumerate(p.get("geschenken") or []):
+            props[f"{pid}/gift/{i}"] = {
+                "omschrijving": g["omschrijving"],
+                "waarde": str(g["waarde"]), "entity": "persoon_geschenk"}
+        for i, f in enumerate(p.get("nevenfuncties") or []):
+            props[f"{pid}/nevenfunctie/{i}"] = {
+                "omschrijving": f["omschrijving"],
+                "entity": "persoon_nevenfunctie"}
+            for j, ink in enumerate(f.get("inkomsten") or []):
+                props[f"{pid}/nevenfunctie/{i}/inkomst/{j}"] = {
+                    "jaar": str(ink["jaar"]), "bedrag": str(ink["bedrag"]),
+                    "entity": "persoon_nevenfunctie_inkomsten"}
+        for i, c in enumerate(p.get("contact_informaties") or []):
+            props[f"{pid}/contact/{i}"] = {
+                "soort": c["soort"], "waarde": c["waarde"],
+                "entity": "persoon_contactinformatie"}
+        for i, lb in enumerate(p.get("loopbaan") or []):
+            props[f"{pid}/loopbaan/{i}"] = {
+                "functie": lb["functie"], "werkgever": lb["werkgever"],
+                "van_jaar": str(lb["van_jaar"]),
+                "tot_jaar": str(lb["tot_jaar"]), "entity": "persoon_loopbaan"}
+        for i, ow in enumerate(p.get("onderwijs") or []):
+            props[f"{pid}/onderwijs/{i}"] = {
+                "opleiding": ow["opleiding"], "instelling": ow["instelling"],
+                "jaar": str(ow["jaar"]), "entity": "persoon_onderwijs"}
+        for i, rz in enumerate(p.get("reizen") or []):
+            props[f"{pid}/reis/{i}"] = {
+                "bestemming": rz["bestemming"], "doel": rz["doel"],
+                "betaald_door": rz["betaald_door"], "entity": "persoon_reis"}
+    for fr in tables.get("parties", []):
+        for i, ag in enumerate(fr.get("aanvullende_gegevens") or []):
+            props[f"{fr['fractie_id']}/aanvullend/{i}"] = {
+                "soort": ag["soort"], "waarde": ag["waarde"],
+                "entity": "fractie_aanvullend_gegeven"}
+    for cm in tables.get("commissies", []):
+        for i, c in enumerate(cm.get("contact_informaties") or []):
+            props[f"{cm['commissie_id']}/contact/{i}"] = {
+                "soort": c["soort"], "waarde": c["waarde"],
+                "entity": "commissie_contactinformatie"}
+    for dv in tables.get("document_versies", []):
+        for p_ in dv.get("publicaties") or []:
+            props[p_["publicatie_id"]] = {
+                "soort": p_["soort"], "datum": str(p_["datum"]),
+                "entity": "document_publicatie"}
     return props
 
 

@@ -149,3 +149,36 @@ def test_registry_edges_projection(ray_session, corpus):
     assert len(df[(df.pred == "REPLACED_BY")
                   & (df.subj_label == "Activity")]) == n_repl
     assert len(df[df.pred == "REPLACED_FROM"]) == n_repl
+
+
+def test_nested_child_edges_counts(ray_session, corpus):
+    """Every nested list element yields exactly one edge; two-level incomes
+    and soort-discriminated publicaties included (REL_MAP_PERSOON /
+    _PERSOON_NEVENFUNCTIE / _DOCUMENT_VERSIE completion)."""
+    from neo4j_tkapi_ray.ops.nested import nested_child_edges
+
+    df = nested_child_edges(corpus["dir"]).to_pandas()
+    persons = pd.read_parquet(f"{corpus['dir']}/persons.parquet")
+    dv = pd.read_parquet(f"{corpus['dir']}/document_versies.parquet")
+
+    def total(col, tbl=persons):
+        return int(tbl[col].map(len).sum())
+
+    assert len(df[df.pred == "RECEIVED_GIFT"]) == total("geschenken")
+    assert len(df[df.pred == "HAS_SIDEPOSITION"]) == total("nevenfuncties")
+    assert len(df[df.pred == "HAS_CAREER"]) == total("loopbaan")
+    assert len(df[df.pred == "HAS_EDUCATION"]) == total("onderwijs")
+    assert len(df[df.pred == "HAS_TRAVEL"]) == total("reizen")
+    n_income = int(persons["nevenfuncties"].map(
+        lambda fs: sum(len(f["inkomsten"]) for f in fs)).sum())
+    assert len(df[df.pred == "HAS_INCOME"]) == n_income
+    n_pub = int(dv["publicaties"].map(len).sum())
+    pubs = df[df.pred.isin(["HAS_PUBLICATIE", "HAS_PUBLICATIE_METADATA"])]
+    assert len(pubs) == n_pub
+    # child ids are deterministic parent/slug/ordinal
+    gifts = df[df.pred == "RECEIVED_GIFT"]
+    assert gifts.obj.str.match(r"^p\d+/gift/\d+$").all()
+    assert (gifts.subj == gifts.obj.str.split("/").str[0]).all()
+    # publicatie edges reference real child ids from the nested structs
+    real_pub_ids = {p["publicatie_id"] for ps in dv["publicaties"] for p in ps}
+    assert set(pubs.obj) <= real_pub_ids
