@@ -347,6 +347,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- ops with single-process expected-table oracles
         "minhash_neardup": _with_op_expected(
             "minhash_neardup", lambda sf: dedup.minhash_lsh_pairs(sf)),
+        # exact n-gram Jaccard via prefix filtering (no signatures — the
+        # deterministic sibling of minhash_neardup)
+        "ngram_jaccard": _with_op_expected(
+            "ngram_jaccard", lambda sf: dedup.ngram_jaccard_pairs(sf)),
         "neardup_groups": _with_op_expected(
             "neardup_groups", lambda sf: dedup.neardup_groups(sf)),
         "simhash_signatures": _with_op_expected(
@@ -546,7 +550,8 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
     }
 
     ops = {name: op(name) for name in
-           ["minhash_neardup", "neardup_groups", "simhash_signatures",
+           ["minhash_neardup", "ngram_jaccard", "neardup_groups",
+            "simhash_signatures",
             "language_id", "quality_scores", "fingerprints", "ann_lsh_topk",
             "media_decode", "media_frames"]}
 

@@ -355,6 +355,41 @@ def _minhash_pairs_sp(sf_dir: str, n_perm=64, bands=16,
         {"a": "int64", "b": "int64", "jaccard": "float64"})
 
 
+def _ngram_jaccard_sp(sf_dir: str, n=5, jaccard_threshold=0.8) -> pd.DataFrame:
+    """Single-process exact n-gram Jaccard with the SAME prefix-filter rule
+    (shared _char_shingles kernel, plain dict inverted index)."""
+    import math
+
+    from .ops.dedup import _char_shingles
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    shingles = {d["doc_id"]: _char_shingles(d["text"], n) for d in docs}
+    index: Dict[int, List[int]] = {}
+    for d in docs:
+        sh = sorted(shingles[d["doc_id"]])
+        if not sh:
+            continue
+        p = len(sh) - math.ceil(jaccard_threshold * len(sh)) + 1
+        for s in sh[:p]:
+            index.setdefault(s, []).append(d["doc_id"])
+    cand = set()
+    for ids in index.values():
+        ids = sorted(set(ids))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    out = []
+    for a, b in sorted(cand):
+        sa, sb = shingles[a], shingles[b]
+        union = len(sa | sb)
+        jac = (len(sa & sb) / union) if union else 0.0
+        if jac >= jaccard_threshold:
+            out.append({"a": a, "b": b, "jaccard": round(jac, 4)})
+    return pd.DataFrame(out, columns=["a", "b", "jaccard"]).astype(
+        {"a": "int64", "b": "int64", "jaccard": "float64"})
+
+
 def _neardup_groups_sp(sf_dir: str, jaccard_threshold=0.7) -> pd.DataFrame:
     """Union-find over the single-process pair graph — an independent
     algorithm vs the engine's distributed min-label propagation."""
@@ -519,6 +554,7 @@ def _media_frames_sp(n=48) -> pd.DataFrame:
 
 _OP_EXPECTED = {
     "minhash_neardup": lambda sf: _minhash_pairs_sp(sf),
+    "ngram_jaccard": lambda sf: _ngram_jaccard_sp(sf),
     "neardup_groups": lambda sf: _neardup_groups_sp(sf),
     "simhash_signatures": lambda sf: _simhash_sp(sf),
     "language_id": lambda sf: _language_id_sp(sf),

@@ -207,8 +207,11 @@ def minhash_lsh_pairs(sf_dir: str, n_perm: int = 64, bands: int = 16,
 
 
 def _attach_texts_and_verify(cand: rd.Dataset, sf_dir: str,
-                             jaccard_threshold: float) -> rd.Dataset:
+                             jaccard_threshold: float,
+                             shingle_fn=None) -> rd.Dataset:
     import ray as _ray
+
+    shingle_fn = shingle_fn or _token_shingles
 
     # materialize the (small) candidate pair set ONCE: it is consumed twice
     # (id collection + join hop A) and is the tail of the whole
@@ -287,7 +290,7 @@ def _attach_texts_and_verify(cand: rd.Dataset, sf_dir: str,
         def sh(doc_id, text):
             got = cache.get(doc_id)
             if got is None:
-                got = _token_shingles(text or "")
+                got = shingle_fn(text or "")
                 cache[doc_id] = got
             return got
 
@@ -307,6 +310,83 @@ def _attach_texts_and_verify(cand: rd.Dataset, sf_dir: str,
                          "jaccard": pa.array(jac, pa.float64())})
 
     return hop_b.map_batches(verify, batch_format="pyarrow")
+
+
+def _char_shingles(text: str, n: int = 5) -> Set[int]:
+    """Character n-gram shingle set (whitespace-collapsed), crc32-hashed —
+    the n-gram side of the dedup family (token shingles are _token_shingles
+    above)."""
+    t = " ".join(text.split())
+    if len(t) < n:
+        return {zlib.crc32(t.encode())} if t else set()
+    return {zlib.crc32(t[i:i + n].encode()) for i in range(len(t) - n + 1)}
+
+
+def ngram_jaccard_pairs(sf_dir: str, n: int = 5,
+                        jaccard_threshold: float = 0.8) -> rd.Dataset:
+    """EXACT character-n-gram Jaccard near-dup join via prefix filtering
+    (PPJoin-family, Xiao et al. 2008) — no probabilistic signatures.
+
+    Each doc's shingles are put in a canonical global order (ascending
+    hash); two docs with Jaccard >= t MUST share a shingle among the first
+    ``|S| - ceil(t*|S|) + 1`` of that order, so only those prefix shingles
+    are emitted as candidate keys. groupby(shingle) -> candidate pairs ->
+    exact-Jaccard verification through the same two-hop exchange join as
+    MinHash (texts of candidates move exactly twice, non-candidates never).
+    No false negatives: the prefix bound is exact, and verification is
+    exact — unlike MinHash-LSH this variant cannot miss a true pair.
+
+    Output: (a, b, jaccard) with a < b, distinct.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        import math
+        doc_ids, buckets = [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            sh = sorted(_char_shingles(text, n))
+            if not sh:
+                continue
+            p = len(sh) - math.ceil(jaccard_threshold * len(sh)) + 1
+            for s in sh[:p]:
+                doc_ids.append(doc_id)
+                buckets.append(s)
+        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                         "band": pa.array([0] * len(doc_ids), pa.int32()),
+                         "bucket": pa.array(buckets, pa.int64())})
+
+    banded = ds.map_batches(prefix_rows, batch_format="pyarrow")
+    banded = _keep_colliding(banded, ["band", "bucket"])
+
+    def pairs_of_group(df: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(df["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []}).astype(
+                {"a": "int64", "b": "int64"})
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({"a": out_a, "b": out_b})
+
+    cand = grouped_apply(banded, ["band", "bucket"], pairs_of_group)
+
+    def pair_dedup(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "n_keys": pa.array([], pa.int64())})
+        g = block.group_by(["a", "b"]).aggregate([("a", "count")])
+        return pa.table({"a": g.column("a"), "b": g.column("b"),
+                         "n_keys": g.column("a_count").cast(pa.int64())})
+
+    cand = reduce_blocks(cand, ["a", "b"], pair_dedup, coalesce_rows=None)
+    return _attach_texts_and_verify(
+        cand, sf_dir, jaccard_threshold,
+        shingle_fn=lambda s: _char_shingles(s, n))
 
 
 # ---------------------------------------------------------------------------

@@ -54,6 +54,30 @@ def test_minhash_lsh_finds_planted_pairs(ray_session, dup_dir):
     assert jac[(0, 1)] == 1.0
 
 
+def test_ngram_jaccard_exact_no_false_negatives(ray_session, dup_dir):
+    """Prefix filtering is exact: EVERY true pair above threshold appears
+    (brute-force cross-check over the fixture), with exact jaccard values."""
+    from neo4j_tkapi_ray.ops.dedup import _char_shingles, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(dup_dir, jaccard_threshold=0.6).to_pandas()
+    got = {(a, b): j for a, b, j in zip(pairs.a, pairs.b, pairs.jaccard)}
+
+    docs = pd.read_parquet(f"{dup_dir}/documents.parquet")
+    sh = {r.doc_id: _char_shingles(r.text) for r in docs.itertuples()}
+    ids = sorted(sh)
+    expected = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            u = len(sh[a] | sh[b])
+            jac = len(sh[a] & sh[b]) / u if u else 0.0
+            if jac >= 0.6:
+                expected[(a, b)] = round(jac, 4)
+    assert got == expected          # no false negatives AND no extras
+    assert got[(0, 1)] == 1.0       # planted exact dups
+    assert any(b == 3 for (_, b) in got)  # planted near-dup found
+
+
 def test_simhash(ray_session, dup_dir):
     from neo4j_tkapi_ray.ops.dedup import simhash_neardup_pairs, simhash_signatures
     sigs = simhash_signatures(dup_dir).to_pandas()
