@@ -361,6 +361,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _with_op_expected("fingerprints", textstats.fingerprints),
         "ann_lsh_topk": _with_op_expected(
             "ann_lsh_topk", lambda sf: ann.lsh_bucketed_topk(sf, n_queries=5, k=5)),
+        "ann_ivf_topk": _with_op_expected(
+            "ann_ivf_topk", lambda sf: ann.ivf_topk(sf, n_queries=5, k=5)),
         # --- multimodal (REAL pure-python BMP/WAV/NTRV codecs in the pool)
         "media_decode": _with_op_expected("media_decode", _media_decode),
         "media_frames": _with_op_expected("media_frames", _media_frames),
@@ -553,7 +555,7 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
            ["minhash_neardup", "ngram_jaccard", "neardup_groups",
             "simhash_signatures",
             "language_id", "quality_scores", "fingerprints", "ann_lsh_topk",
-            "media_decode", "media_frames"]}
+            "ann_ivf_topk", "media_decode", "media_frames"]}
 
     return {
         **kg,

@@ -531,6 +531,38 @@ def _ann_lsh_sp(sf_dir: str, n_queries=5, k=5, n_planes=6, seed=13,
                                   "vec_id": "int64", "cos": "float64"})
 
 
+def _ann_ivf_sp(sf_dir: str, n_queries=5, k=5, n_lists=16,
+                n_probe=4) -> pd.DataFrame:
+    """Single-process IVF with the SAME centroids (shared _kmeans_fit /
+    _read_sample kernels) — full assignment + probe + exact per-list scan."""
+    from .ops.ann import _kmeans_fit, _normalize, _read_sample
+
+    cent = _kmeans_fit(_read_sample(sf_dir), n_lists)
+    df = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).sort_values("vec_id")
+    ids = df["vec_id"].to_numpy()
+    mat = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+    assign = np.argmax(mat @ cent.T, axis=1)
+
+    rows = []
+    for qi in range(min(n_queries, len(ids))):
+        qid = int(ids[qi])
+        qv = mat[qi]
+        probes = set(np.argsort(-(qv @ cent.T), kind="stable")[:n_probe].tolist())
+        cand = np.nonzero(np.isin(assign, list(probes)) & (ids != qid))[0]
+        if not len(cand):
+            continue
+        sims = mat[cand] @ qv
+        order = np.lexsort((ids[cand], -sims))[:k]
+        for rank, j in enumerate(order, 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "vec_id": int(ids[cand[j]]),
+                         "cos": round(float(sims[j]), 5)})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "cos"]
+                        ).astype({"query_id": "int64", "rank": "int64",
+                                  "vec_id": "int64", "cos": "float64"})
+
+
 def _media_decode_sp(n=48) -> pd.DataFrame:
     from .ops.multimodal import decode_one, synth_media_rows
     rows = []
@@ -561,6 +593,7 @@ _OP_EXPECTED = {
     "quality_scores": lambda sf: _quality_sp(sf),
     "fingerprints": lambda sf: _fingerprints_sp(sf),
     "ann_lsh_topk": lambda sf: _ann_lsh_sp(sf),
+    "ann_ivf_topk": lambda sf: _ann_ivf_sp(sf),
     "media_decode": lambda sf: _media_decode_sp(),
     "media_frames": lambda sf: _media_frames_sp(),
 }

@@ -184,3 +184,116 @@ def lsh_bucketed_topk(sf_dir: str, n_queries: int = 5, k: int = 5,
         return df[["query_id", "rank", "vec_id", "cos"]]
 
     return grouped_apply(partials, ["query_id"], global_merge)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def _read_sample(sf_dir: str, cap: int = 2048) -> np.ndarray:
+    """Deterministic training sample: row groups in file order until
+    ``cap`` vectors. At real scale the quantizer trains on a sampled
+    Dataset pass; the file-order sample keeps the small-scale path
+    reproducible for the oracle."""
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    parts, n = [], 0
+    for g in range(pf.num_row_groups):
+        t = pf.read_row_group(g, columns=["embedding"])
+        parts.append(np.stack(t.column("embedding").to_pylist()))
+        n += len(parts[-1])
+        if n >= cap:
+            break
+    return np.concatenate(parts)[:cap].astype(np.float64)
+
+
+def _kmeans_fit(mat: np.ndarray, n_lists: int, iters: int = 10,
+                seed: int = 29) -> np.ndarray:
+    """Spherical k-means (cosine assignment, renormalized means) — shared
+    by the engine and the single-process oracle so centroids are
+    bit-identical on both sides."""
+    rng = np.random.RandomState(seed)
+    mat = _normalize(mat)
+    idx = rng.choice(len(mat), size=min(n_lists, len(mat)), replace=False)
+    cent = mat[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                norm = np.linalg.norm(v)
+                if norm > 1e-12:
+                    cent[c] = v / norm
+    return cent
+
+
+def ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 5,
+             n_lists: int = 16, n_probe: int = 4) -> rd.Dataset:
+    """IVF ANN: a coarse spherical-k-means quantizer partitions vectors
+    into inverted lists; each query scans only its ``n_probe`` nearest
+    lists. The partitioning assumption is that near neighbors quantize to
+    nearby centroids — at scale each list is a co-located partition and a
+    query touches n_probe/n_lists of the data. Same output shape as
+    brute_force_topk; approximate (recall < 1 when a true neighbor falls
+    outside the probed lists)."""
+    cent = _kmeans_fit(_read_sample(sf_dir), n_lists)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        mat = _normalize(np.stack(batch.column("embedding").to_pylist()
+                                  ).astype(np.float64))
+        lists = np.argmax(mat @ c.T, axis=1).astype(np.int64)
+        return pa.table({"vec_id": batch.column("vec_id"),
+                         "embedding": batch.column("embedding"),
+                         "list_id": pa.array(lists)})
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    listed = ds.map_batches(assign, batch_format="pyarrow")
+
+    qdf = load_queries(sf_dir, n_queries)
+    qids = qdf["vec_id"].to_numpy()
+    qmat = _normalize(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
+    probe_map: dict = {}
+    for i, qid in enumerate(qids):
+        lists = np.argsort(-(qmat[i] @ cent.T), kind="stable")[:n_probe]
+        for li in lists:
+            probe_map.setdefault(int(li), []).append(int(qid))
+    qlookup_ref = ray.put((probe_map,
+                           {int(q): qmat[i] for i, q in enumerate(qids)}))
+
+    def search_list(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                              "vec_id": pd.Series([], dtype="int64"),
+                              "cos": pd.Series([], dtype="float64")})
+        if df.empty:
+            return empty
+        probe_map_l, qvecs = ray.get(qlookup_ref)
+        qs = probe_map_l.get(int(df["list_id"].iloc[0]))
+        if not qs:
+            return empty
+        ids = df["vec_id"].to_numpy()
+        mat = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        rows = {"query_id": [], "vec_id": [], "cos": []}
+        for q in sorted(set(qs)):
+            sims = mat @ qvecs[q]
+            mask = ids != q
+            order = np.lexsort((ids[mask], -sims[mask]))[:k]
+            rows["query_id"].extend([q] * len(order))
+            rows["vec_id"].extend(ids[mask][order].tolist())
+            rows["cos"].extend(sims[mask][order].tolist())
+        return pd.DataFrame(rows).astype({"query_id": "int64",
+                                          "vec_id": "int64"})
+
+    partials = grouped_apply(listed, ["list_id"], search_list)
+
+    def global_merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["query_id", "vec_id"])
+        df = df.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        df["cos"] = df["cos"].round(5)
+        return df[["query_id", "rank", "vec_id", "cos"]]
+
+    return grouped_apply(partials, ["query_id"], global_merge)

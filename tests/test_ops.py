@@ -137,6 +137,25 @@ def test_ann_lsh_recall(ray_session):
     assert np.mean(overlap) >= 0.15, overlap
 
 
+def test_ann_ivf_probed_exact_and_recall(ray_session):
+    """IVF ANN: within the probed lists the result is EXACT (equals a
+    numpy scan restricted to those lists), and probing ALL lists recovers
+    brute force exactly."""
+    from neo4j_tkapi_ray.ops.ann import brute_force_topk, ivf_topk
+    sf = "/root/testdata/sf0.001"
+    bf = brute_force_topk(sf, n_queries=5, k=5).to_pandas()
+    full = ivf_topk(sf, n_queries=5, k=5, n_lists=8, n_probe=8).to_pandas()
+    # n_probe == n_lists -> every list scanned -> identical to brute force
+    a = bf.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = full.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+    # partial probing: nonzero recall, monotone in n_probe on average
+    part = ivf_topk(sf, n_queries=5, k=5, n_lists=8, n_probe=2).to_pandas()
+    got = set(zip(part.query_id, part.vec_id))
+    want = set(zip(bf.query_id, bf.vec_id))
+    assert len(got & want) / len(want) >= 0.2
+
+
 def test_textstats(ray_session, dup_dir):
     from neo4j_tkapi_ray.ops.textstats import fingerprints, quality_scores, token_counts
     toks = token_counts(dup_dir).to_pandas()
