@@ -181,6 +181,16 @@ def _kg_interruption_pairs(sf_dir: str):
     return interruption_pairs(_kg_triples_raw(sf_dir))
 
 
+def _kg_top_interrupters(sf_dir: str):
+    from neo4j_tkapi_ray.stages.aggregates import interrupter_counts
+    return interrupter_counts(_kg_triples_raw(sf_dir))
+
+
+def _kg_most_interrupted(sf_dir: str):
+    from neo4j_tkapi_ray.stages.aggregates import interrupted_counts
+    return interrupted_counts(_kg_triples_raw(sf_dir))
+
+
 def _kg_fractie_topic_rollup(sf_dir: str):
     from neo4j_tkapi_ray.stages.aggregates import fractie_topic_vote_rollup
     return fractie_topic_vote_rollup(_analysis_ds(sf_dir))
@@ -321,6 +331,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_vote_rollup": _kg_vote_rollup,
         "kg_topic_consensus": _kg_topic_consensus,
         "kg_interruption_pairs": _kg_interruption_pairs,
+        "kg_top_interrupters": _kg_top_interrupters,
+        "kg_most_interrupted": _kg_most_interrupted,
         "kg_fractie_topic_rollup": _kg_fractie_topic_rollup,
         "kg_topic_vote_patterns": _kg_topic_vote_patterns,
         "kg_interruption_types": _kg_interruption_types,
@@ -450,6 +462,16 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
             SELECT subj AS interrupter, obj AS interrupted, COUNT(*) AS n
             FROM {exp('expected_triples')}
             WHERE pred = 'INTERRUPTED' GROUP BY subj, obj
+        """,
+        "kg_top_interrupters": f"""
+            SELECT subj AS persoon_id, COUNT(*) AS n
+            FROM {exp('expected_triples')}
+            WHERE pred = 'INTERRUPTED' GROUP BY subj
+        """,
+        "kg_most_interrupted": f"""
+            SELECT obj AS persoon_id, COUNT(*) AS n
+            FROM {exp('expected_triples')}
+            WHERE pred = 'INTERRUPTED' GROUP BY obj
         """,
         "kg_fractie_topic_rollup": f"""
             SELECT fractie_naam, topic, vote, COUNT(*) AS n

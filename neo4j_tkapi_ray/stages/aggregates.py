@@ -213,3 +213,29 @@ def interruption_pairs(triples: rd.Dataset) -> rd.Dataset:
                            ["interrupter", "interrupted"], final)
     return counts.sort(["n", "interrupter", "interrupted"],
                        descending=[True, False, False])
+
+def interrupter_counts(triples: rd.Dataset) -> rd.Dataset:
+    """most_frequent_interrupters (A3 — interruption_analyzer.py:128-146:
+    per-speaker interrupter tally over linked pairs)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.equal(batch.column("pred"), "INTERRUPTED"))
+        return pa.table({"persoon_id": sel.column("subj")})
+
+    rows = triples.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    partial, final = _count_reduce(["persoon_id"])
+    counts = reduce_blocks(rows.map_batches(partial, batch_format="pyarrow"),
+                           ["persoon_id"], final)
+    return counts.sort(["n", "persoon_id"], descending=[True, False])
+
+
+def interrupted_counts(triples: rd.Dataset) -> rd.Dataset:
+    """most_interrupted_speakers (A3 — interruption_analyzer.py:128-146)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.equal(batch.column("pred"), "INTERRUPTED"))
+        return pa.table({"persoon_id": sel.column("obj")})
+
+    rows = triples.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    partial, final = _count_reduce(["persoon_id"])
+    counts = reduce_blocks(rows.map_batches(partial, batch_format="pyarrow"),
+                           ["persoon_id"], final)
+    return counts.sort(["n", "persoon_id"], descending=[True, False])
