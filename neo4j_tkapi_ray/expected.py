@@ -356,22 +356,31 @@ def _minhash_pairs_sp(sf_dir: str, n_perm=64, bands=16,
 
 
 def _ngram_jaccard_sp(sf_dir: str, n=5, jaccard_threshold=0.8) -> pd.DataFrame:
-    """Single-process exact n-gram Jaccard with the SAME prefix-filter rule
-    (shared _char_shingles kernel, plain dict inverted index)."""
+    """Single-process exact n-gram Jaccard with the SAME rarest-first
+    prefix-filter rule (shared _char_shingle_arr kernel; plain dict df
+    table + inverted index instead of the engine's exchange + broadcast)."""
     import math
 
-    from .ops.dedup import _char_shingles
+    from .ops.dedup import _char_shingle_arr, _char_shingles
 
     docs = pq.read_table(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"]).to_pylist()
-    shingles = {d["doc_id"]: _char_shingles(d["text"], n) for d in docs}
+    arrs = {d["doc_id"]: _char_shingle_arr(d["text"], n).astype(np.int64)
+            for d in docs}
+    shingles = {k: set(v.tolist()) for k, v in arrs.items()}
+    df_counts: Dict[int, int] = {}
+    for a in arrs.values():
+        for s in a.tolist():
+            df_counts[s] = df_counts.get(s, 0) + 1
     index: Dict[int, List[int]] = {}
     for d in docs:
-        sh = sorted(shingles[d["doc_id"]])
-        if not sh:
+        sh = arrs[d["doc_id"]]
+        if not len(sh):
             continue
-        p = len(sh) - math.ceil(jaccard_threshold * len(sh)) + 1
-        for s in sh[:p]:
+        # canonical order: ascending (document frequency, shingle)
+        ordered = sorted(sh.tolist(), key=lambda s: (df_counts[s], s))
+        p = len(ordered) - math.ceil(jaccard_threshold * len(ordered)) + 1
+        for s in ordered[:p]:
             index.setdefault(s, []).append(d["doc_id"])
     cand = set()
     for ids in index.values():
