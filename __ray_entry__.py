@@ -309,7 +309,8 @@ def _media_frames(_sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from neo4j_tkapi_ray.ops import ann, dedup, events, relational, textstats
+    from neo4j_tkapi_ray.ops import (ann, dedup, events, joins, relational,
+                                     textstats)
     return {
         # --- KG construction (flagship; expected-table oracles)
         "kg_triples": _kg_triples,
@@ -345,6 +346,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "user_activity": relational.user_activity,
         "supplier_balance_by_region": relational.supplier_balance_by_region,
+        # --- distributed join shapes (co-partition exchange; both sides large)
+        "asof_order_events": joins.asof_join_order_events,          # SQL-checkable
+        "customers_without_f_orders":
+            lambda sf: joins.customers_without_orders(sf, "F"),     # SQL-checkable
+        "top_orders_per_customer":
+            lambda sf: joins.top_orders_per_customer(sf, 3),        # SQL-checkable
+        "trailing_window_counts":
+            lambda sf: events.trailing_window_counts(sf, 60),       # SQL-checkable
         # --- training-data ops
         "dedup_exact": _dedup_exact,                         # SQL-checkable
         "token_counts": textstats.token_counts,              # SQL-checkable
@@ -621,6 +630,40 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
                           JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "asof_order_events": """
+            SELECT event_id, user_id, ts_epoch, o_orderkey, o_totalprice
+            FROM (
+                SELECT e.event_id, e.user_id,
+                       CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_epoch,
+                       o.o_orderkey, o.o_totalprice,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+                FROM events e JOIN orders o
+                  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+            WHERE rn = 1
+        """,
+        "customers_without_f_orders": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE c_custkey NOT IN
+                (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rank
+                FROM orders) WHERE rank <= 3
+        """,
+        "trailing_window_counts": """
+            SELECT event_id, user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+                   COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                                  RANGE BETWEEN INTERVAL 60 MINUTE PRECEDING
+                                        AND CURRENT ROW) AS n_trailing
+            FROM events
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies

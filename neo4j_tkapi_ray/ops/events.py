@@ -68,3 +68,49 @@ def session_stats(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
         }])
 
     return grouped_apply(sessions, ["user_id"], rollup)
+
+
+def trailing_window_counts(sf_dir: str, window_minutes: int = 60) -> rd.Dataset:
+    """Trailing event-time WINDOWED AGGREGATE: for every event, the number
+    of same-user events in the closed interval [ts - window, ts].
+
+    Frame semantics mirror SQL ``RANGE BETWEEN <window> PRECEDING AND
+    CURRENT ROW``: the bound is on the ORDER-BY *value*, so peers (equal
+    ts) are always all included regardless of row order — which makes the
+    count a pure function of ts and keeps it deterministic under ties.
+
+    Plan: exchange by user, then per partition ONE vectorized pass — sort
+    the block once, np.searchsorted both window bounds per user segment.
+    The exchange moves (event_id, user_id, ts) only; nothing is collected
+    on the driver.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    window = np.timedelta64(window_minutes * 60, "s")
+
+    def window_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "user_id": pd.Series(dtype="int64"),
+                                 "ts_epoch": pd.Series(dtype="int64"),
+                                 "n_trailing": pd.Series(dtype="int64")})
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ts = df["ts"].to_numpy()
+        users = df["user_id"].to_numpy()
+        # contiguous per-user segments after the sort
+        seg_starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        seg_ends = np.r_[seg_starts[1:], len(users)]
+        n = np.empty(len(df), dtype=np.int64)
+        for s, e in zip(seg_starts, seg_ends):
+            seg = ts[s:e]
+            lo = np.searchsorted(seg, seg - window, side="left")
+            hi = np.searchsorted(seg, seg, side="right")
+            n[s:e] = hi - lo
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "ts_epoch": df["ts"].astype("datetime64[s]").astype("int64"),
+            "n_trailing": n})
+
+    from ..exchange import reduce_blocks
+    return reduce_blocks(ds, ["user_id"], window_block, batch_format="pandas")
