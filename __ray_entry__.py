@@ -303,6 +303,11 @@ def _media_decode(_sf_dir: str):
     return decode_media(synth_media_dataset(n=48), decode="real")
 
 
+def _media_resize(_sf_dir: str):
+    from neo4j_tkapi_ray.ops.multimodal import resize_images, synth_media_dataset
+    return resize_images(synth_media_dataset(n=48), target=16)
+
+
 def _media_frames(_sf_dir: str):
     from neo4j_tkapi_ray.ops.multimodal import frame_sample, synth_media_dataset
     return frame_sample(synth_media_dataset(n=48))
@@ -346,6 +351,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "user_activity": relational.user_activity,
         "supplier_balance_by_region": relational.supplier_balance_by_region,
+        "distinct_users_per_event_type":
+            relational.distinct_users_per_event_type,               # SQL-checkable
         # --- distributed join shapes (co-partition exchange; both sides large)
         "asof_order_events": joins.asof_join_order_events,          # SQL-checkable
         "customers_without_f_orders":
@@ -387,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal (REAL pure-python BMP/WAV/NTRV codecs in the pool)
         "media_decode": _with_op_expected("media_decode", _media_decode),
         "media_frames": _with_op_expected("media_frames", _media_frames),
+        "media_resize": _with_op_expected("media_resize", _media_resize),
     }
 
 
@@ -586,7 +594,7 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
            ["minhash_neardup", "ngram_jaccard", "neardup_groups",
             "simhash_signatures",
             "language_id", "quality_scores", "fingerprints", "ann_lsh_topk",
-            "ann_ivf_topk", "media_decode", "media_frames"]}
+            "ann_ivf_topk", "media_decode", "media_frames", "media_resize"]}
 
     return {
         **kg,
@@ -630,6 +638,10 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
                           JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "distinct_users_per_event_type": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
         """,
         "asof_order_events": """
             SELECT event_id, user_id, ts_epoch, o_orderkey, o_totalprice

@@ -584,6 +584,16 @@ def _media_decode_sp(n=48) -> pd.DataFrame:
     return pd.DataFrame(rows).astype({"width": "int32", "height": "int32"})
 
 
+def _media_resize_sp(n=48, target=16) -> pd.DataFrame:
+    from .ops.multimodal import resize_rows, synth_media_rows
+    rows = []
+    for r in synth_media_rows(n=n):
+        rows.extend(resize_rows(r["media_id"], r["kind"], r["payload"], target))
+    df = pd.DataFrame(rows, columns=["media_id", "width", "height", "payload",
+                                     "mean_b", "mean_g", "mean_r", "resized"])
+    return df.astype({"width": "int32", "height": "int32"})
+
+
 def _media_frames_sp(n=48) -> pd.DataFrame:
     from .ops.multimodal import frame_sample_rows, synth_media_rows
     rows = []
@@ -605,6 +615,7 @@ _OP_EXPECTED = {
     "ann_ivf_topk": lambda sf: _ann_ivf_sp(sf),
     "media_decode": lambda sf: _media_decode_sp(),
     "media_frames": lambda sf: _media_frames_sp(),
+    "media_resize": lambda sf: _media_resize_sp(),
 }
 
 

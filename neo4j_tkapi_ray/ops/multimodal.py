@@ -294,3 +294,114 @@ def frame_sample(ds: rd.Dataset, every_n: int = 2) -> rd.Dataset:
         return pa.Table.from_pylist(rows, schema=schema)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=16)
+
+
+# ---------------------------------------------------------------------------
+# resize (real nearest-neighbor over the decoded BMP pixel grid)
+# ---------------------------------------------------------------------------
+
+def _bmp_pixels(payload: bytes) -> np.ndarray:
+    """24bpp BMP -> (height, width, 3) uint8 array in stored row order."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)[:2]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"unsupported bpp {bpp}")
+    height = abs(height)
+    row_bytes = width * 3
+    stride = row_bytes + ((4 - row_bytes % 4) % 4)
+    px = np.frombuffer(payload, dtype=np.uint8,
+                       count=stride * height, offset=off)
+    return px.reshape(height, stride)[:, :row_bytes].reshape(height, width, 3)
+
+
+def encode_bmp_pixels(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 array -> valid 24bpp BMP bytes (vectorized)."""
+    h, w, _ = px.shape
+    row_bytes = w * 3
+    pad = (4 - row_bytes % 4) % 4
+    pixel_bytes = (row_bytes + pad) * h
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + pixel_bytes, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                       pixel_bytes, 2835, 2835, 0, 0)
+    flat = px.reshape(h, row_bytes)
+    if pad:
+        flat = np.concatenate(
+            [flat, np.zeros((h, pad), dtype=np.uint8)], axis=1)
+    return header + info + flat.tobytes()
+
+
+def resize_bmp(payload: bytes, tw: int, th: int) -> Tuple[bytes, List[float]]:
+    """Nearest-neighbor resize kernel (shared with the oracle): floor index
+    map (yi = i*h//th), re-encoded as a valid BMP. Returns (bytes, BGR
+    means of the RESIZED image rounded to 4)."""
+    px = _bmp_pixels(payload)
+    h, w, _ = px.shape
+    yi = (np.arange(th, dtype=np.int64) * h) // th
+    xi = (np.arange(tw, dtype=np.int64) * w) // tw
+    out = np.ascontiguousarray(px[yi][:, xi])
+    means = out.astype(np.float64).mean(axis=(0, 1))
+    return encode_bmp_pixels(out), [round(float(m), 4) for m in means]
+
+
+RESIZED_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+    ("payload", pa.binary()),        # resized, re-encoded BMP
+    ("mean_b", pa.float64()),
+    ("mean_g", pa.float64()),
+    ("mean_r", pa.float64()),
+    ("resized", pa.bool_()),
+])
+
+
+def resize_rows(mid: str, kind: str, payload: bytes,
+                target: int = 16) -> List[dict]:
+    """Per-row resize kernel (shared with the oracle). Images only;
+    undecodable payloads emit a resized=False marker row."""
+    if kind != "image":
+        return []
+    try:
+        out, means = resize_bmp(payload, target, target)
+    except (ValueError, struct.error):
+        return [{"media_id": mid, "width": 0, "height": 0, "payload": b"",
+                 "mean_b": 0.0, "mean_g": 0.0, "mean_r": 0.0,
+                 "resized": False}]
+    return [{"media_id": mid, "width": target, "height": target,
+             "payload": out, "mean_b": means[0], "mean_g": means[1],
+             "mean_r": means[2], "resized": True}]
+
+
+class MediaResizeActor:
+    """Actor-pool resize stage: target geometry fixed per actor in
+    __init__; per-batch vectorized pixel work in __call__. Same wide-row
+    memory rule as decode: small batch_size x concurrency."""
+
+    def __init__(self, target: int = 16):
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for mid, kind, payload in zip(batch.column("media_id").to_pylist(),
+                                      batch.column("kind").to_pylist(),
+                                      batch.column("payload").to_pylist()):
+            rows.extend(resize_rows(mid, kind, payload, self.target))
+        if not rows:
+            return RESIZED_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=RESIZED_SCHEMA)
+
+
+def resize_images(ds: rd.Dataset, target: int = 16, batch_size: int = 16,
+                  concurrency: int = 2) -> rd.Dataset:
+    return ds.map_batches(
+        MediaResizeActor,
+        fn_constructor_kwargs={"target": target},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )

@@ -213,3 +213,34 @@ def supplier_balance_by_region(sf_dir: str) -> rd.Dataset:
                          "n_suppliers": batch.column("n_suppliers")})
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def distinct_users_per_event_type(sf_dir: str) -> rd.Dataset:
+    """Exact distributed COUNT(DISTINCT): distinct users per event type.
+
+    Two-level shape (the scale-critical part): per-batch (key, user) dedup
+    is the combiner — the exchange moves at most one row per (event_type,
+    user) pair per upstream block, never raw events — then each partition
+    counts its keys' unique users in one vectorized group_by. No driver-side
+    set, no global sort.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+
+    def partial_dedup(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "user_id"]).aggregate([])
+        return g
+
+    partials = ds.map_batches(partial_dedup, batch_format="pyarrow",
+                              batch_size=128 * 1024, zero_copy_batch=True)
+
+    def count_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "n_users": pa.array([], pa.int64())})
+        dd = block.group_by(["event_type", "user_id"]).aggregate([])
+        g = dd.group_by(["event_type"]).aggregate([("user_id", "count")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "n_users": g.column("user_id_count").cast(pa.int64())})
+
+    return reduce_blocks(partials, ["event_type"], count_block)

@@ -280,3 +280,35 @@ def test_exact_dedup_no_32bit_collision_merge(ray_session, tmp_path):
     from neo4j_tkapi_ray.ops.dedup import exact_dedup
     df = exact_dedup(str(tmp_path)).to_pandas()
     assert len(df) == 2 and set(df.n_copies) == {1}
+
+
+def test_bmp_resize_kernel_roundtrip():
+    from neo4j_tkapi_ray.ops.multimodal import (
+        _bmp_pixels, decode_bmp, encode_bmp, resize_bmp)
+    src = encode_bmp(12, 10, seed=5)
+    # identity resize re-encodes byte-identically (same dims, same pad)
+    same, means = resize_bmp(src, 12, 10)
+    assert same == src
+    w, h, orig_means = decode_bmp(src)
+    assert [round(m, 4) for m in orig_means] == means
+    # downsample: valid BMP with the target geometry, pixels from the
+    # nearest-neighbor floor map
+    small, small_means = resize_bmp(src, 4, 4)
+    w2, h2, _ = decode_bmp(small)
+    assert (w2, h2) == (4, 4)
+    px = _bmp_pixels(src)
+    import numpy as np
+    yi = (np.arange(4) * 10) // 4
+    xi = (np.arange(4) * 12) // 4
+    assert (_bmp_pixels(small) == px[yi][:, xi]).all()
+
+
+def test_media_resize_stage(ray_session):
+    from neo4j_tkapi_ray.ops.multimodal import (
+        decode_bmp, resize_images, synth_media_dataset)
+    out = resize_images(synth_media_dataset(n=24), target=8).to_pandas()
+    # images only (one third of the synthetic kinds), all really resized
+    assert len(out) == 8 and out["resized"].all()
+    for p in out["payload"]:
+        w, h, _ = decode_bmp(bytes(p))
+        assert (w, h) == (8, 8)
