@@ -315,7 +315,7 @@ def _media_frames(_sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from neo4j_tkapi_ray.ops import (ann, dedup, events, joins, relational,
-                                     textstats)
+                                     sampling, textstats)
     return {
         # --- KG construction (flagship; expected-table oracles)
         "kg_triples": _kg_triples,
@@ -372,6 +372,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": lambda sf: dedup.embedding_neardup_pairs(sf, 0.3),  # SQL-checkable
         "user_sessions": lambda sf: events.user_sessions(sf),  # SQL-checkable
         "session_stats": lambda sf: events.session_stats(sf),  # SQL-checkable
+        # --- corpus curation (deterministic, all SQL-checkable)
+        "stratified_sample": lambda sf: sampling.stratified_sample(sf, 20),
+        "token_doc_freq": lambda sf: sampling.token_doc_freq(sf, 10),
+        "decontaminate": lambda sf: sampling.decontaminate(sf),
+        "length_quantiles": lambda sf: sampling.length_quantiles(sf),
+        "global_length_rank": lambda sf: sampling.global_length_rank(sf),
         # --- ops with single-process expected-table oracles
         "minhash_neardup": _with_op_expected(
             "minhash_neardup", lambda sf: dedup.minhash_lsh_pairs(sf)),
@@ -680,6 +686,53 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
             FROM documents GROUP BY text
+        """,
+        "stratified_sample": """
+            SELECT lang, rank, doc_id FROM (
+                SELECT lang, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY (doc_id * 2654435761) % 4294967296,
+                                    doc_id) AS rank
+                FROM documents) WHERE rank <= 20
+        """,
+        "token_doc_freq": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                           AS token
+                FROM documents WHERE trim(text) <> ''),
+                 d AS (SELECT DISTINCT doc_id, token FROM toks)
+            SELECT token, COUNT(*) AS df FROM d
+            GROUP BY token HAVING COUNT(*) >= 10
+        """,
+        "decontaminate": """
+            WITH snip AS (
+                SELECT DISTINCT substr(text, 41, 30) AS s FROM documents
+                WHERE doc_id % 97 = 0 AND length(text) >= 70)
+            SELECT d.doc_id,
+                   CAST(coalesce(
+                       (SELECT MAX(CASE WHEN contains(d.text, s.s)
+                                        THEN 1 ELSE 0 END) FROM snip s),
+                       0) AS BIGINT) AS contaminated
+            FROM documents d
+        """,
+        "global_length_rank": """
+            SELECT doc_id, length(text) AS n_chars,
+                   ROW_NUMBER() OVER (ORDER BY length(text), doc_id) AS rank
+            FROM documents
+        """,
+        "length_quantiles": """
+            SELECT lang,
+                   CAST(percentile_disc(0.25) WITHIN GROUP
+                        (ORDER BY length(text)) AS BIGINT) AS p25,
+                   CAST(percentile_disc(0.50) WITHIN GROUP
+                        (ORDER BY length(text)) AS BIGINT) AS p50,
+                   CAST(percentile_disc(0.75) WITHIN GROUP
+                        (ORDER BY length(text)) AS BIGINT) AS p75,
+                   CAST(percentile_disc(0.90) WITHIN GROUP
+                        (ORDER BY length(text)) AS BIGINT) AS p90
+            FROM documents GROUP BY lang
         """,
         "user_sessions": """
             WITH x AS (

@@ -102,7 +102,8 @@ def run_bench() -> dict:
     peak_store_mb = round((store_total - min_avail[0]) / 1e6, 1)
 
     # ---- representative operator pipelines over testdata ---------------
-    from neo4j_tkapi_ray.ops import ann, dedup, events, joins, relational, textstats
+    from neo4j_tkapi_ray.ops import (ann, dedup, events, joins, relational,
+                                     sampling, textstats)
     qfns = {
         "pricing_summary": lambda: relational.lineitem_pricing_summary(SF_DIR),
         "revenue_by_nation": lambda: relational.revenue_by_nation(SF_DIR),
@@ -113,6 +114,8 @@ def run_bench() -> dict:
         "ann_topk": lambda: ann.brute_force_topk(SF_DIR, n_queries=5, k=5),
         "asof_order_events": lambda: joins.asof_join_order_events(SF_DIR),
         "trailing_window_counts": lambda: events.trailing_window_counts(SF_DIR),
+        "token_doc_freq": lambda: sampling.token_doc_freq(SF_DIR),
+        "decontaminate": lambda: sampling.decontaminate(SF_DIR),
     }
     qtimes = {}
     for name, fn in qfns.items():

@@ -1,0 +1,302 @@
+"""Corpus curation operators a 100-TB training-data pipeline needs on top
+of dedup/quality: deterministic stratified sampling, global token document
+frequency (the IDF table), benchmark decontamination, and exact grouped
+quantiles.
+
+All four are SQL-checkable (each has a derivational DuckDB oracle in
+``__ray_entry__.oracle_sql``) and follow the engine's scale rules:
+
+  * sampling and top-k move at most N rows per group per upstream block
+    (partial combine before the exchange);
+  * the DF table is partially aggregated inside ``map_batches`` (per-doc
+    distinct + per-batch counts) so the token exchange moves one row per
+    (token, batch), never one per occurrence;
+  * decontamination broadcasts the (small) benchmark snippet set once via
+    ``ray.put`` and scans each batch with vectorized ``match_substring``
+    kernels — the documents table streams, nothing joins;
+  * quantiles exchange per-group value HISTOGRAMS (distinct value counts),
+    not raw rows — valid whenever the per-group distinct-value count is
+    bounded (true for integer lengths; bucket first for unbounded floats).
+
+Reference parallel: the reference has no sampling/statistics operators at
+all (SURVEY.md §2.7 "No sampling anywhere") — these are engine extensions
+from the training-data brief, not parity items.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..exchange import reduce_blocks
+
+# Knuth multiplicative hash — computable verbatim on the DuckDB side
+# (`(doc_id * 2654435761) % 4294967296`), so the sample is deterministic
+# and oracle-checkable. Good dispersion for sequential ids; NOT crypto.
+_KNUTH = np.uint64(2654435761)
+_MOD32 = np.uint64(4294967296)
+
+
+def _sample_key(doc_id: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    ids = pc.cast(doc_id, pa.uint64()).to_numpy(zero_copy_only=False)
+    return (ids * _KNUTH) % _MOD32
+
+
+def stratified_sample(sf_dir: str, n_per_group: int = 20,
+                      group_col: str = "lang") -> rd.Dataset:
+    """Per-group quota sample: the ``n_per_group`` docs of each group with
+    the smallest deterministic hash key (tie: doc_id asc) — the standard
+    per-language quota step of webtext curation, made reproducible by
+    hashing instead of RNG.
+
+    Scale shape: partial top-N per batch (combiner) bounds the exchange to
+    N rows per group per upstream block; the final per-partition pass
+    re-ranks. Same shape as ``joins.top_orders_per_customer``.
+    """
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", group_col])
+
+    def add_key(b: pa.Table) -> pa.Table:
+        return b.append_column("hkey", pa.array(_sample_key(b.column("doc_id")),
+                                                pa.uint64()))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        return (df.sort_values(["hkey", "doc_id"], kind="stable")
+                .groupby(group_col, sort=False).head(n_per_group))
+
+    partials = (docs.map_batches(add_key, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+                .map_batches(partial, batch_format="pandas",
+                             batch_size=128 * 1024))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({group_col: pd.Series(dtype="object"),
+                                 "rank": pd.Series(dtype="int64"),
+                                 "doc_id": pd.Series(dtype="int64")})
+        df = (df.sort_values(["hkey", "doc_id"], kind="stable")
+              .groupby(group_col, sort=False).head(n_per_group))
+        df = df.assign(rank=df.groupby(group_col, sort=False).cumcount() + 1)
+        return df[[group_col, "rank", "doc_id"]].astype(
+            {"rank": "int64", "doc_id": "int64"})
+
+    return reduce_blocks(partials, [group_col], final, batch_format="pandas")
+
+
+def token_doc_freq(sf_dir: str, min_df: int = 10) -> rd.Dataset:
+    """Global token document frequency (the IDF denominator table):
+    ``(token, df)`` for every lowercase whitespace token appearing in at
+    least ``min_df`` documents.
+
+    Tokenization matches ``textstats.token_counts`` (trim + split ``\\s+``,
+    lowercased) so the DuckDB oracle can reproduce it with
+    ``string_split_regex``. Per-doc distinct + per-batch partial counts run
+    inside ``map_batches`` (vectorized: one Arrow group_by per batch), so
+    the token exchange moves one row per (token, batch) — at 100 TB the
+    moved volume is O(vocab x blocks), not O(token occurrences).
+    """
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def partial_df(b: pa.Table) -> pa.Table:
+        empty = pa.table({"token": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        text = pc.utf8_lower(pc.utf8_trim_whitespace(
+            b.column("text").combine_chunks()))
+        nonempty = pc.greater(pc.utf8_length(text), 0)
+        toks = pc.split_pattern_regex(pc.if_else(nonempty, text, None), r"\s+")
+        flat = pc.list_flatten(toks)
+        if len(flat) == 0:
+            return empty
+        # doc index per flattened token via the list offsets
+        offs = toks.offsets.to_numpy()
+        doc_idx = np.repeat(np.arange(b.num_rows, dtype=np.int64),
+                            np.diff(offs))
+        pairs = pa.table({"d": pa.array(doc_idx), "token": flat})
+        distinct = pairs.group_by(["d", "token"]).aggregate([])
+        counts = distinct.group_by("token").aggregate([("d", "count")])
+        return pa.table({"token": counts.column("token"),
+                         "n": counts.column("d_count").cast(pa.int64())})
+
+    partials = docs.map_batches(partial_df, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def final_df(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        agg = b.group_by("token").aggregate([("n", "sum")])
+        mask = pc.greater_equal(agg.column("n_sum"), min_df)
+        agg = agg.filter(mask)
+        return pa.table({"token": agg.column("token"),
+                         "df": agg.column("n_sum").cast(pa.int64())})
+
+    return reduce_blocks(partials, ["token"], final_df)
+
+
+def benchmark_snippets(sf_dir: str, stride: int = 97, start: int = 40,
+                       length: int = 30) -> List[str]:
+    """Deterministic stand-in for a benchmark/eval set: a fixed substring of
+    every ``stride``-th document. Real pipelines read their eval suites
+    here; the point of the operator is the broadcast + scan shape, and a
+    corpus-derived snippet set guarantees planted hits for the oracle."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_numpy()
+    texts = t.column("text")
+    snips = []
+    for i in np.flatnonzero(ids % stride == 0):
+        s = texts[int(i)].as_py()
+        if len(s) >= start + length:
+            snips.append(s[start:start + length])
+    return sorted(set(snips))
+
+
+def decontaminate(sf_dir: str, stride: int = 97) -> rd.Dataset:
+    """Benchmark decontamination: flag every document whose text contains
+    any benchmark snippet (13-gram-overlap-style eval-set removal, done
+    here with exact substrings so the oracle is pure SQL).
+
+    Scale shape: the snippet set is small by nature (an eval suite);
+    it is ``ray.put`` once and every batch scans it with the vectorized
+    ``match_substring`` kernel per snippet. O(snippets) kernel passes per
+    batch; for thousands of snippets swap in one Aho-Corasick pass inside
+    the same actor — the plumbing does not change. The documents table
+    streams; nothing is joined or collected.
+    """
+    snips = benchmark_snippets(sf_dir, stride=stride)
+    snips_ref = ray.put(snips)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def scan(b: pa.Table) -> pa.Table:
+        s_list = ray.get(snips_ref)
+        hit = np.zeros(b.num_rows, dtype=bool)
+        text = b.column("text")
+        for s in s_list:
+            hit |= pc.match_substring(text, s).to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "contaminated": pa.array(hit.astype(np.int64),
+                                                  pa.int64())})
+
+    return docs.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def global_length_rank(sf_dir: str) -> rd.Dataset:
+    """Distributed global ROW_NUMBER() OVER (ORDER BY length(text), doc_id)
+    — the total-order rank a curation pipeline uses to cut a corpus at a
+    global length threshold — computed WITHOUT a global sort.
+
+    Two passes: (1) a value histogram (per-batch partial counts, summed
+    small) gives each distinct length its global base rank via prefix sums;
+    (2) rows exchange on the value, so each partition holds every row of
+    the values it sees and ranks them locally (base + intra-value order by
+    doc_id). The only driver-side object is the histogram (bounded by
+    distinct lengths — same caveat as ``length_quantiles``); rows move
+    once. This replaces ``ds.sort`` + zip-with-index, which would range-
+    exchange every row AND serialize an index pass.
+    """
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def lengths(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "v": pc.utf8_length(b.column("text")).cast(pa.int64())})
+
+    withv = docs.map_batches(lengths, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        g = b.group_by("v").aggregate([([], "count_all")])
+        return pa.table({"v": g.column("v"),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    hist = (withv.map_batches(partial_counts, batch_format="pyarrow")
+            .to_pandas().groupby("v", sort=True)["n"].sum())
+    base = dict(zip(hist.index.to_numpy(),
+                    np.concatenate([[0], hist.to_numpy().cumsum()[:-1]])))
+    base_ref = ray.put(base)
+
+    def rank_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "n_chars": pd.Series(dtype="int64"),
+                                 "rank": pd.Series(dtype="int64")})
+        b = ray.get(base_ref)
+        df = df.sort_values(["v", "doc_id"], kind="stable")
+        intra = df.groupby("v", sort=False).cumcount().to_numpy()
+        ranks = df["v"].map(b).to_numpy() + intra + 1
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "n_chars": df["v"].astype("int64"),
+                             "rank": ranks.astype("int64")})
+
+    return reduce_blocks(withv, ["v"], rank_block, batch_format="pandas")
+
+
+_QUANTILES = (0.25, 0.50, 0.75, 0.90)
+
+
+def length_quantiles(sf_dir: str, group_col: str = "lang") -> rd.Dataset:
+    """Exact per-group discrete quantiles (p25/p50/p75/p90) of document
+    length — the length-distribution audit every curation run reports.
+
+    Semantics match ``percentile_disc``: the value at 1-based position
+    ``ceil(p * n)`` of the sorted group. Computed from per-group value
+    HISTOGRAMS: each batch emits (group, n_chars, count) partials, the
+    exchange moves histogram rows (bounded by distinct lengths, not doc
+    count), and the final per-partition pass walks the cumulative counts.
+    For unbounded/float metrics, bucket the value first — the shape holds.
+    """
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", group_col, "text"])
+
+    def partial_hist(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "v": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        t = pa.table({group_col: b.column(group_col),
+                      "v": pc.utf8_length(b.column("text")).cast(pa.int64())})
+        g = t.group_by([group_col, "v"]).aggregate([([], "count_all")])
+        return pa.table({group_col: g.column(group_col),
+                         "v": g.column("v"),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    partials = docs.map_batches(partial_hist, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def final_q(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {group_col: []}
+        cols.update({f"p{int(q * 100)}": [] for q in _QUANTILES})
+        if df.empty:
+            return pd.DataFrame(cols).astype(
+                {f"p{int(q * 100)}": "int64" for q in _QUANTILES})
+        agg = (df.groupby([group_col, "v"], sort=False)["n"].sum()
+               .reset_index().sort_values([group_col, "v"], kind="stable"))
+        out = {group_col: []}
+        out.update({f"p{int(q * 100)}": [] for q in _QUANTILES})
+        for grp, g in agg.groupby(group_col, sort=True):
+            vals = g["v"].to_numpy()
+            cum = g["n"].to_numpy().cumsum()
+            total = int(cum[-1])
+            out[group_col].append(grp)
+            for q in _QUANTILES:
+                pos = max(int(np.ceil(q * total)), 1)
+                out[f"p{int(q * 100)}"].append(
+                    int(vals[np.searchsorted(cum, pos)]))
+        res = pd.DataFrame(out)
+        return res.astype({f"p{int(q * 100)}": "int64" for q in _QUANTILES})
+
+    return reduce_blocks(partials, [group_col], final_q,
+                         batch_format="pandas")

@@ -1,0 +1,77 @@
+"""Unit semantics for ops/sampling.py (the oracle-parity check runs in
+test_queries_contract.py like every other query; these tests pin the
+operator-specific invariants)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from neo4j_tkapi_ray.ops import sampling
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stratified_sample_is_deterministic_quota(ray_session):
+    a = sampling.stratified_sample(SF, n_per_group=7).to_pandas()
+    b = sampling.stratified_sample(SF, n_per_group=7).to_pandas()
+    key = ["lang", "rank", "doc_id"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True))
+    # exact quota per group (every lang has >= 7 docs at this scale)
+    assert (a.groupby("lang").size() == 7).all()
+    # ranks are 1..n within each group
+    assert (a.groupby("lang")["rank"].max() == 7).all()
+    assert (a.groupby("lang")["rank"].min() == 1).all()
+
+
+def test_token_doc_freq_counts_documents_not_occurrences(ray_session):
+    out = sampling.token_doc_freq(SF, min_df=1).to_pandas()
+    n_docs = pq.ParquetFile(f"{SF}/documents.parquet").metadata.num_rows
+    # df counts distinct documents, so it can never exceed the doc count
+    assert (out["df"] <= n_docs).all()
+    assert (out["df"] >= 1).all()
+    # scalar cross-check on a handful of tokens
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    texts = [s.lower() for s in t.column("text").to_pylist()]
+    for token in out.nlargest(3, "df")["token"]:
+        expected = sum(1 for s in texts if token in s.split())
+        got = int(out.loc[out["token"] == token, "df"].iloc[0])
+        assert got == expected, token
+
+
+def test_decontaminate_flags_snippet_sources(ray_session):
+    out = sampling.decontaminate(SF).to_pandas().set_index("doc_id")
+    snips = sampling.benchmark_snippets(SF)
+    assert snips, "fixture must yield at least one snippet"
+    # every snippet-source document contains its own snippet
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_numpy()
+    texts = t.column("text").to_pylist()
+    for i in np.flatnonzero(ids % 97 == 0):
+        if len(texts[int(i)]) >= 70:
+            assert out.loc[int(ids[i]), "contaminated"] == 1
+    # and at least one clean document exists
+    assert (out["contaminated"] == 0).any()
+
+
+def test_global_length_rank_is_a_permutation(ray_session):
+    out = sampling.global_length_rank(SF).to_pandas()
+    n = pq.ParquetFile(f"{SF}/documents.parquet").metadata.num_rows
+    assert len(out) == n
+    assert sorted(out["rank"]) == list(range(1, n + 1))
+    # rank order == (n_chars, doc_id) lexicographic order
+    s = out.sort_values("rank")
+    key = list(zip(s["n_chars"], s["doc_id"]))
+    assert key == sorted(key)
+
+
+def test_length_quantiles_match_numpy(ray_session):
+    out = sampling.length_quantiles(SF).to_pandas().set_index("lang")
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["lang", "text"])
+    langs = np.array(t.column("lang").to_pylist())
+    lens = np.array([len(s) for s in t.column("text").to_pylist()])
+    for lang in np.unique(langs):
+        v = np.sort(lens[langs == lang])
+        for q, col in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"),
+                       (0.9, "p90")]:
+            pos = max(int(np.ceil(q * len(v))), 1)
+            assert out.loc[lang, col] == v[pos - 1], (lang, col)
