@@ -163,85 +163,98 @@ def nested_child_edges(registry_dir: str) -> rd.Dataset:
     """All nested-family edges as one Dataset: the flat single-level
     families, the two-level nevenfunctie -> inkomsten chain (HAS_INCOME),
     and the DocumentVersie publicaties split by soort into HAS_PUBLICATIE /
-    HAS_PUBLICATIE_METADATA (REL_MAP_DOCUMENT_VERSIE)."""
+    HAS_PUBLICATIE_METADATA (REL_MAP_DOCUMENT_VERSIE).
+
+    Like ``registry_edges``, this is ONE manifest-driven operator: the
+    driver lists (table, row-group) shards, each task reads only its shard
+    and runs every family for that table — constant plan width instead of
+    a Dataset-union leaf per table (each leaf cost ~2 s of executor
+    overhead; 22 s for a 1.7k-row projection at sf0.01)."""
     import os
     by_table = {}
     for table, pcol, plabel, ncol, rel, clabel, slug in NESTED_EDGE_FAMILIES:
         by_table.setdefault(table, []).append(
             (pcol, plabel, ncol, rel, clabel, slug))
 
-    parts = []
-    for table, fams in by_table.items():
-        path = os.path.join(registry_dir, f"{table}.parquet")
-        if not os.path.exists(path):
-            continue
-        cols = sorted({fams[0][0]} | {f[2] for f in fams})
+    def flat_fn(batch: pa.Table, fams) -> pa.Table:
+        outs = []
+        for pcol, plabel, ncol, rel, clabel, slug in fams:
+            if ncol not in batch.column_names:
+                continue
+            par, idx = _explode_index(batch.column(pcol), batch.column(ncol))
+            objs = [f"{p}/{slug}/{i}" for p, i in zip(par, idx)]
+            outs.append(_edge_table(list(par), plabel, rel, objs,
+                                    clabel, len(objs)))
+        outs = [o for o in outs if o.num_rows] or [_EDGE_SCHEMA.empty_table()]
+        return pa.concat_tables(outs)
 
-        def fn(batch: pa.Table, fams=fams) -> pa.Table:
-            outs = []
-            for pcol, plabel, ncol, rel, clabel, slug in fams:
-                if ncol not in batch.column_names:
-                    continue
-                par, idx = _explode_index(batch.column(pcol),
-                                          batch.column(ncol))
-                objs = [f"{p}/{slug}/{i}" for p, i in zip(par, idx)]
-                outs.append(_edge_table(list(par), plabel, rel, objs,
-                                        clabel, len(objs)))
-            outs = [o for o in outs if o.num_rows] or [
-                _EDGE_SCHEMA.empty_table()]
-            return pa.concat_tables(outs)
-
-        parts.append(rd.read_parquet(path, columns=cols).map_batches(
-            fn, batch_format="pyarrow", zero_copy_batch=True))
-
-    # two-level incomes: PersoonNevenfunctie -HAS_INCOME-> Inkomsten
-    p_path = os.path.join(registry_dir, "persons.parquet")
-    if os.path.exists(p_path):
-        def incomes(batch: pa.Table) -> pa.Table:
-            rows_s, rows_o = [], []
-            for pid, funcs in zip(batch.column("person_id").to_pylist(),
-                                  batch.column("nevenfuncties").to_pylist()):
-                for i, f in enumerate(funcs or []):
-                    parent = f"{pid}/nevenfunctie/{i}"
-                    for j, _ in enumerate(f["inkomsten"] or []):
-                        rows_s.append(parent)
-                        rows_o.append(f"{parent}/inkomst/{j}")
-            return _edge_table(rows_s, "PersoonNevenfunctie", "HAS_INCOME",
-                               rows_o, "PersoonNevenfunctieInkomsten",
-                               len(rows_s))
-        parts.append(rd.read_parquet(
-            p_path, columns=["person_id", "nevenfuncties"]).map_batches(
-            incomes, batch_format="pyarrow", zero_copy_batch=True))
+    def incomes_fn(batch: pa.Table) -> pa.Table:
+        rows_s, rows_o = [], []
+        for pid, funcs in zip(batch.column("person_id").to_pylist(),
+                              batch.column("nevenfuncties").to_pylist()):
+            for i, f in enumerate(funcs or []):
+                parent = f"{pid}/nevenfunctie/{i}"
+                for j, _ in enumerate(f["inkomsten"] or []):
+                    rows_s.append(parent)
+                    rows_o.append(f"{parent}/inkomst/{j}")
+        return _edge_table(rows_s, "PersoonNevenfunctie", "HAS_INCOME",
+                           rows_o, "PersoonNevenfunctieInkomsten",
+                           len(rows_s))
 
     # DocumentVersie publicaties (real child ids; soort discriminates the
     # reference's two sibling types)
+    def pubs_fn(batch: pa.Table) -> pa.Table:
+        outs = {("HAS_PUBLICATIE", "DocumentPublicatie"): ([], []),
+                ("HAS_PUBLICATIE_METADATA",
+                 "DocumentPublicatieMetadata"): ([], [])}
+        for vid, ps in zip(batch.column("versie_id").to_pylist(),
+                           batch.column("publicaties").to_pylist()):
+            for p in ps or []:
+                key = (("HAS_PUBLICATIE", "DocumentPublicatie")
+                       if p["soort"] == "Publicatie" else
+                       ("HAS_PUBLICATIE_METADATA",
+                        "DocumentPublicatieMetadata"))
+                outs[key][0].append(vid)
+                outs[key][1].append(p["publicatie_id"])
+        tables = [
+            _edge_table(s, "DocumentVersie", rel, o, clabel, len(s))
+            for (rel, clabel), (s, o) in outs.items() if s]
+        return (pa.concat_tables(tables) if tables
+                else _EDGE_SCHEMA.empty_table())
+
+    # shard manifest: one job per (kind, table); expanded to row groups
+    from ..stages.registry_edges import _manifest_dataset, shard_manifest
+    jobs = []
+    for table, fams in by_table.items():
+        path = os.path.join(registry_dir, f"{table}.parquet")
+        if os.path.exists(path):
+            cols = sorted({fams[0][0]} | {f[2] for f in fams})
+            jobs.append({"kind": "flat", "table": table, "path": path,
+                         "cols": cols})
+    p_path = os.path.join(registry_dir, "persons.parquet")
+    if os.path.exists(p_path):
+        jobs.append({"kind": "incomes", "table": "persons", "path": p_path,
+                     "cols": ["person_id", "nevenfuncties"]})
     dv_path = os.path.join(registry_dir, "document_versies.parquet")
     if os.path.exists(dv_path):
-        def pubs(batch: pa.Table) -> pa.Table:
-            outs = {("HAS_PUBLICATIE", "DocumentPublicatie"): ([], []),
-                    ("HAS_PUBLICATIE_METADATA",
-                     "DocumentPublicatieMetadata"): ([], [])}
-            for vid, ps in zip(batch.column("versie_id").to_pylist(),
-                               batch.column("publicaties").to_pylist()):
-                for p in ps or []:
-                    key = (("HAS_PUBLICATIE", "DocumentPublicatie")
-                           if p["soort"] == "Publicatie" else
-                           ("HAS_PUBLICATIE_METADATA",
-                            "DocumentPublicatieMetadata"))
-                    outs[key][0].append(vid)
-                    outs[key][1].append(p["publicatie_id"])
-            tables = [
-                _edge_table(s, "DocumentVersie", rel, o, clabel, len(s))
-                for (rel, clabel), (s, o) in outs.items() if s]
-            return (pa.concat_tables(tables) if tables
-                    else _EDGE_SCHEMA.empty_table())
-        parts.append(rd.read_parquet(
-            dv_path, columns=["versie_id", "publicaties"]).map_batches(
-            pubs, batch_format="pyarrow", zero_copy_batch=True))
+        jobs.append({"kind": "pubs", "table": "document_versies",
+                     "path": dv_path, "cols": ["versie_id", "publicaties"]})
 
-    if not parts:
-        return rd.from_arrow(_EDGE_SCHEMA.empty_table())
-    return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    def emit(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+        outs = [_EDGE_SCHEMA.empty_table()]
+        for item in batch.to_pylist():
+            shard = pq.ParquetFile(item["path"]).read_row_group(
+                item["rg"], columns=list(item["cols"]))
+            if item["kind"] == "flat":
+                outs.append(flat_fn(shard, by_table[item["table"]]))
+            elif item["kind"] == "incomes":
+                outs.append(incomes_fn(shard))
+            else:
+                outs.append(pubs_fn(shard))
+        return pa.concat_tables(outs, promote_options="default")
+
+    return _manifest_dataset(shard_manifest(jobs), emit)
 
 
 def nested_edges_sql(corpus_dir: str) -> str:

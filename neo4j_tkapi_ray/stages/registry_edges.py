@@ -229,24 +229,52 @@ def _project_table(entries: List[tuple]):
     return fn
 
 
+def shard_manifest(jobs: List[dict]) -> List[dict]:
+    """Expand per-table read jobs into per-row-group work items (a shard
+    manifest). Driver touches parquet METADATA only, never data; each item
+    becomes one Ray task that reads exactly its row group. This is the
+    engine's pattern for many-heterogeneous-tables sources: one manifest
+    Dataset + one map operator instead of a Dataset-union per table —
+    plan width stays constant while row-group granularity preserves the
+    read parallelism of ``read_parquet`` (SCALING.md §"Registry-edge ...").
+    """
+    import pyarrow.parquet as pq
+    items = []
+    for job in jobs:
+        n_rg = pq.ParquetFile(job["path"]).metadata.num_row_groups
+        for rg in range(n_rg):
+            items.append({**job, "rg": rg})
+    return items
+
+
+def _manifest_dataset(items: List[dict], emit_fn) -> rd.Dataset:
+    """One block per manifest item -> one read+project task per shard."""
+    if not items:
+        return rd.from_arrow(EDGE_SCHEMA.empty_table())
+    ds = rd.from_items(items, override_num_blocks=len(items))
+    return ds.map_batches(emit_fn, batch_size=None, batch_format="pyarrow")
+
+
 def registry_edges(registry_dir: str, rel_map: List[tuple] = None
                    ) -> rd.Dataset:
     """All registry-projected edges as one Dataset (SQL-mirrorable: each
     rel-map entry is SELECT src, 'REL', dst FROM table WHERE fk <> ''
     [AND flt_col = flt_val]).
 
-    Entries are grouped by source table: each dimension parquet is read
-    ONCE with the union of the columns its projections need, and a single
-    vectorized ``map_batches`` emits every edge type for that table. This
-    keeps the plan width at #tables (~20), not #relation-types (~66) — a
-    66-way Dataset union is quadratic in the executor and reads hot tables
-    (activities, reg_documents) many times over."""
+    Entries are grouped by source table (each dimension parquet is read
+    once with the union of the columns its projections need, and every
+    edge type for that table is emitted in one vectorized pass), and the
+    whole projection is ONE manifest-driven operator: the driver lists
+    (table, row-group) work items, each task opens only its shard. Plan
+    width is 2 operators regardless of #tables (~20) or #relation-types
+    (~66) — the earlier one-Dataset-per-table union paid ~2 s of executor
+    overhead per leaf (42 s for an 11k-row projection at sf0.01)."""
     import os
     rel_map = rel_map or REGISTRY_REL_MAP
     by_table: dict = {}
     for table, *entry in rel_map:
         by_table.setdefault(table, []).append(tuple(entry))
-    parts: List[rd.Dataset] = []
+    jobs = []
     for table, entries in by_table.items():
         path = os.path.join(registry_dir, f"{table}.parquet")
         if not os.path.exists(path):
@@ -254,13 +282,19 @@ def registry_edges(registry_dir: str, rel_map: List[tuple] = None
         cols = set()
         for src_col, _, _, dst_col, _, *rest in entries:
             cols |= {src_col, dst_col} | ({rest[0][0]} if rest else set())
-        ds = rd.read_parquet(path, columns=sorted(cols))
-        parts.append(ds.map_batches(_project_table(entries),
-                                    batch_format="pyarrow",
-                                    zero_copy_batch=True))
-    if not parts:
-        return rd.from_arrow(EDGE_SCHEMA.empty_table())
-    return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+        jobs.append({"table": table, "path": path, "cols": sorted(cols)})
+    entries_by_table = by_table
+
+    def emit(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+        outs = [EDGE_SCHEMA.empty_table()]
+        for item in batch.to_pylist():
+            shard = pq.ParquetFile(item["path"]).read_row_group(
+                item["rg"], columns=list(item["cols"]))
+            outs.append(_project_table(entries_by_table[item["table"]])(shard))
+        return pa.concat_tables(outs, promote_options="default")
+
+    return _manifest_dataset(shard_manifest(jobs), emit)
 
 
 def lift_edges_to_triples(edges: rd.Dataset) -> rd.Dataset:
