@@ -104,6 +104,7 @@ def run_bench() -> dict:
     # ---- representative operator pipelines over testdata ---------------
     from neo4j_tkapi_ray.ops import (ann, dedup, events, joins, relational,
                                      sampling, textstats)
+    from neo4j_tkapi_ray.stages.registry_edges import registry_triples
     qfns = {
         "pricing_summary": lambda: relational.lineitem_pricing_summary(SF_DIR),
         "revenue_by_nation": lambda: relational.revenue_by_nation(SF_DIR),
@@ -116,6 +117,10 @@ def run_bench() -> dict:
         "trailing_window_counts": lambda: events.trailing_window_counts(SF_DIR),
         "token_doc_freq": lambda: sampling.token_doc_freq(SF_DIR),
         "decontaminate": lambda: sampling.decontaminate(SF_DIR),
+        # full REL_MAP taxonomy over the bench corpus registry (manifest
+        # shard source -> canonicalize), timed at bench scale
+        "registry_graph_edges": lambda: canonicalize_edges(
+            registry_triples(corpus_dir), cfg),
     }
     qtimes = {}
     for name, fn in qfns.items():
