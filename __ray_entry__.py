@@ -378,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": lambda sf: sampling.decontaminate(sf),
         "length_quantiles": lambda sf: sampling.length_quantiles(sf),
         "global_length_rank": lambda sf: sampling.global_length_rank(sf),
+        "top_tfidf_terms": lambda sf: sampling.top_tfidf_terms(sf, 3, 2),
         # --- ops with single-process expected-table oracles
         "minhash_neardup": _with_op_expected(
             "minhash_neardup", lambda sf: dedup.minhash_lsh_pairs(sf)),
@@ -721,6 +722,30 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
             SELECT doc_id, length(text) AS n_chars,
                    ROW_NUMBER() OVER (ORDER BY length(text), doc_id) AS rank
             FROM documents
+        """,
+        "top_tfidf_terms": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                           AS token
+                FROM documents WHERE trim(text) <> ''),
+                 tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                        FROM toks GROUP BY doc_id, token),
+                 df AS (SELECT token, COUNT(DISTINCT doc_id) AS df
+                        FROM toks GROUP BY token
+                        HAVING COUNT(DISTINCT doc_id) >= 2),
+                 n AS (SELECT COUNT(*) AS n_docs FROM documents),
+                 scored AS (
+                SELECT tf.doc_id, tf.token,
+                       tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+                FROM tf JOIN df USING (token) CROSS JOIN n),
+                 ranked AS (
+                SELECT doc_id, token, tfidf,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY tfidf DESC, token) AS rank
+                FROM scored)
+            SELECT doc_id, rank, token, ROUND(tfidf, 5) AS tfidf
+            FROM ranked WHERE rank <= 3
         """,
         "length_quantiles": """
             SELECT lang,

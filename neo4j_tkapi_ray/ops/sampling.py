@@ -144,6 +144,66 @@ def token_doc_freq(sf_dir: str, min_df: int = 10) -> rd.Dataset:
     return reduce_blocks(partials, ["token"], final_df)
 
 
+def top_tfidf_terms(sf_dir: str, k: int = 3, min_df: int = 2) -> rd.Dataset:
+    """Per-document top-k TF-IDF keywords — the keyword-extraction /
+    doc-tagging step of corpus curation, composed from two of this module's
+    primitives: the distributed document-frequency table (token_doc_freq)
+    becomes a broadcast IDF lookup, and a per-batch vectorized pass scores
+    tf x ln(n_docs/df) and keeps each doc's top k (tie: tfidf DESC, token
+    ASC — shared with the oracle; both sides compute the identical double
+    formula, so ordering agrees bit-for-bit).
+
+    Scale shape: the IDF table is vocab-bounded (pruned by min_df; cap by
+    top-V df for open vocabularies) and crosses the object store once via
+    ``ray.put``; the documents table streams through one map_batches. No
+    doc-side shuffle at all — the only exchange is inside token_doc_freq.
+    """
+    import pyarrow.parquet as pq
+    df_tbl = token_doc_freq(sf_dir, min_df=min_df).to_pandas()
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    idf = dict(zip(df_tbl["token"],
+                   np.log(float(n_docs) / df_tbl["df"].to_numpy(dtype=np.float64))))
+    idf_ref = ray.put(idf)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def score(b: pa.Table) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "rank": pd.Series(dtype="int64"),
+                              "token": pd.Series(dtype="object"),
+                              "tfidf": pd.Series(dtype="float64")})
+        if b.num_rows == 0:
+            return empty
+        lookup = ray.get(idf_ref)
+        text = pc.utf8_lower(pc.utf8_trim_whitespace(
+            b.column("text").combine_chunks()))
+        nonempty = pc.greater(pc.utf8_length(text), 0)
+        toks = pc.split_pattern_regex(pc.if_else(nonempty, text, None), r"\s+")
+        flat = pc.list_flatten(toks)
+        if len(flat) == 0:
+            return empty
+        offs = toks.offsets.to_numpy()
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(ids, np.diff(offs))
+        df = pd.DataFrame({"doc_id": doc_of, "token": flat.to_pylist()})
+        tf = df.groupby(["doc_id", "token"], sort=False).size().reset_index(name="tf")
+        tf["idf"] = tf["token"].map(lookup)
+        tf = tf[tf["idf"].notna()]
+        if tf.empty:
+            return empty
+        tf["tfidf"] = tf["tf"].to_numpy(dtype=np.float64) * tf["idf"].to_numpy()
+        tf = (tf.sort_values(["tfidf", "token"], ascending=[False, True],
+                             kind="stable")
+              .groupby("doc_id", sort=False).head(k))
+        tf = tf.assign(rank=tf.groupby("doc_id", sort=False).cumcount() + 1)
+        return pd.DataFrame({"doc_id": tf["doc_id"].astype("int64"),
+                             "rank": tf["rank"].astype("int64"),
+                             "token": tf["token"],
+                             "tfidf": np.round(tf["tfidf"].to_numpy(), 5)})
+
+    return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def benchmark_snippets(sf_dir: str, stride: int = 97, start: int = 40,
                        length: int = 30) -> List[str]:
     """Deterministic stand-in for a benchmark/eval set: a fixed substring of

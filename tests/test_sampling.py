@@ -64,6 +64,37 @@ def test_global_length_rank_is_a_permutation(ray_session):
     assert key == sorted(key)
 
 
+def test_top_tfidf_terms_semantics(ray_session):
+    out = sampling.top_tfidf_terms(SF, k=3, min_df=2).to_pandas()
+    # at most k terms per doc, ranks 1..n, tfidf non-increasing within a doc
+    per_doc = out.groupby("doc_id")
+    assert (per_doc.size() <= 3).all()
+    for _, g in per_doc:
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (g["tfidf"].diff().dropna() <= 1e-9).all()
+    # spot-check one doc against a scalar recompute
+    import numpy as np
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = {d: s for d, s in zip(t.column("doc_id").to_pylist(),
+                                  t.column("text").to_pylist())}
+    n_docs = len(texts)
+    df = {}
+    for s in texts.values():
+        for tok in set(s.lower().split()):
+            df[tok] = df.get(tok, 0) + 1
+    doc_id = int(out["doc_id"].iloc[0])
+    toks = texts[doc_id].lower().split()
+    tf = {}
+    for tok in toks:
+        tf[tok] = tf.get(tok, 0) + 1
+    scored = sorted(((tfv * np.log(n_docs / df[tok]), tok)
+                     for tok, tfv in tf.items() if df[tok] >= 2),
+                    key=lambda x: (-x[0], x[1]))[:3]
+    got = out[out["doc_id"] == doc_id].sort_values("rank")
+    assert list(got["token"]) == [tok for _, tok in scored]
+
+
 def test_length_quantiles_match_numpy(ray_session):
     out = sampling.length_quantiles(SF).to_pandas().set_index("lang")
     t = pq.read_table(f"{SF}/documents.parquet", columns=["lang", "text"])
