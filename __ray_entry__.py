@@ -688,21 +688,27 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
             FROM documents GROUP BY text
         """,
+        # HUGEINT cast: doc_id * 2654435761 overflows INT64 for doc_id >=
+        # ~3.5e9 (DuckDB errors; numpy uint64 wraps). Exact at any id:
+        # (p mod 2^64) mod 2^32 == p mod 2^32 since 2^32 divides 2^64.
         "stratified_sample": """
             SELECT lang, rank, doc_id FROM (
                 SELECT lang, doc_id,
                        ROW_NUMBER() OVER (
                            PARTITION BY lang
-                           ORDER BY (doc_id * 2654435761) % 4294967296,
+                           ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761)
+                                    % 4294967296,
                                     doc_id) AS rank
                 FROM documents) WHERE rank <= 20
         """,
         "token_doc_freq": """
             WITH toks AS (
                 SELECT doc_id,
-                       unnest(string_split_regex(trim(lower(text)), '\\s+'))
-                           AS token
-                FROM documents WHERE trim(text) <> ''),
+                       unnest(string_split_regex(
+                           regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'),
+                           '\\s+')) AS token
+                FROM documents
+                WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''),
                  d AS (SELECT DISTINCT doc_id, token FROM toks)
             SELECT token, COUNT(*) AS df FROM d
             GROUP BY token HAVING COUNT(*) >= 10
@@ -726,9 +732,11 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         "top_tfidf_terms": """
             WITH toks AS (
                 SELECT doc_id,
-                       unnest(string_split_regex(trim(lower(text)), '\\s+'))
-                           AS token
-                FROM documents WHERE trim(text) <> ''),
+                       unnest(string_split_regex(
+                           regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'),
+                           '\\s+')) AS token
+                FROM documents
+                WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''),
                  tf AS (SELECT doc_id, token, COUNT(*) AS tf
                         FROM toks GROUP BY doc_id, token),
                  df AS (SELECT token, COUNT(DISTINCT doc_id) AS df
@@ -795,10 +803,16 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
                    ROUND(AVG(n_events), 4) AS mean_events_per_session
             FROM s GROUP BY user_id
         """,
+        # ws-strip is regexp_replace (RE2 \s, same engine+class as the \s+
+        # split and the Arrow-side ws_strip) — DuckDB trim() strips only
+        # spaces and would leave a latent divergence on tab/newline text
         "token_counts": """
             SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                   CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+                        THEN 0
+                        ELSE len(string_split_regex(
+                                 regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                                 '\\s+')) END AS n_tokens,
                    length(text) AS n_chars
             FROM documents
         """,

@@ -240,21 +240,14 @@ def nested_child_edges(registry_dir: str) -> rd.Dataset:
         jobs.append({"kind": "pubs", "table": "document_versies",
                      "path": dv_path, "cols": ["versie_id", "publicaties"]})
 
-    def emit(batch: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
-        outs = [_EDGE_SCHEMA.empty_table()]
-        for item in batch.to_pylist():
-            shard = pq.ParquetFile(item["path"]).read_row_group(
-                item["rg"], columns=list(item["cols"]))
-            if item["kind"] == "flat":
-                outs.append(flat_fn(shard, by_table[item["table"]]))
-            elif item["kind"] == "incomes":
-                outs.append(incomes_fn(shard))
-            else:
-                outs.append(pubs_fn(shard))
-        return pa.concat_tables(outs, promote_options="default")
+    def project(shard: pa.Table, item: dict) -> pa.Table:
+        if item["kind"] == "flat":
+            return flat_fn(shard, by_table[item["table"]])
+        if item["kind"] == "incomes":
+            return incomes_fn(shard)
+        return pubs_fn(shard)
 
-    return _manifest_dataset(shard_manifest(jobs), emit)
+    return _manifest_dataset(shard_manifest(jobs), project)
 
 
 def nested_edges_sql(corpus_dir: str) -> str:

@@ -35,6 +35,24 @@ import ray
 import ray.data as rd
 
 from ..exchange import reduce_blocks
+from .textstats import ws_strip
+
+
+def _doc_tokens(b: pa.Table):
+    """Shared tokenize kernel for the DF/TF-IDF pair: lowercase, RE2-strip,
+    split ``\\s+``; returns (doc_index_per_token, flat_tokens) or (None,
+    None) when the batch has no tokens. Must stay bit-identical between
+    token_doc_freq and top_tfidf_terms AND the oracle's
+    string_split_regex(<ws-strip>(lower(text))) — one definition only."""
+    text = pc.utf8_lower(ws_strip(b.column("text").combine_chunks()))
+    nonempty = pc.greater(pc.utf8_length(text), 0)
+    toks = pc.split_pattern_regex(pc.if_else(nonempty, text, None), r"\s+")
+    flat = pc.list_flatten(toks)
+    if len(flat) == 0:
+        return None, None
+    offs = toks.offsets.to_numpy()
+    doc_idx = np.repeat(np.arange(b.num_rows, dtype=np.int64), np.diff(offs))
+    return doc_idx, flat
 
 # Knuth multiplicative hash — computable verbatim on the DuckDB side
 # (`(doc_id * 2654435761) % 4294967296`), so the sample is deterministic
@@ -111,17 +129,9 @@ def token_doc_freq(sf_dir: str, min_df: int = 10) -> rd.Dataset:
                           "n": pa.array([], pa.int64())})
         if b.num_rows == 0:
             return empty
-        text = pc.utf8_lower(pc.utf8_trim_whitespace(
-            b.column("text").combine_chunks()))
-        nonempty = pc.greater(pc.utf8_length(text), 0)
-        toks = pc.split_pattern_regex(pc.if_else(nonempty, text, None), r"\s+")
-        flat = pc.list_flatten(toks)
-        if len(flat) == 0:
+        doc_idx, flat = _doc_tokens(b)
+        if flat is None:
             return empty
-        # doc index per flattened token via the list offsets
-        offs = toks.offsets.to_numpy()
-        doc_idx = np.repeat(np.arange(b.num_rows, dtype=np.int64),
-                            np.diff(offs))
         pairs = pa.table({"d": pa.array(doc_idx), "token": flat})
         distinct = pairs.group_by(["d", "token"]).aggregate([])
         counts = distinct.group_by("token").aggregate([("d", "count")])
@@ -175,17 +185,11 @@ def top_tfidf_terms(sf_dir: str, k: int = 3, min_df: int = 2) -> rd.Dataset:
         if b.num_rows == 0:
             return empty
         lookup = ray.get(idf_ref)
-        text = pc.utf8_lower(pc.utf8_trim_whitespace(
-            b.column("text").combine_chunks()))
-        nonempty = pc.greater(pc.utf8_length(text), 0)
-        toks = pc.split_pattern_regex(pc.if_else(nonempty, text, None), r"\s+")
-        flat = pc.list_flatten(toks)
-        if len(flat) == 0:
+        doc_idx, flat = _doc_tokens(b)
+        if flat is None:
             return empty
-        offs = toks.offsets.to_numpy()
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        doc_of = np.repeat(ids, np.diff(offs))
-        df = pd.DataFrame({"doc_id": doc_of, "token": flat.to_pylist()})
+        df = pd.DataFrame({"doc_id": ids[doc_idx], "token": flat.to_pylist()})
         tf = df.groupby(["doc_id", "token"], sort=False).size().reset_index(name="tf")
         tf["idf"] = tf["token"].map(lookup)
         tf = tf[tf["idf"].notna()]
@@ -207,20 +211,26 @@ def top_tfidf_terms(sf_dir: str, k: int = 3, min_df: int = 2) -> rd.Dataset:
 def benchmark_snippets(sf_dir: str, stride: int = 97, start: int = 40,
                        length: int = 30) -> List[str]:
     """Deterministic stand-in for a benchmark/eval set: a fixed substring of
-    every ``stride``-th document. Real pipelines read their eval suites
-    here; the point of the operator is the broadcast + scan shape, and a
-    corpus-derived snippet set guarantees planted hits for the oracle."""
-    import pyarrow.parquet as pq
-    t = pq.read_table(f"{sf_dir}/documents.parquet",
-                      columns=["doc_id", "text"])
-    ids = t.column("doc_id").to_numpy()
-    texts = t.column("text")
-    snips = []
-    for i in np.flatnonzero(ids % stride == 0):
-        s = texts[int(i)].as_py()
-        if len(s) >= start + length:
-            snips.append(s[start:start + length])
-    return sorted(set(snips))
+    every ``stride``-th document. Real pipelines read their (naturally
+    small, fixed) eval suites here; the point of the operator is the
+    broadcast + scan shape, and a corpus-derived snippet set guarantees
+    planted hits for the oracle. Derived DISTRIBUTED — each batch filters
+    its own snippet sources and slices the substrings; only the snippet
+    rows (O(n/stride)) reach the driver, never the text column."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b.column("doc_id"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        hit = b.filter(pa.array(ids % stride == 0))
+        out = [s[start:start + length] for s in hit.column("text").to_pylist()
+               if len(s) >= start + length]
+        return pa.table({"s": pa.array(out, pa.string())})
+
+    rows = docs.map_batches(pick, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    return sorted({r["s"] for r in rows})
 
 
 def decontaminate(sf_dir: str, stride: int = 97) -> rd.Dataset:
@@ -319,7 +329,7 @@ def length_quantiles(sf_dir: str, group_col: str = "lang") -> rd.Dataset:
     For unbounded/float metrics, bucket the value first — the shape holds.
     """
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", group_col, "text"])
+                           columns=[group_col, "text"])
 
     def partial_hist(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:

@@ -22,13 +22,24 @@ import ray.data as rd
 _WS = r"\s+"
 
 
+def ws_strip(text):
+    """Strip leading/trailing RE2 ``\\s`` runs — the SAME character class
+    the ``\\s+`` token split uses, and the same RE2 engine DuckDB's
+    regexp_replace runs, so engine and SQL oracle agree on every input.
+    (``utf8_trim_whitespace`` strips the wider Unicode White_Space set,
+    while DuckDB's ``trim()`` strips only ' ' — both diverge from the
+    split class on tab/newline-adjacent text, which is ubiquitous in real
+    web text even though the synthetic corpus lacks it.)"""
+    return pc.replace_substring_regex(text, r"^\s+|\s+$", "")
+
+
 def token_counts(sf_dir: str) -> rd.Dataset:
     """doc_id, n_tokens (whitespace tokenization), n_chars."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
         text = batch.column("text")
-        trimmed = pc.utf8_trim_whitespace(text)
+        trimmed = ws_strip(text)
         toks = pc.split_pattern_regex(trimmed, _WS)
         n_tokens = pc.list_value_length(toks).cast(pa.int64())
         # empty string -> 0 tokens (split gives [''] -> 1)

@@ -247,12 +247,27 @@ def shard_manifest(jobs: List[dict]) -> List[dict]:
     return items
 
 
-def _manifest_dataset(items: List[dict], emit_fn) -> rd.Dataset:
-    """One block per manifest item -> one read+project task per shard."""
+def _manifest_dataset(items: List[dict], project_fn) -> rd.Dataset:
+    """One block per manifest item -> one read+project task per shard.
+
+    Owns the shard read so every adopter of the pattern shares one
+    ParquetFile/read_row_group lifecycle: ``project_fn(shard, item)``
+    receives the already-read row group (pruned to ``item['cols']``) and
+    returns an edge-schema table."""
     if not items:
         return rd.from_arrow(EDGE_SCHEMA.empty_table())
     ds = rd.from_items(items, override_num_blocks=len(items))
-    return ds.map_batches(emit_fn, batch_size=None, batch_format="pyarrow")
+
+    def emit(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+        outs = [EDGE_SCHEMA.empty_table()]
+        for item in batch.to_pylist():
+            shard = pq.ParquetFile(item["path"]).read_row_group(
+                item["rg"], columns=list(item["cols"]))
+            outs.append(project_fn(shard, item))
+        return pa.concat_tables(outs, promote_options="default")
+
+    return ds.map_batches(emit, batch_size=None, batch_format="pyarrow")
 
 
 def registry_edges(registry_dir: str, rel_map: List[tuple] = None
@@ -283,18 +298,11 @@ def registry_edges(registry_dir: str, rel_map: List[tuple] = None
         for src_col, _, _, dst_col, _, *rest in entries:
             cols |= {src_col, dst_col} | ({rest[0][0]} if rest else set())
         jobs.append({"table": table, "path": path, "cols": sorted(cols)})
-    entries_by_table = by_table
 
-    def emit(batch: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
-        outs = [EDGE_SCHEMA.empty_table()]
-        for item in batch.to_pylist():
-            shard = pq.ParquetFile(item["path"]).read_row_group(
-                item["rg"], columns=list(item["cols"]))
-            outs.append(_project_table(entries_by_table[item["table"]])(shard))
-        return pa.concat_tables(outs, promote_options="default")
+    def project(shard: pa.Table, item: dict) -> pa.Table:
+        return _project_table(by_table[item["table"]])(shard)
 
-    return _manifest_dataset(shard_manifest(jobs), emit)
+    return _manifest_dataset(shard_manifest(jobs), project)
 
 
 def lift_edges_to_triples(edges: rd.Dataset) -> rd.Dataset:

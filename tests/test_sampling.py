@@ -3,6 +3,7 @@ test_queries_contract.py like every other query; these tests pin the
 operator-specific invariants)."""
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from neo4j_tkapi_ray.ops import sampling
@@ -62,6 +63,55 @@ def test_global_length_rank_is_a_permutation(ray_session):
     s = out.sort_values("rank")
     key = list(zip(s["n_chars"], s["doc_id"]))
     assert key == sorted(key)
+
+
+def test_tokenized_oracles_agree_on_whitespace_and_huge_ids(ray_session,
+                                                            tmp_path):
+    """Regression for two latent engine/oracle divergences: (1) DuckDB
+    trim() strips only spaces, so tab/newline-adjacent text used to produce
+    an extra '' token on the SQL side (fixed: both sides RE2-strip \\s);
+    (2) doc_id * 2654435761 overflows INT64 in DuckDB for doc_id >= ~3.5e9
+    (fixed: HUGEINT cast; numpy's uint64 wrap is mod-2^32-equivalent)."""
+    import os
+    import duckdb
+    import importlib.util
+
+    t = pq.read_table(f"{SF}/documents.parquet")
+    adversarial = pa.table({
+        "doc_id": pa.array([4_000_000_000, 4_000_000_001, 5_000_000_000],
+                           pa.int64()),
+        "text": pa.array(["\tfoo bar baz\n", "\n", "  x\ty  "]),
+        "lang": pa.array(["en", "en", "de"]),
+        "source": pa.array(["t", "t", "t"]),
+        "n_chars": pa.array([13, 1, 8], pa.int64()),
+    })
+    merged = pa.concat_tables([t, adversarial.cast(t.schema)])
+    d = str(tmp_path)
+    pq.write_table(merged, os.path.join(d, "documents.parquet"))
+
+    spec = importlib.util.spec_from_file_location(
+        "rayentry2", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    qs, sqls = m.queries(), m.oracle_sql(d)
+    for name in ["token_counts", "token_doc_freq", "top_tfidf_terms",
+                 "stratified_sample"]:
+        ours = qs[name](d).to_pandas()
+        theirs = con.execute(sqls[name]).df()
+        c = sorted(ours.columns)
+        a = ours[c].sort_values(c).reset_index(drop=True)
+        b = theirs[c].sort_values(c).reset_index(drop=True)
+        assert len(a) == len(b), name
+        for col in c:
+            if a[col].dtype.kind == "f":
+                assert ((a[col] - b[col]).abs() < 1e-6).all(), (name, col)
+            else:
+                assert (a[col].astype(str).values ==
+                        b[col].astype(str).values).all(), (name, col)
+    con.close()
 
 
 def test_top_tfidf_terms_semantics(ray_session):
