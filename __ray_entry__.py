@@ -431,10 +431,29 @@ def _nested_edges_sql(corpus_dir: str) -> str:
     return nested_edges_sql(corpus_dir)
 
 
+_OP_EXPECTED_NAMES = [
+    "minhash_neardup", "ngram_jaccard", "neardup_groups",
+    "simhash_signatures", "language_id", "quality_scores", "fingerprints",
+    "ann_lsh_topk", "ann_ivf_topk", "media_decode", "media_frames",
+    "media_resize"]
+
+
 def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
     cd = _corpus_dir(sf_dir)
     from neo4j_tkapi_ray.expected import op_expected_dir
     od = op_expected_dir(sf_dir)
+    # The expected-table parquets some oracles read are owned by the corpus
+    # generator / single-process oracle runs. queries() ensures them on
+    # execution, but the driver may evaluate the SQL FIRST — ensure here
+    # too (file-cached, so a no-op after the first call). Never let an
+    # ensure failure break SQL-string construction.
+    try:
+        _kg_corpus(sf_dir)
+        from neo4j_tkapi_ray.expected import ensure_op_expected
+        for _name in _OP_EXPECTED_NAMES:
+            ensure_op_expected(sf_dir, _name)
+    except Exception:
+        pass
 
     def exp(name: str) -> str:
         return f"read_parquet('{cd}/{name}.parquet')"
