@@ -216,6 +216,16 @@ def _kg_response_patterns(sf_dir: str):
     return response_pattern_counts(_analysis_ds(sf_dir))
 
 
+def _kg_vote_type_distribution(sf_dir: str):
+    from neo4j_tkapi_ray.stages.aggregates import vote_type_distribution
+    return vote_type_distribution(_analysis_ds(sf_dir))
+
+
+def _kg_interruption_pair_details(sf_dir: str):
+    from neo4j_tkapi_ray.stages.aggregates import interruption_pair_details
+    return interruption_pair_details(_analysis_ds(sf_dir))
+
+
 def _kg_registry_edges(sf_dir: str):
     from neo4j_tkapi_ray.stages.registry_edges import registry_edges
     c = _kg_corpus(sf_dir)
@@ -288,9 +298,18 @@ def _dedup_exact(sf_dir: str):
     return exact_dedup(sf_dir).select_columns(["doc_id", "n_copies"])
 
 
+# names registered by every _with_op_expected call site — oracle_sql()
+# derives its ensure list and its SELECT * oracles from this, so adding an
+# op-expected query can never silently miss its SQL-first ensure (ADVICE r2)
+_OP_EXPECTED_NAMES: list[str] = []
+
+
 def _with_op_expected(name: str, fn):
     """Wrap an op query so its single-process expected table is written
     (cached) before the driver's oracle SQL reads it."""
+    if name not in _OP_EXPECTED_NAMES:
+        _OP_EXPECTED_NAMES.append(name)
+
     def run(sf_dir: str):
         from neo4j_tkapi_ray.expected import ensure_op_expected
         ensure_op_expected(sf_dir, name)
@@ -344,6 +363,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_interruption_types": _kg_interruption_types,
         "kg_interruption_topics": _kg_interruption_topics,
         "kg_response_patterns": _kg_response_patterns,
+        "kg_vote_type_distribution": _kg_vote_type_distribution,
+        "kg_interruption_pair_details": _kg_interruption_pair_details,
         # --- relational operators (SQL-checkable)
         "pricing_summary": relational.lineitem_pricing_summary,
         "revenue_by_nation": relational.revenue_by_nation,
@@ -431,29 +452,29 @@ def _nested_edges_sql(corpus_dir: str) -> str:
     return nested_edges_sql(corpus_dir)
 
 
-_OP_EXPECTED_NAMES = [
-    "minhash_neardup", "ngram_jaccard", "neardup_groups",
-    "simhash_signatures", "language_id", "quality_scores", "fingerprints",
-    "ann_lsh_topk", "ann_ivf_topk", "media_decode", "media_frames",
-    "media_resize"]
-
-
 def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
     cd = _corpus_dir(sf_dir)
     from neo4j_tkapi_ray.expected import op_expected_dir
     od = op_expected_dir(sf_dir)
+    queries()  # populate _OP_EXPECTED_NAMES from the registry call sites
     # The expected-table parquets some oracles read are owned by the corpus
     # generator / single-process oracle runs. queries() ensures them on
     # execution, but the driver may evaluate the SQL FIRST — ensure here
-    # too (file-cached, so a no-op after the first call). Never let an
-    # ensure failure break SQL-string construction.
+    # too (file-cached, so a no-op after the first call). An ensure failure
+    # must not break SQL-string construction, but it must be VISIBLE: the
+    # later DuckDB missing-parquet error is a symptom, this is the cause.
     try:
         _kg_corpus(sf_dir)
         from neo4j_tkapi_ray.expected import ensure_op_expected
         for _name in _OP_EXPECTED_NAMES:
             ensure_op_expected(sf_dir, _name)
-    except Exception:
-        pass
+    except Exception as exc:  # noqa: BLE001
+        import traceback
+        import warnings
+        warnings.warn("oracle_sql: expected-table ensure failed "
+                      f"({exc!r}); oracles reading {od} may reference "
+                      "missing parquets\n" + traceback.format_exc(),
+                      stacklevel=2)
 
     def exp(name: str) -> str:
         return f"read_parquet('{cd}/{name}.parquet')"
@@ -473,10 +494,66 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         "kg_nodes_enriched": f"SELECT * FROM {exp('expected_nodes_enriched')}",
         "kg_graph_nodes_enriched":
             f"SELECT * FROM {exp('expected_graph_nodes_enriched')}",
-        "kg_vote_rollup": f"SELECT * FROM {exp('expected_vote_rollup')}",
-        "kg_topic_consensus": f"SELECT * FROM {exp('expected_topic_consensus')}",
-        "kg_topic_vote_patterns":
-            f"SELECT * FROM {exp('expected_topic_vote_patterns')}",
+# derivational rollup SQL (round-3: these were expected-table pass-
+        # throughs; the A2 shuffles are now re-derived independently from
+        # expected_triples / expected_analysis. Float contract: both sides
+        # compute (n/total)*100 in the SAME association and round half-away
+        # — stages/aggregates.round2_away is bit-identical to ROUND(x, 2))
+        "kg_vote_rollup": f"""
+            WITH v AS (SELECT subj AS fractie_id,
+                              lower(replace(pred, 'VOTED_', '')) AS vote
+                       FROM {exp('expected_triples')}
+                       WHERE pred LIKE 'VOTED\\_%' ESCAPE '\\'
+                         AND provenance = 'vote')
+            SELECT fractie_id, COUNT(*) AS total_votes,
+                   ROUND((CAST(SUM(CASE WHEN vote = 'voor' THEN 1 ELSE 0 END)
+                               AS DOUBLE) / COUNT(*)) * 100, 2) AS voor_pct,
+                   ROUND((CAST(SUM(CASE WHEN vote = 'tegen' THEN 1 ELSE 0 END)
+                               AS DOUBLE) / COUNT(*)) * 100, 2) AS tegen_pct,
+                   ROUND((CAST(SUM(CASE WHEN vote = 'onthouding' THEN 1 ELSE 0
+                                   END) AS DOUBLE) / COUNT(*)) * 100, 2)
+                       AS onthouding_pct
+            FROM v GROUP BY fractie_id
+        """,
+        "kg_topic_consensus": f"""
+            WITH v AS (SELECT obj AS event_id,
+                              lower(replace(pred, 'VOTED_', '')) AS vote
+                       FROM {exp('expected_triples')}
+                       WHERE pred LIKE 'VOTED\\_%' ESCAPE '\\'
+                         AND provenance = 'vote'),
+                 agg AS (
+                SELECT event_id, COUNT(*) AS total_votes,
+                       ROUND((CAST(GREATEST(
+                                 SUM(CASE WHEN vote = 'voor' THEN 1 ELSE 0 END),
+                                 SUM(CASE WHEN vote = 'tegen' THEN 1 ELSE 0 END))
+                               AS DOUBLE) / COUNT(*)) * 100, 2) AS consensus_level
+                FROM v GROUP BY event_id)
+            SELECT event_id, total_votes, consensus_level,
+                   consensus_level < 80 AS controversial,
+                   consensus_level >= 95 AS unanimous
+            FROM agg
+        """,
+        "kg_topic_vote_patterns": f"""
+            WITH v AS (SELECT topic, vote FROM {exp('expected_analysis')}
+                       WHERE kind = 'vote_topic'),
+                 agg AS (
+                SELECT topic, COUNT(*) AS total_votes,
+                       CAST(SUM(CASE WHEN vote = 'voor' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS voor_n,
+                       CAST(SUM(CASE WHEN vote = 'tegen' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS tegen_n,
+                       CAST(SUM(CASE WHEN vote = 'onthouding' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS onthouding_n
+                FROM v GROUP BY topic)
+            SELECT topic, total_votes, voor_n, tegen_n, onthouding_n,
+                   ROUND((CAST(GREATEST(voor_n, tegen_n) AS DOUBLE)
+                          / total_votes) * 100, 2) AS consensus_level,
+                   ROUND((CAST(GREATEST(voor_n, tegen_n) AS DOUBLE)
+                          / total_votes) * 100, 2) < 80 AS controversial,
+                   ROUND((CAST(GREATEST(voor_n, tegen_n) AS DOUBLE)
+                          / total_votes) * 100, 2) >= 95 AS unanimous
+            FROM agg
+        """,
         # derivational SQL: the D1/D2 shuffles re-derived independently
         "kg_edges": f"""
             SELECT subj, pred, obj, COUNT(*) AS weight, MAX(score) AS score
@@ -535,6 +612,42 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
             WHERE kind = 'interruption'
               AND type = 'interruption_with_response'
             GROUP BY responder, interrupter
+        """,
+        "kg_vote_type_distribution": f"""
+            SELECT vote, COUNT(*) AS n FROM {exp('expected_analysis')}
+            WHERE kind = 'vote' GROUP BY vote
+        """,
+        "kg_interruption_pair_details": f"""
+            WITH linked AS (
+                SELECT * FROM {exp('expected_analysis')}
+                WHERE interrupter <> '' AND interrupted <> ''),
+                 pairs AS (
+                SELECT interrupter, interrupted, COUNT(*) AS n
+                FROM linked WHERE kind = 'interruption'
+                GROUP BY interrupter, interrupted),
+                 tps AS (
+                SELECT interrupter, interrupted,
+                       string_agg(DISTINCT topic, '|' ORDER BY topic) AS topics
+                FROM linked WHERE kind = 'interruption_topic'
+                GROUP BY interrupter, interrupted),
+                 exk AS (
+                SELECT interrupter, interrupted, k,
+                       ROW_NUMBER() OVER (PARTITION BY interrupter, interrupted
+                                          ORDER BY k) AS rn
+                FROM (SELECT DISTINCT interrupter, interrupted,
+                             url || '#' || activity_local_id || '#' || type AS k
+                      FROM linked WHERE kind = 'interruption')),
+                 exs AS (
+                SELECT interrupter, interrupted,
+                       string_agg(k, '|' ORDER BY k) AS examples
+                FROM exk WHERE rn <= 5 GROUP BY interrupter, interrupted)
+            SELECT p.interrupter, p.interrupted, p.n,
+                   coalesce(t.topics, '') AS topics, e.examples
+            FROM pairs p
+            LEFT JOIN tps t ON t.interrupter = p.interrupter
+                           AND t.interrupted = p.interrupted
+            JOIN exs e ON e.interrupter = p.interrupter
+                      AND e.interrupted = p.interrupted
         """,
         "kg_registry_edges": _registry_edges_sql(cd),
         "kg_nested_child_edges": _nested_edges_sql(cd),
@@ -616,11 +729,7 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         """,
     }
 
-    ops = {name: op(name) for name in
-           ["minhash_neardup", "ngram_jaccard", "neardup_groups",
-            "simhash_signatures",
-            "language_id", "quality_scores", "fingerprints", "ann_lsh_topk",
-            "ann_ivf_topk", "media_decode", "media_frames", "media_resize"]}
+    ops = {name: op(name) for name in _OP_EXPECTED_NAMES}
 
     return {
         **kg,

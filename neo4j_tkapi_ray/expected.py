@@ -33,13 +33,11 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-EXPECTED_VERSION = "e2"
+EXPECTED_VERSION = "e3"
 
 KG_EXPECTED = ["expected_triples", "expected_triples_embedding",
                "expected_mentions", "expected_docs", "expected_analysis",
-               "expected_nodes_enriched", "expected_vote_rollup",
-               "expected_topic_consensus", "expected_topic_vote_patterns",
-               "expected_graph_nodes_enriched"]
+               "expected_nodes_enriched", "expected_graph_nodes_enriched"]
 
 
 def ts_epoch(dt) -> int:
@@ -100,72 +98,6 @@ def _enriched_rows(node_rows: List[dict], registry_tables: dict) -> List[dict]:
         base.update(json.loads(r["props"]))
         out.append({**r, "props": json.dumps(base, sort_keys=True)})
     return out
-
-
-def _vote_rollup_rows(triple_rows: List[dict]) -> List[dict]:
-    """Mirror stages/aggregates.fractie_vote_rollup over the expected
-    triples (pred VOTED_*, provenance 'vote', linked fracties only)."""
-    counts: Dict[str, Dict[str, int]] = {}
-    for t in triple_rows:
-        if not t["pred"].startswith("VOTED_") or t["provenance"] != "vote":
-            continue
-        vote = t["pred"][len("VOTED_"):].lower()
-        counts.setdefault(t["subj"], {}).setdefault(vote, 0)
-        counts[t["subj"]][vote] += 1
-    rows = []
-    for fr, votes in sorted(counts.items()):
-        total = sum(votes.values())
-
-        def pct(v):
-            return round(votes.get(v, 0) / total * 100, 2) if total else 0.0
-
-        rows.append({"fractie_id": fr, "total_votes": total,
-                     "voor_pct": pct("voor"), "tegen_pct": pct("tegen"),
-                     "onthouding_pct": pct("onthouding")})
-    return rows
-
-
-def _topic_consensus_rows(triple_rows: List[dict]) -> List[dict]:
-    """Mirror stages/aggregates.topic_consensus (per voting event)."""
-    counts: Dict[str, Dict[str, int]] = {}
-    for t in triple_rows:
-        if not t["pred"].startswith("VOTED_") or t["provenance"] != "vote":
-            continue
-        vote = t["pred"][len("VOTED_"):].lower()
-        counts.setdefault(t["obj"], {}).setdefault(vote, 0)
-        counts[t["obj"]][vote] += 1
-    rows = []
-    for ev, votes in sorted(counts.items()):
-        total = sum(votes.values())
-        voor, tegen = votes.get("voor", 0), votes.get("tegen", 0)
-        level = round(max(voor, tegen) / total * 100, 2) if total else 0.0
-        rows.append({"event_id": ev, "total_votes": total,
-                     "consensus_level": level,
-                     "controversial": bool(level < 80),
-                     "unanimous": bool(level >= 95)})
-    return rows
-
-
-def _topic_patterns_rows(analysis_rows: List[dict]) -> List[dict]:
-    """Mirror stages/aggregates.topic_vote_patterns over vote_topic rows."""
-    counts: Dict[str, Dict[str, int]] = {}
-    for r in analysis_rows:
-        if r["kind"] != "vote_topic":
-            continue
-        counts.setdefault(r["topic"], {}).setdefault(r["vote"], 0)
-        counts[r["topic"]][r["vote"]] += 1
-    rows = []
-    for topic, votes in sorted(counts.items()):
-        total = sum(votes.values())
-        voor, tegen = votes.get("voor", 0), votes.get("tegen", 0)
-        level = round(max(voor, tegen) / total * 100, 2) if total else 0.0
-        rows.append({"topic": topic, "total_votes": total, "voor_n": voor,
-                     "tegen_n": tegen,
-                     "onthouding_n": votes.get("onthouding", 0),
-                     "consensus_level": level,
-                     "controversial": bool(level < 80 and total > 0),
-                     "unanimous": bool(level >= 95 and total > 0)})
-    return rows
 
 
 def _registry_edge_rows_sp(registry_tables: dict) -> List[dict]:
@@ -287,21 +219,6 @@ def ensure_kg_expected(corpus_dir: str) -> Dict[str, str]:
     graph_rows = _nodes_rows(triple_rows + _registry_edge_rows_sp(reg))
     write("expected_graph_nodes_enriched", _enriched_rows(graph_rows, reg),
           nodes_schema)
-
-    write("expected_vote_rollup", _vote_rollup_rows(triple_rows),
-          pa.schema([("fractie_id", pa.string()), ("total_votes", pa.int64()),
-                     ("voor_pct", pa.float64()), ("tegen_pct", pa.float64()),
-                     ("onthouding_pct", pa.float64())]))
-    write("expected_topic_consensus", _topic_consensus_rows(triple_rows),
-          pa.schema([("event_id", pa.string()), ("total_votes", pa.int64()),
-                     ("consensus_level", pa.float64()),
-                     ("controversial", pa.bool_()), ("unanimous", pa.bool_())]))
-    write("expected_topic_vote_patterns", _topic_patterns_rows(res["analysis"]),
-          pa.schema([("topic", pa.string()), ("total_votes", pa.int64()),
-                     ("voor_n", pa.int64()), ("tegen_n", pa.int64()),
-                     ("onthouding_n", pa.int64()),
-                     ("consensus_level", pa.float64()),
-                     ("controversial", pa.bool_()), ("unanimous", pa.bool_())]))
 
     with open(marker, "w") as f:
         f.write("ok")

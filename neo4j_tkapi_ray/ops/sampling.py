@@ -84,11 +84,15 @@ def stratified_sample(sf_dir: str, n_per_group: int = 20,
         return b.append_column("hkey", pa.array(_sample_key(b.column("doc_id")),
                                                 pa.uint64()))
 
+    # dropna=False everywhere: pandas groupby silently DROPS null group
+    # keys by default, while the oracle's PARTITION BY ranks NULL as its
+    # own partition — a latent divergence if the group column is nullable
+    # (ADVICE r2)
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return df
         return (df.sort_values(["hkey", "doc_id"], kind="stable")
-                .groupby(group_col, sort=False).head(n_per_group))
+                .groupby(group_col, sort=False, dropna=False).head(n_per_group))
 
     partials = (docs.map_batches(add_key, batch_format="pyarrow",
                                  zero_copy_batch=True)
@@ -101,8 +105,9 @@ def stratified_sample(sf_dir: str, n_per_group: int = 20,
                                  "rank": pd.Series(dtype="int64"),
                                  "doc_id": pd.Series(dtype="int64")})
         df = (df.sort_values(["hkey", "doc_id"], kind="stable")
-              .groupby(group_col, sort=False).head(n_per_group))
-        df = df.assign(rank=df.groupby(group_col, sort=False).cumcount() + 1)
+              .groupby(group_col, sort=False, dropna=False).head(n_per_group))
+        df = df.assign(rank=df.groupby(group_col, sort=False,
+                                       dropna=False).cumcount() + 1)
         return df[[group_col, "rank", "doc_id"]].astype(
             {"rank": "int64", "doc_id": "int64"})
 
@@ -154,7 +159,8 @@ def token_doc_freq(sf_dir: str, min_df: int = 10) -> rd.Dataset:
     return reduce_blocks(partials, ["token"], final_df)
 
 
-def top_tfidf_terms(sf_dir: str, k: int = 3, min_df: int = 2) -> rd.Dataset:
+def top_tfidf_terms(sf_dir: str, k: int = 3, min_df: int = 2,
+                    max_vocab: int | None = 2_000_000) -> rd.Dataset:
     """Per-document top-k TF-IDF keywords — the keyword-extraction /
     doc-tagging step of corpus curation, composed from two of this module's
     primitives: the distributed document-frequency table (token_doc_freq)
@@ -170,6 +176,16 @@ def top_tfidf_terms(sf_dir: str, k: int = 3, min_df: int = 2) -> rd.Dataset:
     """
     import pyarrow.parquet as pq
     df_tbl = token_doc_freq(sf_dir, min_df=min_df).to_pandas()
+    if max_vocab is not None and len(df_tbl) > max_vocab:
+        # ENFORCED vocab cap (VERDICT r2 #9): an open vocabulary (typos,
+        # ids, URLs) makes the min_df-pruned table grow with the corpus;
+        # keep the max_vocab highest-df tokens (ties: token asc) so the
+        # driver-side lookup is bounded no matter the input. Dropped tokens
+        # simply score no tf-idf — the quality caveat is that the rare tail
+        # is truncated, which is the documented trade of the cap.
+        df_tbl = (df_tbl.sort_values(["df", "token"],
+                                     ascending=[False, True], kind="stable")
+                  .head(max_vocab))
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     idf = dict(zip(df_tbl["token"],
                    np.log(float(n_docs) / df_tbl["df"].to_numpy(dtype=np.float64))))
@@ -200,10 +216,14 @@ def top_tfidf_terms(sf_dir: str, k: int = 3, min_df: int = 2) -> rd.Dataset:
                              kind="stable")
               .groupby("doc_id", sort=False).head(k))
         tf = tf.assign(rank=tf.groupby("doc_id", sort=False).cumcount() + 1)
+        # half-AWAY rounding (floor(x*1e5+0.5), valid for tfidf >= 0) to
+        # match DuckDB ROUND — np.round is half-even and would diverge by
+        # 1e-5 on exact .5 boundaries (ADVICE r2)
+        tfidf5 = np.floor(tf["tfidf"].to_numpy() * 1e5 + 0.5) / 1e5
         return pd.DataFrame({"doc_id": tf["doc_id"].astype("int64"),
                              "rank": tf["rank"].astype("int64"),
                              "token": tf["token"],
-                             "tfidf": np.round(tf["tfidf"].to_numpy(), 5)})
+                             "tfidf": tfidf5})
 
     return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 

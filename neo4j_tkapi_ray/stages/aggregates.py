@@ -4,12 +4,22 @@ exchange-based grouped aggregates with vectorized partial combining."""
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
 from ..exchange import grouped_apply, reduce_blocks
+
+
+def round2_away(x: float) -> float:
+    """Half-AWAY 2-decimal rounding (floor(x*100+0.5)/100, valid for x>=0)
+    — bit-identical to DuckDB ROUND(x, 2), so the rollup oracles can be
+    derivational SQL. Python round() is half-even and diverges on exact
+    .xx5 doubles (e.g. 3.125 -> 3.12 vs SQL 3.13)."""
+    return math.floor(x * 100 + 0.5) / 100
 
 
 def _count_reduce(keys):
@@ -58,7 +68,7 @@ def fractie_vote_rollup(triples: rd.Dataset) -> rd.Dataset:
 
         def pct(v):
             n = int(df.loc[df["vote"] == v, "n"].sum())
-            return round(n / total * 100, 2) if total else 0.0
+            return round2_away(n / total * 100) if total else 0.0
 
         return pd.DataFrame([{
             "fractie_id": df["fractie_id"].iloc[0], "total_votes": total,
@@ -89,7 +99,7 @@ def topic_consensus(triples: rd.Dataset) -> rd.Dataset:
         total = int(df["n"].sum())
         voor = int(df.loc[df["vote"] == "voor", "n"].sum())
         tegen = int(df.loc[df["vote"] == "tegen", "n"].sum())
-        level = round(max(voor, tegen) / total * 100, 2) if total else 0.0
+        level = round2_away(max(voor, tegen) / total * 100) if total else 0.0
         return pd.DataFrame([{
             "event_id": df["event_id"].iloc[0], "total_votes": total,
             "consensus_level": level,
@@ -150,7 +160,7 @@ def topic_vote_patterns(analysis: rd.Dataset) -> rd.Dataset:
             return int(df.loc[df["vote"] == v, "n"].sum())
 
         voor, tegen = cnt("voor"), cnt("tegen")
-        level = round(max(voor, tegen) / total * 100, 2) if total else 0.0
+        level = round2_away(max(voor, tegen) / total * 100) if total else 0.0
         return pd.DataFrame([{
             "topic": df["topic"].iloc[0], "total_votes": total,
             "voor_n": voor, "tegen_n": tegen, "onthouding_n": cnt("onthouding"),
@@ -198,6 +208,65 @@ def response_pattern_counts(analysis: rd.Dataset) -> rd.Dataset:
                            ["responder", "interrupter"], final)
     return counts.sort(["n", "responder", "interrupter"],
                        descending=[True, False, False])
+
+
+def vote_type_distribution(analysis: rd.Dataset) -> rd.Dataset:
+    """Corpus-wide vote-type histogram over every individual fractie vote
+    (voting_analyzer.py:118-120 vote_type_counts, surfaced at :167 as
+    vote_type_distribution)."""
+    rows = _kind(analysis, "vote").map_batches(
+        lambda b: b.select(["vote"]), batch_format="pyarrow")
+    partial, final = _count_reduce(["vote"])
+    return reduce_blocks(rows.map_batches(partial, batch_format="pyarrow"),
+                         ["vote"], final)
+
+
+def interruption_pair_details(analysis: rd.Dataset,
+                              max_examples: int = 5) -> rd.Dataset:
+    """Per-pair detail payload: count + topic set + bounded example list
+    per interrupter->interrupted pair (interruption_analyzer.py:119-146 —
+    the reference keeps a topics set and an UNBOUNDED examples list per
+    pair; here examples are the first ``max_examples`` DISTINCT
+    (url, activity, type) keys in ascending order, the bounded analog of
+    its <=100 failed-items cap). Linked pairs only (both persoon ids
+    non-empty), matching the reference's guard.
+
+    One exchange on the pair key; the interruption rows (count + example
+    keys) and interruption_topic rows (topic set) of a pair land in the
+    same block and assemble vectorized."""
+    def fn(b: pa.Table) -> pa.Table:
+        sel = b.filter(pc.and_(
+            pc.and_(pc.is_in(b.column("kind"),
+                             value_set=pa.array(["interruption",
+                                                 "interruption_topic"])),
+                    pc.not_equal(b.column("interrupter"), "")),
+            pc.not_equal(b.column("interrupted"), "")))
+        return sel.select(["kind", "interrupter", "interrupted", "topic",
+                           "url", "activity_local_id", "type"])
+
+    rows = analysis.map_batches(fn, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def detail(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"interrupter": pd.Series(dtype="object"),
+                              "interrupted": pd.Series(dtype="object"),
+                              "n": pd.Series(dtype="int64"),
+                              "topics": pd.Series(dtype="object"),
+                              "examples": pd.Series(dtype="object")})
+        ints = df[df["kind"] == "interruption"]
+        if ints.empty:
+            return empty
+        topics = sorted(set(df.loc[df["kind"] == "interruption_topic",
+                                   "topic"]))
+        keys = sorted(set(ints["url"] + "#" + ints["activity_local_id"]
+                          + "#" + ints["type"]))[:max_examples]
+        return pd.DataFrame([{"interrupter": df["interrupter"].iloc[0],
+                              "interrupted": df["interrupted"].iloc[0],
+                              "n": len(ints),
+                              "topics": "|".join(topics),
+                              "examples": "|".join(keys)}])
+
+    return grouped_apply(rows, ["interrupter", "interrupted"], detail)
 
 
 def interruption_pairs(triples: rd.Dataset) -> rd.Dataset:
