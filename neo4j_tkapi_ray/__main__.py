@@ -6,6 +6,8 @@
         [--no-finalize] [--max-partitions K]
     python -m neo4j_tkapi_ray gen --out DIR --sessions N [--seed S] [--page-scale K]
     python -m neo4j_tkapi_ray status --out DIR
+    python -m neo4j_tkapi_ray runs {list,show,delete,cleanup} --root DIR
+        [--run-id ID] [--keep N] [--yes]
 
 Run via ``ray job submit -- python -m neo4j_tkapi_ray build ...`` on a real
 cluster; standalone it initialises a local Ray session itself (guarded).
@@ -66,6 +68,40 @@ def cmd_status(args) -> int:
     return 0
 
 
+def cmd_runs(args) -> int:
+    """Run-management over a root of run dirs — the reference's
+    checkpoint_cli.py list/show/delete/cleanup reshaped onto partition
+    manifests (a run == an --out dir)."""
+    from .state.manifest import (cleanup_runs, delete_run, list_runs,
+                                 run_summary)
+    if args.action in ("show", "delete") and not args.run_id:
+        print(json.dumps({"error": f"--run-id is required for {args.action}"}))
+        return 1
+    if args.action == "list":
+        print(json.dumps({"runs": list_runs(args.root)}))
+    elif args.action == "show":
+        import os
+        d = os.path.join(args.root, args.run_id)
+        if not os.path.isdir(d):
+            print(json.dumps({"error": f"run {args.run_id} not found"}))
+            return 1
+        from .state.manifest import load_manifests
+        s = run_summary(d)
+        s["partitions"] = sorted(load_manifests(d).values(),
+                                 key=lambda m: m["partition_id"])
+        print(json.dumps(s))
+    elif args.action == "delete":
+        if not args.yes:
+            print(json.dumps({"error": "pass --yes to confirm deletion"}))
+            return 1
+        ok = delete_run(args.root, args.run_id)
+        print(json.dumps({"deleted": [args.run_id] if ok else []}))
+        return 0 if ok else 1
+    elif args.action == "cleanup":
+        print(json.dumps({"deleted": cleanup_runs(args.root, args.keep)}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="neo4j_tkapi_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -94,6 +130,16 @@ def main(argv=None) -> int:
     s = sub.add_parser("status", help="show partition-manifest progress")
     s.add_argument("--out", required=True)
     s.set_defaults(fn=cmd_status)
+
+    r = sub.add_parser("runs", help="list/show/delete/cleanup runs under a root dir")
+    r.add_argument("action", choices=["list", "show", "delete", "cleanup"])
+    r.add_argument("--root", required=True,
+                   help="directory whose subdirectories are run out-dirs")
+    r.add_argument("--run-id", default=None)
+    r.add_argument("--keep", type=int, default=5,
+                   help="runs to keep during cleanup (newest first)")
+    r.add_argument("--yes", action="store_true", help="confirm delete")
+    r.set_defaults(fn=cmd_runs)
 
     args = p.parse_args(argv)
     rc = args.fn(args)

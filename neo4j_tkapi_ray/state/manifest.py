@@ -94,6 +94,76 @@ def pending_partitions(out_dir: str, partitions: Dict[str, List[str]],
     return pending
 
 
+# ---------------------------------------------------------------------------
+# Run management over a root of run dirs (reference checkpoint_cli.py:
+# list/show/delete/cleanup over CheckpointManager runs — here a "run" is an
+# out_dir holding a _manifests/ tree, and the same operations act on those)
+# ---------------------------------------------------------------------------
+
+def run_summary(out_dir: str) -> dict:
+    """One run's rollup: partition counts, totals, first/last commit time,
+    config fingerprint (reference checkpoint_cli.list_runs per-run block)."""
+    manifests = load_manifests(out_dir)
+    done = [m for m in manifests.values() if m.get("status") == "completed"]
+    totals: Dict[str, int] = {}
+    for m in done:
+        for k, v in m.get("counts", {}).items():
+            totals[k] = totals.get(k, 0) + v
+    times = sorted(m.get("committed_at", "") for m in manifests.values())
+    fps = {m.get("config_fingerprint") for m in manifests.values()}
+    return {
+        "run_id": os.path.basename(os.path.normpath(out_dir)),
+        "path": out_dir,
+        "partitions_completed": len(done),
+        "partitions_failed": len(manifests) - len(done),
+        "status": ("empty" if not manifests
+                   else "failed" if len(done) < len(manifests) else "completed"),
+        "totals": totals,
+        "started_at": times[0] if times else None,
+        "last_commit_at": times[-1] if times else None,
+        "config_fingerprint": sorted(f or "" for f in fps)[0] if fps else None,
+    }
+
+
+def list_runs(root: str) -> List[dict]:
+    """All run dirs under ``root`` (any subdir with a _manifests tree),
+    newest activity first (reference checkpoint_manager.py:157 sorts runs
+    by start_time desc)."""
+    if not os.path.isdir(root):
+        return []
+    runs = []
+    for name in sorted(os.listdir(root)):
+        d = os.path.join(root, name)
+        if os.path.isdir(os.path.join(d, MANIFEST_DIR)):
+            runs.append(run_summary(d))
+    runs.sort(key=lambda r: (r["last_commit_at"] or "", r["run_id"]),
+              reverse=True)
+    return runs
+
+
+def delete_run(root: str, run_id: str) -> bool:
+    """Remove one run dir (manifests + outputs). Refuses path escapes."""
+    import shutil
+    if os.sep in run_id or run_id in (".", ".."):
+        raise ValueError(f"invalid run id {run_id!r}")
+    d = os.path.join(root, run_id)
+    if not os.path.isdir(os.path.join(d, MANIFEST_DIR)):
+        return False
+    shutil.rmtree(d)
+    return True
+
+
+def cleanup_runs(root: str, keep_last_n: int = 5) -> List[str]:
+    """Delete all but the ``keep_last_n`` most recently active runs
+    (reference checkpoint_manager.cleanup_old_runs:159-168). Returns the
+    deleted run ids."""
+    deleted = []
+    for r in list_runs(root)[max(0, keep_last_n):]:
+        if delete_run(root, r["run_id"]):
+            deleted.append(r["run_id"])
+    return deleted
+
+
 def validate_resume_config(out_dir: str, config_fingerprint: str) -> Optional[str]:
     """Returns an error string if existing manifests were written under a
     different config (refuse resume — reference checkpoint_manager.py:179-210)."""

@@ -47,6 +47,48 @@ def test_vocab_tables(tmp_path):
     assert labels.num_rows >= 10
 
 
+def test_runs_cli(tmp_path):
+    """Run-management parity (reference checkpoint_cli.py list/show/delete/
+    cleanup): three synthetic runs under one root, listed newest-first,
+    shown in detail, cleaned down to the newest, deleted explicitly."""
+    from neo4j_tkapi_ray.state.manifest import commit_partition
+
+    root = tmp_path / "runs"
+    for i, rid in enumerate(["run_a", "run_b", "run_c"]):
+        out = root / rid
+        for p in range(i + 1):
+            commit_partition(str(out), f"part-{p:05d}",
+                             input_fingerprint="f" * 16,
+                             config_fingerprint="cfg1",
+                             counts={"edges": 10 * (p + 1)}, seconds=0.1)
+
+    def run(*args):
+        r = subprocess.run([sys.executable, "-m", "neo4j_tkapi_ray", *args],
+                           capture_output=True, text=True, cwd="/root/repo")
+        return r.returncode, json.loads(r.stdout.strip().splitlines()[-1])
+
+    rc, listed = run("runs", "list", "--root", str(root))
+    assert rc == 0 and [r["run_id"] for r in listed["runs"]] == \
+        ["run_c", "run_b", "run_a"]  # newest activity first
+    assert listed["runs"][0]["partitions_completed"] == 3
+    assert listed["runs"][0]["totals"]["edges"] == 60
+
+    rc, shown = run("runs", "show", "--root", str(root), "--run-id", "run_b")
+    assert rc == 0 and len(shown["partitions"]) == 2
+    assert shown["status"] == "completed"
+
+    rc, res = run("runs", "delete", "--root", str(root), "--run-id", "run_a")
+    assert rc == 1 and res["error"].startswith("pass --yes")  # confirm gate
+    rc, res = run("runs", "delete", "--root", str(root), "--run-id", "run_a",
+                  "--yes")
+    assert rc == 0 and res["deleted"] == ["run_a"]
+
+    rc, res = run("runs", "cleanup", "--root", str(root), "--keep", "1")
+    assert rc == 0 and res["deleted"] == ["run_b"]
+    rc, listed = run("runs", "list", "--root", str(root))
+    assert [r["run_id"] for r in listed["runs"]] == ["run_c"]
+
+
 def test_cli_roundtrip(tmp_path):
     """gen -> build -> status -> resume noop, through the real CLI in
     subprocesses (fresh Ray each)."""
