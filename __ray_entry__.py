@@ -541,9 +541,6 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         "kg_mentions": f"SELECT * FROM {exp('expected_mentions')}",
         "kg_docs_text": f"SELECT * FROM {exp('expected_docs')}",
         "kg_analysis_rows": f"SELECT * FROM {exp('expected_analysis')}",
-        "kg_nodes_enriched": f"SELECT * FROM {exp('expected_nodes_enriched')}",
-        "kg_graph_nodes_enriched":
-            f"SELECT * FROM {exp('expected_graph_nodes_enriched')}",
 # derivational rollup SQL (round-3: these were expected-table pass-
         # throughs; the A2 shuffles are now re-derived independently from
         # expected_triples / expected_analysis. Float contract: both sides
@@ -627,6 +624,72 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
                                           ORDER BY ts_epoch DESC, props DESC)
                            AS rn
                 FROM endpoints) WHERE rn = 1
+        """,
+        # enriched nodes re-derived (round-3: was an expected-table pass-
+        # through): node set + LWW merge from expected_triples exactly as
+        # kg_nodes, then the registry prop-map JOIN reproduced by splicing
+        # the generator-owned lo/hi JSON fragments around "last_url" —
+        # byte-exact vs json.dumps({**pm, "last_url": url}, sort_keys=True)
+        "kg_nodes_enriched": f"""
+            WITH t AS (SELECT * FROM {exp('expected_triples')}
+                       WHERE pred <> '_FAILED'),
+                 endpoints AS (
+                SELECT subj AS node_id, subj_label AS label, url, ts_epoch
+                FROM t
+                UNION ALL
+                SELECT obj, obj_label, url, ts_epoch FROM t),
+                 merged AS (
+                SELECT node_id, label, url, ts_epoch FROM (
+                    SELECT node_id, label, url, ts_epoch,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY node_id
+                               ORDER BY ts_epoch DESC,
+                                        '{{"last_url": "' || url || '"}}' DESC)
+                               AS rn
+                    FROM endpoints) WHERE rn = 1)
+            SELECT m.node_id, m.label,
+                   CASE WHEN pm.node_id IS NULL
+                        THEN '{{"last_url": "' || m.url || '"}}'
+                        ELSE pm.lo || ', "last_url": "' || m.url || '"' || pm.hi
+                   END AS props,
+                   m.ts_epoch
+            FROM merged m
+            LEFT JOIN read_parquet('{cd}/registry_prop_maps.parquet') pm
+              ON pm.node_id = m.node_id
+        """,
+        "kg_graph_nodes_enriched": f"""
+            WITH t AS (SELECT * FROM {exp('expected_triples')}
+                       WHERE pred <> '_FAILED'),
+                 r AS (SELECT * FROM ({_registry_edges_sql(cd)}
+                                      UNION ALL {_nested_edges_sql(cd)})),
+                 endpoints AS (
+                SELECT subj AS node_id, subj_label AS label, url, ts_epoch
+                FROM t
+                UNION ALL
+                SELECT obj, obj_label, url, ts_epoch FROM t
+                UNION ALL
+                SELECT subj, subj_label, 'registry' AS url,
+                       CAST(0 AS BIGINT) AS ts_epoch FROM r
+                UNION ALL
+                SELECT obj, obj_label, 'registry', CAST(0 AS BIGINT) FROM r),
+                 merged AS (
+                SELECT node_id, label, url, ts_epoch FROM (
+                    SELECT node_id, label, url, ts_epoch,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY node_id
+                               ORDER BY ts_epoch DESC,
+                                        '{{"last_url": "' || url || '"}}' DESC)
+                               AS rn
+                    FROM endpoints) WHERE rn = 1)
+            SELECT m.node_id, m.label,
+                   CASE WHEN pm.node_id IS NULL
+                        THEN '{{"last_url": "' || m.url || '"}}'
+                        ELSE pm.lo || ', "last_url": "' || m.url || '"' || pm.hi
+                   END AS props,
+                   m.ts_epoch
+            FROM merged m
+            LEFT JOIN read_parquet('{cd}/registry_prop_maps.parquet') pm
+              ON pm.node_id = m.node_id
         """,
         "kg_interruption_pairs": f"""
             SELECT subj AS interrupter, obj AS interrupted, COUNT(*) AS n

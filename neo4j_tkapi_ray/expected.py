@@ -147,6 +147,39 @@ def _registry_edge_rows_sp(registry_tables: dict) -> List[dict]:
     return rows
 
 
+def write_prop_map_fragments(corpus_dir: str) -> str:
+    """Registry prop maps as JSON FRAGMENTS split at the sorted position of
+    the stream-derived ``last_url`` key, so the enriched-node oracle can be
+    DERIVATIONAL SQL: DuckDB re-derives the node set / LWW merge from
+    expected_triples and splices ``lo || ', "last_url": "' || url || '"' ||
+    hi`` to reproduce ``json.dumps({**prop_map, "last_url": url},
+    sort_keys=True)`` byte-exactly. The fragments are a per-entity
+    projection of the registry tables (M1, shared build_prop_maps kernel) —
+    input data, not pipeline output; the distributed shuffles stay
+    independently checked."""
+    from .sources.pages import read_registry_tables
+    from .stages.enrich import build_prop_maps
+
+    path = os.path.join(corpus_dir, "registry_prop_maps.parquet")
+    if os.path.exists(path):
+        return path
+    rows = []
+    for node_id, pm in build_prop_maps(read_registry_tables(corpus_dir)).items():
+        items = [f"{json.dumps(k)}: {json.dumps(v)}"
+                 for k, v in sorted(pm.items())]
+        lo = [s for (k, _), s in zip(sorted(pm.items()), items) if k < "last_url"]
+        hi = [s for (k, _), s in zip(sorted(pm.items()), items) if k > "last_url"]
+        rows.append({"node_id": node_id,
+                     "lo": "{" + ", ".join(lo),
+                     "hi": (", " + ", ".join(hi) + "}") if hi else "}"})
+    tbl = pa.Table.from_pylist(rows, schema=pa.schema(
+        [("node_id", pa.string()), ("lo", pa.string()), ("hi", pa.string())]))
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def ensure_kg_expected(corpus_dir: str) -> Dict[str, str]:
     """Write all expected_* tables for a generated corpus (idempotent,
     cached under a version marker). Returns {name: path}."""
@@ -156,6 +189,7 @@ def ensure_kg_expected(corpus_dir: str) -> Dict[str, str]:
     # invalidate previously cached expected tables
     marker = os.path.join(corpus_dir,
                           f".expected-{EXPECTED_VERSION}-{CORPUS_VERSION}")
+    write_prop_map_fragments(corpus_dir)
     if os.path.exists(marker):
         return paths
 
