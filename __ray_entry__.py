@@ -459,6 +459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _dedup_exact,                         # SQL-checkable
         "token_counts": textstats.token_counts,              # SQL-checkable
         "bpe_token_counts": textstats.bpe_token_counts,      # SQL-checkable
+        "repetition_stats": textstats.repetition_stats,      # SQL-checkable
         "ann_topk": lambda sf: ann.brute_force_topk(sf, n_queries=5, k=5),  # SQL-checkable
         # threshold 0.3: the synthetic embeddings are near-orthogonal (max
         # in-block cosine ~0.47), so a classic 0.9 near-dup threshold would
@@ -1062,6 +1063,43 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
                        AS n_bpe_tokens
             FROM documents
+        """,
+        # Gopher repetition rules: top-token fraction, distinct-token ratio,
+        # duplicate-bigram fraction (both sides round half-away at 5dp)
+        "repetition_stats": """
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS t
+                FROM documents),
+                 toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(t, '\\s+')) AS token,
+                       generate_subscripts(string_split_regex(t, '\\s+'), 1)
+                           AS pos
+                FROM d WHERE t <> ''),
+                 tf AS (SELECT doc_id, token, COUNT(*) AS c
+                        FROM toks GROUP BY doc_id, token),
+                 agg AS (SELECT doc_id, SUM(c) AS n_tokens,
+                                COUNT(*) AS n_distinct, MAX(c) AS top
+                         FROM tf GROUP BY doc_id),
+                 bg AS (SELECT a.doc_id, a.token || ' ' || b.token AS bigram
+                        FROM toks a JOIN toks b
+                          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+                 bga AS (SELECT doc_id, COUNT(*) AS total,
+                                COUNT(DISTINCT bigram) AS dist
+                         FROM bg GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   ROUND(coalesce(a.n_distinct
+                                  / CAST(a.n_tokens AS DOUBLE), 0), 5)
+                       AS distinct_ratio,
+                   ROUND(coalesce(a.top / CAST(a.n_tokens AS DOUBLE), 0), 5)
+                       AS top_token_ratio,
+                   ROUND(coalesce((g.total - g.dist)
+                                  / CAST(g.total AS DOUBLE), 0), 5)
+                       AS dup_bigram_ratio
+            FROM d LEFT JOIN agg a USING (doc_id)
+                   LEFT JOIN bga g USING (doc_id)
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

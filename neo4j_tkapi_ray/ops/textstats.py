@@ -122,6 +122,74 @@ def quality_scores(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def repetition_stats(sf_dir: str) -> rd.Dataset:
+    """Gopher-style repetition filters (Rae et al. 2021, public rules):
+    per document, the fraction of tokens that are the single most frequent
+    token, the distinct-token ratio, and the duplicate-bigram fraction —
+    the three signals used to drop boilerplate/looping web text.
+
+    Vectorized: one Arrow regex split per batch, then C-level pandas
+    groupbys over the flattened (doc, token) and (doc, bigram) streams —
+    no per-document Python. Rounding is half-away (floor(x*1e5+0.5)/1e5,
+    valid for ratios >= 0) to match DuckDB ROUND bit-for-bit.
+
+    Output: doc_id, n_tokens, distinct_ratio, top_token_ratio,
+    dup_bigram_ratio.
+    """
+    import pandas as pd
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def r5(x: np.ndarray) -> np.ndarray:
+        return np.floor(x * 1e5 + 0.5) / 1e5
+
+    def fn(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "distinct_ratio": pa.array([], pa.float64()),
+                          "top_token_ratio": pa.array([], pa.float64()),
+                          "dup_bigram_ratio": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        text = batch.column("text").combine_chunks()
+        trimmed = ws_strip(text)
+        toks = pc.split_pattern_regex(trimmed, _WS)
+        n = pc.list_value_length(toks).cast(pa.int64())
+        n = pc.if_else(pc.equal(pc.utf8_length(trimmed), 0),
+                       pa.scalar(0, pa.int64()), n).to_numpy()
+        doc_ids = batch.column("doc_id").to_numpy()
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        offsets = toks.offsets.to_numpy()
+        doc_idx = np.repeat(np.arange(batch.num_rows), np.diff(offsets))
+        df = pd.DataFrame({"d": doc_idx, "t": flat})
+        g = df.groupby("d", sort=True)
+        distinct = g["t"].nunique().reindex(range(batch.num_rows), fill_value=0).to_numpy()
+        top = (df.groupby(["d", "t"], sort=False).size().groupby("d").max()
+               .reindex(range(batch.num_rows), fill_value=0).to_numpy())
+        # bigrams: adjacent token pairs within a document (never across)
+        same_doc = doc_idx[:-1] == doc_idx[1:] if len(doc_idx) else np.array([], bool)
+        bg_doc = doc_idx[:-1][same_doc]
+        bg = pd.DataFrame({"d": bg_doc,
+                           "b": pd.Series(flat[:-1][same_doc]).str.cat(
+                               pd.Series(flat[1:][same_doc]), sep=" ")})
+        bgg = bg.groupby("d", sort=True)
+        bg_total = bgg.size().reindex(range(batch.num_rows), fill_value=0).to_numpy()
+        bg_distinct = bgg["b"].nunique().reindex(range(batch.num_rows),
+                                                 fill_value=0).to_numpy()
+        safe_n = np.maximum(n, 1).astype(np.float64)
+        safe_bg = np.maximum(bg_total, 1).astype(np.float64)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_tokens": pa.array(n, pa.int64()),
+            "distinct_ratio": pa.array(r5(np.where(n > 0, distinct / safe_n, 0.0))),
+            "top_token_ratio": pa.array(r5(np.where(n > 0, top / safe_n, 0.0))),
+            "dup_bigram_ratio": pa.array(
+                r5(np.where(bg_total > 0,
+                            (bg_total - bg_distinct) / safe_bg, 0.0))),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 class LangIdActor:
     """Character-n-gram language-ID — profiles built once per actor
     (__init__), scored per batch. Heuristic profiles for the langs present
