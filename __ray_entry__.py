@@ -67,12 +67,19 @@ def _stage_cache(sf_dir: str, name: str, builder):
     if not os.path.exists(marker):
         os.makedirs(root, exist_ok=True)
         shutil.rmtree(path, ignore_errors=True)
-        tmp = path + ".tmp"
+        # pid-unique staging dir + atomic publish: two concurrent builders
+        # (the driver may parallelize queries) each write their own staging
+        # tree; whoever renames first wins, the loser discards
+        tmp = f"{path}.tmp.{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
         builder().write_parquet(tmp)
-        os.replace(tmp, path)
-        with open(marker, "w") as f:
-            f.write("ok")
+        try:
+            os.replace(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(marker):
+            with open(marker, "w") as f:
+                f.write("ok")
     # _SUCCESS is not parquet — exclude it from the read
     return rd.read_parquet(path, file_extensions=["parquet"])
 
