@@ -24,6 +24,37 @@ from ..exchange import grouped_apply, reduce_blocks
 # exact dedup: hash-partition by content, keep min doc_id per group
 # ---------------------------------------------------------------------------
 
+def content_hash_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, h1, h2) — 128-bit blake2b content hash as two int64 columns.
+
+    Hashes straight off the Arrow data buffer: large_binary gives int64
+    offsets into one contiguous UTF-8 buffer, and blake2b accepts the
+    memoryview slices directly — no per-row Python str, no .encode() copy,
+    no int.from_bytes churn. Digests land in one preallocated buffer
+    reinterpreted as little-endian int64 pairs (bit-identical to the
+    per-row int.from_bytes(..., "little", signed=True) form)."""
+    import hashlib
+
+    col = batch.column("text").combine_chunks().cast(pa.large_binary())
+    n = len(col)
+    if n == 0:
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "h1": pa.array([], pa.int64()),
+                         "h2": pa.array([], pa.int64())})
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int64,
+                         count=n + 1, offset=8 * col.offset)
+    data = memoryview(col.buffers()[2] or b"")
+    out = bytearray(16 * n)
+    blake = hashlib.blake2b
+    for j in range(n):
+        out[16 * j:16 * j + 16] = blake(
+            data[offs[j]:offs[j + 1]], digest_size=16).digest()
+    pair = np.frombuffer(out, dtype="<i8").reshape(-1, 2)
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "h1": pa.array(pair[:, 0], pa.int64()),
+                     "h2": pa.array(pair[:, 1], pa.int64())})
+
+
 def exact_dedup(sf_dir: str) -> rd.Dataset:
     """One surviving doc_id per distinct text (+ dup count). The shuffle key
     is a 128-bit content hash (blake2b/16B as two int64 columns), not the
@@ -31,21 +62,9 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
     they were read. 128 bits keeps the collision probability negligible at
     the 10^12-document target (a 64-bit key collides at the ~4x10^9-doc
     birthday bound and would silently merge distinct texts — ADVICE r1)."""
-    import hashlib
-
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-
-    def hash_batch(batch: pa.Table) -> pa.Table:
-        h1, h2 = [], []
-        for t in batch.column("text").to_pylist():
-            d = hashlib.blake2b(t.encode(), digest_size=16).digest()
-            h1.append(int.from_bytes(d[:8], "little", signed=True))
-            h2.append(int.from_bytes(d[8:], "little", signed=True))
-        return pa.table({"doc_id": batch.column("doc_id"),
-                         "h1": pa.array(h1, pa.int64()),
-                         "h2": pa.array(h2, pa.int64())})
-
-    hashed = ds.map_batches(hash_batch, batch_format="pyarrow", zero_copy_batch=True)
+    hashed = ds.map_batches(content_hash_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
     def final(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:

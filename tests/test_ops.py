@@ -41,6 +41,29 @@ def test_exact_dedup(ray_session, dup_dir):
     assert by_id[0] == 3 and by_id[5] == 2
 
 
+def test_exact_dedup_hash_kernel_bit_identity():
+    """The buffer-sliced blake2b kernel must be bit-identical to the plain
+    per-row form (same digests -> same shuffle keys across versions), incl.
+    on a sliced Arrow batch (non-zero offset) and unicode text."""
+    import hashlib
+    import pyarrow as pa
+    from neo4j_tkapi_ray.ops import dedup as dd
+
+    texts = ["", "a", "héllo wörld", "x" * 5000, "the same", "the same", "né"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    for batch in (tbl, tbl.slice(2, 4)):
+        got = dd.content_hash_batch(batch)
+        exp_h1, exp_h2 = [], []
+        for t in batch.column("text").to_pylist():
+            d = hashlib.blake2b(t.encode(), digest_size=16).digest()
+            exp_h1.append(int.from_bytes(d[:8], "little", signed=True))
+            exp_h2.append(int.from_bytes(d[8:], "little", signed=True))
+        assert got.column("h1").to_pylist() == exp_h1
+        assert got.column("h2").to_pylist() == exp_h2
+        assert got.column("doc_id").to_pylist() == batch.column("doc_id").to_pylist()
+
+
 def test_minhash_lsh_finds_planted_pairs(ray_session, dup_dir):
     from neo4j_tkapi_ray.ops.dedup import minhash_lsh_pairs
     pairs = minhash_lsh_pairs(dup_dir, jaccard_threshold=0.5).to_pandas()
