@@ -362,6 +362,11 @@ def _with_op_expected(name: str, fn):
     return run
 
 
+def _curate_docs(sf_dir: str):
+    from neo4j_tkapi_ray.ops.curation import curate_docs
+    return curate_docs(sf_dir)
+
+
 def _media_decode(_sf_dir: str):
     from neo4j_tkapi_ray.ops.multimodal import decode_media, synth_media_dataset
     return decode_media(synth_media_dataset(n=48), decode="real")
@@ -409,9 +414,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _with_op_expected("quality_scores",
                                             textstats.quality_scores),
         "fingerprints": _with_op_expected("fingerprints", textstats.fingerprints),
-        # new in round 3 and never driver-checked, so it rides in the early
+        # new in round 3 and never driver-checked, so these ride in the early
         # block (a budget-limited sweep stops around entry 50 — see above)
         "repetition_stats": textstats.repetition_stats,      # SQL-checkable
+        "curate_docs": _curate_docs,                         # SQL-checkable
         "ann_lsh_topk": _with_op_expected(
             "ann_lsh_topk", lambda sf: ann.lsh_bucketed_topk(sf, n_queries=5, k=5)),
         "ann_ivf_topk": _with_op_expected(
@@ -1109,6 +1115,70 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
                        AS dup_bigram_ratio
             FROM d LEFT JOIN agg a USING (doc_id)
                    LEFT JOIN bga g USING (doc_id)
+        """,
+        # composed curation verdict: quality + repetition + exact-dup
+        # survivorship + decontamination, first failing rule wins (order is
+        # the ops/curation.RULES contract). Threshold comparisons are on raw
+        # doubles on both sides — identical IEEE arithmetic, no rounding.
+        "curate_docs": """
+            WITH d AS (
+                SELECT doc_id, text,
+                       regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS t
+                FROM documents),
+                 toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(t, '\\s+')) AS token,
+                       generate_subscripts(string_split_regex(t, '\\s+'), 1)
+                           AS pos
+                FROM d WHERE t <> ''),
+                 tf AS (SELECT doc_id, token, COUNT(*) AS c
+                        FROM toks GROUP BY doc_id, token),
+                 agg AS (SELECT doc_id, SUM(c) AS n, MAX(c) AS top,
+                                SUM(length(token) * c) AS ltot,
+                                SUM(CASE WHEN lower(token) IN
+                                    ('the','a','of','to','and','de','het',
+                                     'een','van','en','data','query',
+                                     'table','row') THEN c ELSE 0 END) AS sh
+                         FROM tf GROUP BY doc_id),
+                 bg AS (SELECT a.doc_id, a.token || ' ' || b.token AS bigram
+                        FROM toks a JOIN toks b
+                          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+                 bga AS (SELECT doc_id, COUNT(*) AS total,
+                                COUNT(DISTINCT bigram) AS dist
+                         FROM bg GROUP BY doc_id),
+                 snip AS (
+                SELECT DISTINCT substr(text, 41, 30) AS s FROM documents
+                WHERE doc_id % 97 = 0 AND length(text) >= 70),
+                 scored AS (
+                SELECT d.doc_id,
+                       CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens,
+                       coalesce(a.ltot / CAST(a.n AS DOUBLE), 0) AS mtl,
+                       coalesce(a.sh / CAST(a.n AS DOUBLE), 0) AS sr,
+                       coalesce(a.top / CAST(a.n AS DOUBLE), 0) AS ttr,
+                       coalesce((g.total - g.dist)
+                                / CAST(g.total AS DOUBLE), 0) AS dbr,
+                       d.doc_id <> MIN(d.doc_id)
+                           OVER (PARTITION BY d.text) AS is_dup,
+                       coalesce((SELECT MAX(CASE WHEN contains(d.text, s.s)
+                                            THEN 1 ELSE 0 END)
+                                 FROM snip s), 0) = 1 AS contam
+                FROM d LEFT JOIN agg a USING (doc_id)
+                       LEFT JOIN bga g USING (doc_id))
+            SELECT doc_id, n_tokens,
+                   CAST(CASE WHEN reject_reason = '' THEN 1 ELSE 0 END
+                        AS BIGINT) AS keep,
+                   reject_reason
+            FROM (SELECT doc_id, n_tokens,
+                         CASE WHEN n_tokens < 20 THEN 'too_short'
+                              WHEN NOT (mtl >= 3.0 AND mtl <= 8.0)
+                                  THEN 'mean_token_len'
+                              WHEN NOT (sr >= 0.1 AND sr <= 0.6)
+                                  THEN 'stopword_ratio'
+                              WHEN ttr > 0.2 OR dbr > 0.1 THEN 'repetitive'
+                              WHEN is_dup THEN 'exact_duplicate'
+                              WHEN contam THEN 'contaminated'
+                              ELSE '' END AS reject_reason
+                  FROM scored)
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

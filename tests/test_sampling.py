@@ -156,3 +156,35 @@ def test_length_quantiles_match_numpy(ray_session):
                        (0.9, "p90")]:
             pos = max(int(np.ceil(q * len(v))), 1)
             assert out.loc[lang, col] == v[pos - 1], (lang, col)
+
+
+def test_curate_docs_rules_and_order(ray_session, tmp_path):
+    """Planted docs hitting every rule, incl. the two the testdata corpus
+    never triggers (exact_duplicate, mean_token_len), plus rule ORDER (a doc
+    failing several rules reports the FIRST in RULES order)."""
+    import pandas as pd
+    from neo4j_tkapi_ray.ops.curation import curate_docs
+
+    good = ("the quick spark pipeline reads a parquet file and emits arrow "
+            "batches of rows while the driver tracks to shuffle en metadata "
+            "van blocks")
+    # doc_ids start at 1 so no row is a snippet source (doc_id % stride == 0)
+    rows = [
+        {"doc_id": 1, "text": good},                       # kept
+        {"doc_id": 2, "text": "tiny"},                     # too_short
+        {"doc_id": 3, "text": ("supercalifragilistic " * 25).strip()},  # mtl 20 > 8 -> mean_token_len (n=25>=20)
+        {"doc_id": 4, "text": " ".join(f"word{i}" for i in range(30))},  # mtl ok, no stopwords -> stopword_ratio
+        {"doc_id": 5, "text": ("the " * 30).strip()},      # sr 1.0 AND repetitive -> stopword_ratio FIRST (order)
+        {"doc_id": 6, "text": ("the of " * 15).strip()},   # mtl 2.5 <3 AND sr 1.0 -> mean_token_len FIRST (order)
+        {"doc_id": 7, "text": good},                       # exact dup of 1 -> exact_duplicate
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    out = curate_docs(str(tmp_path), snippet_stride=1000).to_pandas()
+    got = dict(zip(out.doc_id, out.reject_reason))
+    assert got[1] == "" and out[out.doc_id == 1].keep.iloc[0] == 1
+    assert got[2] == "too_short"
+    assert got[3] == "mean_token_len"
+    assert got[4] == "stopword_ratio"
+    assert got[5] == "stopword_ratio"       # order: stopword before repetitive
+    assert got[6] == "mean_token_len"       # order: mtl before stopword
+    assert got[7] == "exact_duplicate"      # loses to doc 1 on min doc_id
