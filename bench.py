@@ -117,6 +117,9 @@ def run_bench() -> dict:
         "trailing_window_counts": lambda: events.trailing_window_counts(SF_DIR),
         "token_doc_freq": lambda: sampling.token_doc_freq(SF_DIR),
         "decontaminate": lambda: sampling.decontaminate(SF_DIR),
+        "curate_docs": lambda: __import__(
+            "neo4j_tkapi_ray.ops.curation", fromlist=["curate_docs"]
+        ).curate_docs(SF_DIR),
         # full REL_MAP taxonomy over the bench corpus registry (manifest
         # shard source -> canonicalize), timed at bench scale
         "registry_graph_edges": lambda: canonicalize_edges(
