@@ -367,6 +367,12 @@ def _curate_docs(sf_dir: str):
     return curate_docs(sf_dir)
 
 
+def _kg_latest_snapshot(sf_dir: str):
+    from neo4j_tkapi_ray.sources.pages import latest_snapshots
+    c = _kg_corpus(sf_dir)
+    return _epochify(latest_snapshots(c["pages"]))
+
+
 def _media_decode(_sf_dir: str):
     from neo4j_tkapi_ray.ops.multimodal import decode_media, synth_media_dataset
     return decode_media(synth_media_dataset(n=48), decode="real")
@@ -418,6 +424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # block (a budget-limited sweep stops around entry 50 — see above)
         "repetition_stats": textstats.repetition_stats,      # SQL-checkable
         "curate_docs": _curate_docs,                         # SQL-checkable
+        "kg_latest_snapshot": _kg_latest_snapshot,           # SQL-checkable
         "ann_lsh_topk": _with_op_expected(
             "ann_lsh_topk", lambda sf: ann.lsh_bucketed_topk(sf, n_queries=5, k=5)),
         "ann_ivf_topk": _with_op_expected(
@@ -557,6 +564,16 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         "kg_mentions": f"SELECT * FROM {exp('expected_mentions')}",
         "kg_docs_text": f"SELECT * FROM {exp('expected_docs')}",
         "kg_analysis_rows": f"SELECT * FROM {exp('expected_analysis')}",
+        # CDX-style crawl dedup: latest snapshot + count per url, derived
+        # straight from the raw pages parquet (all langs, no filters)
+        "kg_latest_snapshot": f"""
+            SELECT url,
+                   CAST(epoch_us(MAX(warc_ts)) // 1000000 AS BIGINT)
+                       AS ts_epoch,
+                   CAST(COUNT(*) AS BIGINT) AS n_snapshots
+            FROM read_parquet('{cd}/pages/*.parquet')
+            GROUP BY url
+        """,
 # derivational rollup SQL (round-3: these were expected-table pass-
         # throughs; the A2 shuffles are now re-derived independently from
         # expected_triples / expected_analysis. Float contract: both sides

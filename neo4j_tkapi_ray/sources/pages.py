@@ -43,6 +43,45 @@ def read_pages(paths: Union[str, List[str]], lang: Optional[str] = "nl",
     return rd.read_parquet(paths, columns=columns, filter=flt)
 
 
+def latest_snapshots(paths: Union[str, List[str]]) -> rd.Dataset:
+    """CDX-style crawl dedup: per URL, the LATEST warc_ts and the snapshot
+    count — the first operator a web-crawl pipeline runs before any
+    content work (the reference's last-write-wins re-crawl handling,
+    surfaced as its own queryable table).
+
+    Scale shape: only (url, warc_ts) pairs leave the scan (html/text never
+    read — column pruning), partial per-batch max/count combiners run
+    BEFORE the url exchange, so the shuffle moves one row per (url, block),
+    bounded by distinct urls, not snapshots."""
+    import pyarrow as pa
+
+    from ..exchange import reduce_blocks
+
+    ds = rd.read_parquet(paths, columns=["url", "warc_ts"])
+
+    def partial(batch: "pa.Table") -> "pa.Table":
+        g = batch.group_by(["url"]).aggregate([("warc_ts", "max"),
+                                               ("warc_ts", "count")])
+        return pa.table({"url": g.column("url"),
+                         "warc_ts": g.column("warc_ts_max"),
+                         "n": g.column("warc_ts_count").cast(pa.int64())})
+
+    def final(block: "pa.Table") -> "pa.Table":
+        if block.num_rows == 0:
+            return pa.table({"url": pa.array([], pa.string()),
+                             "warc_ts": pa.array([], pa.timestamp("us")),
+                             "n_snapshots": pa.array([], pa.int64())})
+        g = block.group_by(["url"]).aggregate([("warc_ts", "max"),
+                                               ("n", "sum")])
+        return pa.table({"url": g.column("url"),
+                         "warc_ts": g.column("warc_ts_max"),
+                         "n_snapshots": g.column("n_sum").cast(pa.int64())})
+
+    return reduce_blocks(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["url"], final)
+
+
 def read_registry_tables(registry_dir: str) -> Dict[str, list]:
     """Load the small registry dimension tables driver-side (python lists —
     the gazetteer index is built from these inside each linker actor).

@@ -335,3 +335,20 @@ def test_media_resize_stage(ray_session):
     for p in out["payload"]:
         w, h, _ = decode_bmp(bytes(p))
         assert (w, h) == (8, 8)
+
+
+def test_latest_snapshots(ray_session, tmp_path):
+    """CDX-style crawl dedup: per url keep the max warc_ts + count."""
+    import pandas as pd
+    from neo4j_tkapi_ray.sources.pages import latest_snapshots
+
+    ts = pd.to_datetime(["2024-01-01 10:00", "2024-01-01 15:00",
+                         "2024-01-02 09:00", "2024-03-05 08:00"])
+    pd.DataFrame({"url": ["u/a", "u/a", "u/a", "u/b"], "warc_ts": ts,
+                  "html": [b"x"] * 4, "text": ["t"] * 4,
+                  "lang": ["nl"] * 4}).to_parquet(tmp_path / "pages.parquet")
+    out = latest_snapshots(str(tmp_path / "pages.parquet")).to_pandas()
+    out = out.set_index("url")
+    assert out.loc["u/a", "n_snapshots"] == 3
+    assert out.loc["u/b", "n_snapshots"] == 1
+    assert out.loc["u/a", "warc_ts"] == pd.Timestamp("2024-01-02 09:00")
