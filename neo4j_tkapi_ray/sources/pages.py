@@ -67,10 +67,10 @@ def latest_snapshots(paths: Union[str, List[str]]) -> rd.Dataset:
                          "n": g.column("warc_ts_count").cast(pa.int64())})
 
     def final(block: "pa.Table") -> "pa.Table":
-        if block.num_rows == 0:
-            return pa.table({"url": pa.array([], pa.string()),
-                             "warc_ts": pa.array([], pa.timestamp("us")),
-                             "n_snapshots": pa.array([], pa.int64())})
+        # group_by on an EMPTY block preserves the input schema (incl. the
+        # source's exact timestamp unit), so no empty special-case — a
+        # hand-built empty table would be the only place a wrong unit could
+        # diverge from the data blocks
         g = block.group_by(["url"]).aggregate([("warc_ts", "max"),
                                                ("n", "sum")])
         return pa.table({"url": g.column("url"),
