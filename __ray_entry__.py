@@ -373,6 +373,12 @@ def _kg_latest_snapshot(sf_dir: str):
     return _epochify(latest_snapshots(c["pages"]))
 
 
+def _snapshot_changes(sf_dir: str):
+    from neo4j_tkapi_ray.sources.pages import snapshot_changes
+    c = _kg_corpus(sf_dir)
+    return _epochify(snapshot_changes(c["pages"]))
+
+
 def _media_decode(_sf_dir: str):
     from neo4j_tkapi_ray.ops.multimodal import decode_media, synth_media_dataset
     return decode_media(synth_media_dataset(n=48), decode="real")
@@ -425,6 +431,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": textstats.repetition_stats,      # SQL-checkable
         "curate_docs": _curate_docs,                         # SQL-checkable
         "kg_latest_snapshot": _kg_latest_snapshot,           # SQL-checkable
+        "dup_spans": lambda sf: dedup.dup_spans(sf),         # SQL-checkable
+        "unigram_logprob": textstats.unigram_logprob,        # SQL-checkable
+        "snapshot_changes": _snapshot_changes,               # SQL-checkable
         "ann_lsh_topk": _with_op_expected(
             "ann_lsh_topk", lambda sf: ann.lsh_bucketed_topk(sf, n_queries=5, k=5)),
         "ann_ivf_topk": _with_op_expected(
@@ -573,6 +582,18 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_snapshots
             FROM read_parquet('{cd}/pages/*.parquet')
             GROUP BY url
+        """,
+        # per-URL re-crawl change detection: LAG over snapshots of one url,
+        # first snapshot counts as changed (engine hashes text; the 128-bit
+        # blake2b stands in for string equality, same budget as dedup_exact)
+        "snapshot_changes": f"""
+            SELECT url,
+                   CAST(epoch_us(warc_ts) // 1000000 AS BIGINT) AS ts_epoch,
+                   (lt IS NULL OR text <> lt) AS changed
+            FROM (SELECT url, warc_ts, text,
+                         lag(text) OVER (PARTITION BY url ORDER BY warc_ts)
+                             AS lt
+                  FROM read_parquet('{cd}/pages/*.parquet'))
         """,
 # derivational rollup SQL (round-3: these were expected-table pass-
         # throughs; the A2 shuffles are now re-derived independently from
@@ -1132,6 +1153,70 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
                        AS dup_bigram_ratio
             FROM d LEFT JOIN agg a USING (doc_id)
                    LEFT JOIN bga g USING (doc_id)
+        """,
+        # exact duplicate-span detection: k-token windows shared by >= 2
+        # distinct docs, merged into maximal spans (islands over positions;
+        # the engine exchanges 128-bit window hashes, the oracle groups by
+        # the window STRING — equality up to the blake2b collision budget)
+        "dup_spans": """
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS t
+                FROM documents),
+                 toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(t, '\\s+')) AS token,
+                       generate_subscripts(string_split_regex(t, '\\s+'), 1)
+                           AS pos
+                FROM d WHERE t <> ''),
+                 win AS (
+                SELECT doc_id, pos,
+                       string_agg(token, ' ') OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS w,
+                       COUNT(*) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wn
+                FROM toks),
+                 shing AS (SELECT doc_id, pos, w FROM win WHERE wn = 8),
+                 dup AS (SELECT w FROM shing
+                         GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2),
+                 hits AS (SELECT s.doc_id, s.pos
+                          FROM shing s JOIN dup USING (w)),
+                 isl AS (SELECT doc_id, pos,
+                                CASE WHEN pos - lag(pos) OVER (
+                                         PARTITION BY doc_id ORDER BY pos)
+                                     <= 8 THEN 0 ELSE 1 END AS newgrp
+                         FROM hits),
+                 grp AS (SELECT doc_id, pos,
+                                SUM(newgrp) OVER (
+                                    PARTITION BY doc_id ORDER BY pos) AS g
+                         FROM isl)
+            SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+                   CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_windows
+            FROM grp GROUP BY doc_id, g
+        """,
+        # CCNet-style unigram-LM quality score. Both sides compute the
+        # identical rearranged form SUM(c*ln(ct))/SUM(c) - ln(total) and
+        # round half-away at 5dp
+        "unigram_logprob": """
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS t
+                FROM documents),
+                 toks AS (
+                SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS token
+                FROM d WHERE t <> ''),
+                 tf AS (SELECT doc_id, token, COUNT(*) AS c
+                        FROM toks GROUP BY doc_id, token),
+                 gt AS (SELECT token, SUM(c) AS ct FROM tf GROUP BY token),
+                 tot AS (SELECT SUM(c) AS n FROM tf)
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   ROUND(SUM(c * ln(ct)) / SUM(c)
+                         - ln((SELECT n FROM tot)), 5) AS avg_logprob
+            FROM tf JOIN gt USING (token)
+            GROUP BY doc_id
         """,
         # composed curation verdict: quality + repetition + exact-dup
         # survivorship + decontamination, first failing rule wins (order is

@@ -120,6 +120,8 @@ def run_bench() -> dict:
         "curate_docs": lambda: __import__(
             "neo4j_tkapi_ray.ops.curation", fromlist=["curate_docs"]
         ).curate_docs(SF_DIR),
+        "dup_spans": lambda: dedup.dup_spans(SF_DIR),
+        "unigram_logprob": lambda: textstats.unigram_logprob(SF_DIR),
         # full REL_MAP taxonomy over the bench corpus registry (manifest
         # shard source -> canonicalize), timed at bench scale
         "registry_graph_edges": lambda: canonicalize_edges(

@@ -24,8 +24,9 @@ from ..exchange import grouped_apply, reduce_blocks
 # exact dedup: hash-partition by content, keep min doc_id per group
 # ---------------------------------------------------------------------------
 
-def content_hash_batch(batch: pa.Table) -> pa.Table:
-    """(doc_id, h1, h2) — 128-bit blake2b content hash as two int64 columns.
+def hash128_array(col: pa.Array) -> Tuple[np.ndarray, np.ndarray]:
+    """128-bit blake2b of every element of a string/binary Array, returned
+    as two int64 numpy columns.
 
     Hashes straight off the Arrow data buffer: large_binary gives int64
     offsets into one contiguous UTF-8 buffer, and blake2b accepts the
@@ -35,12 +36,12 @@ def content_hash_batch(batch: pa.Table) -> pa.Table:
     per-row int.from_bytes(..., "little", signed=True) form)."""
     import hashlib
 
-    col = batch.column("text").combine_chunks().cast(pa.large_binary())
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    col = col.cast(pa.large_binary())
     n = len(col)
     if n == 0:
-        return pa.table({"doc_id": batch.column("doc_id"),
-                         "h1": pa.array([], pa.int64()),
-                         "h2": pa.array([], pa.int64())})
+        e = np.array([], dtype=np.int64)
+        return e, e
     offs = np.frombuffer(col.buffers()[1], dtype=np.int64,
                          count=n + 1, offset=8 * col.offset)
     data = memoryview(col.buffers()[2] or b"")
@@ -50,9 +51,16 @@ def content_hash_batch(batch: pa.Table) -> pa.Table:
         out[16 * j:16 * j + 16] = blake(
             data[offs[j]:offs[j + 1]], digest_size=16).digest()
     pair = np.frombuffer(out, dtype="<i8").reshape(-1, 2)
+    return pair[:, 0], pair[:, 1]
+
+
+def content_hash_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, h1, h2) — 128-bit blake2b content hash as two int64 columns
+    (buffer-sliced; see hash128_array)."""
+    h1, h2 = hash128_array(batch.column("text"))
     return pa.table({"doc_id": batch.column("doc_id"),
-                     "h1": pa.array(pair[:, 0], pa.int64()),
-                     "h2": pa.array(pair[:, 1], pa.int64())})
+                     "h1": pa.array(h1, pa.int64()),
+                     "h2": pa.array(h2, pa.int64())})
 
 
 def exact_dedup(sf_dir: str) -> rd.Dataset:
@@ -717,3 +725,122 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.92) -> rd.Dataset:
                              "cos": np.round(sims[iu, ju][sel], 5)})
 
     return grouped_apply(ds, ["label"], pairs)
+
+
+# ---------------------------------------------------------------------------
+# exact duplicate-span detection (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+def dup_spans(sf_dir: str, k: int = 8) -> rd.Dataset:
+    """Exact duplicate-span detection: every k-token window whose exact
+    text occurs in >= 2 distinct documents marks a duplicated position;
+    overlapping/adjacent positions merge into maximal spans per document.
+    The substring-granularity member of the dedup family (public method:
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better" — their suffix-array pass finds the same cross-document
+    repeated substrings; the k-token shingle index is the
+    map-reduce-friendly formulation).
+
+    Output: (doc_id, span_start, span_end, n_windows) — token positions,
+    1-based inclusive, matching the SQL oracle's generate_subscripts.
+
+    Distributed shape: tokenize + window-hash per batch; only
+    (h1, h2, doc_id, pos) int rows cross the first exchange (the window
+    TEXT never moves — 128-bit blake2b stands in for string equality, the
+    same collision budget as exact_dedup); per-partition vectorized
+    distinct-doc filter keeps hashes seen in >= 2 docs; a second exchange
+    on doc_id merges surviving positions into maximal spans with a numpy
+    islands scan. At the 10^12-doc target the window stream is
+    n_tokens-sized — the honest cost of substring dedup (the suffix-array
+    equivalent sorts the same volume); stride>1 sampling is the documented
+    cheapening knob.
+    """
+    from functools import reduce as _reduce
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def window_rows(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"h1": pa.array([], pa.int64()),
+                          "h2": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        text = batch.column("text").combine_chunks()
+        trimmed = pc.replace_substring_regex(text, r"^\s+|\s+$", "")
+        toks = pc.split_pattern_regex(trimmed, r"\s+")
+        offsets = toks.offsets.to_numpy()
+        lens = np.diff(offsets)
+        # empty string -> [''] from the split; mask those docs out entirely
+        nonempty = pc.utf8_length(trimmed).to_numpy(zero_copy_only=False) > 0
+        flat = pc.list_flatten(toks)
+        doc_idx = np.repeat(np.arange(batch.num_rows), lens)
+        n_flat = len(flat)
+        if n_flat < k:
+            return empty
+        # k-token window strings over the whole flattened batch at once:
+        # chained vectorized joins of k shifted views, then keep windows
+        # fully inside one (non-empty) doc
+        m = n_flat - k + 1
+        parts = [flat.slice(j, m) for j in range(k)]
+        win = _reduce(lambda acc, p: pc.binary_join_element_wise(acc, p, " "),
+                      parts[1:], parts[0])
+        same_doc = doc_idx[:m] == doc_idx[k - 1:]
+        valid = same_doc & nonempty[doc_idx[:m]]
+        if not valid.any():
+            return empty
+        sel = np.flatnonzero(valid)
+        h1, h2 = hash128_array(win.take(pa.array(sel)))
+        starts = offsets[doc_idx[sel]]
+        return pa.table({"h1": pa.array(h1, pa.int64()),
+                         "h2": pa.array(h2, pa.int64()),
+                         "doc_id": pa.array(
+                             batch.column("doc_id").to_numpy()[doc_idx[sel]],
+                             pa.int64()),
+                         "pos": pa.array(sel - starts + 1, pa.int64())})
+
+    windows = ds.map_batches(window_rows, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def keep_cross_doc(df: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                  "pos": pd.Series(dtype="int64")})
+        if df.empty:
+            return out_empty
+        # vectorized prune first: a hash on a single row can't be shared
+        dup = df[df.duplicated(["h1", "h2"], keep=False)]
+        if dup.empty:
+            return out_empty
+        nd = dup.groupby(["h1", "h2"], sort=False)["doc_id"].transform("nunique")
+        hit = dup[nd >= 2]
+        return hit[["doc_id", "pos"]].reset_index(drop=True)
+
+    hits = reduce_blocks(windows, ["h1", "h2"], keep_cross_doc,
+                         batch_format="pandas")
+
+    def merge_spans(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "span_start": pd.Series(dtype="int64"),
+                              "span_end": pd.Series(dtype="int64"),
+                              "n_windows": pd.Series(dtype="int64")})
+        if df.empty:
+            return empty
+        df = df.sort_values(["doc_id", "pos"], kind="mergesort")
+        doc = df["doc_id"].to_numpy()
+        pos = df["pos"].to_numpy()
+        # windows cover [pos, pos+k-1]; two sorted positions merge when the
+        # later window starts inside-or-adjacent to the earlier's span
+        new = np.ones(len(df), dtype=bool)
+        new[1:] = (doc[1:] != doc[:-1]) | (pos[1:] - pos[:-1] > k)
+        grp = np.cumsum(new) - 1
+        out = pd.DataFrame({"doc_id": doc, "pos": pos, "g": grp})
+        agg = out.groupby("g", sort=True).agg(
+            doc_id=("doc_id", "first"), span_start=("pos", "min"),
+            span_end=("pos", "max"), n_windows=("pos", "size"))
+        agg["span_end"] += k - 1
+        return agg.reset_index(drop=True)[
+            ["doc_id", "span_start", "span_end", "n_windows"]].astype("int64")
+
+    return reduce_blocks(hits, ["doc_id"], merge_spans,
+                         batch_format="pandas")

@@ -278,3 +278,95 @@ def fingerprints(sf_dir: str, window: int = 8) -> rd.Dataset:
                          "fingerprint": pa.array(fps, pa.uint64())})
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def unigram_logprob(sf_dir: str) -> rd.Dataset:
+    """CCNet-style LM quality score (Wenzek et al. 2020, public method):
+    each document scored by the mean log-probability of its tokens under a
+    unigram LM estimated from the corpus itself — the classic
+    "perplexity filter" reduced to its order-0 form so it stays exactly
+    SQL-checkable.
+
+    Fully distributed, nothing corpus-sized touches the driver:
+      pass 1  per-batch (doc_id, token, c) partial counts (bounded by
+              per-doc distinct tokens);
+      hop 1   exchange by token — each block sees ALL rows of its tokens,
+              computes the global count c_t in-block, and emits per-doc
+              partials (doc_id, w=c*ln(c_t), c) pre-combined per block;
+      hop 2   exchange by doc_id — avg_logprob = SUM(w)/SUM(c) - ln(total).
+    The corpus token total is the only scalar the driver touches (one
+    aggregate, like the CC convergence flag). avg = mean ln(c_t/total),
+    algebraically rearranged; both sides round half-away at 5dp.
+
+    Output: (doc_id, n_tokens, avg_logprob).
+    """
+    import pandas as pd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def token_rows(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "token": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        text = batch.column("text").combine_chunks()
+        trimmed = ws_strip(text)
+        toks = pc.split_pattern_regex(trimmed, _WS)
+        offsets = toks.offsets.to_numpy()
+        lens = np.diff(offsets)
+        nonempty = pc.utf8_length(trimmed).to_numpy(zero_copy_only=False) > 0
+        doc_idx = np.repeat(np.arange(batch.num_rows), lens)
+        keep = nonempty[doc_idx]
+        if not keep.any():
+            return empty
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)[keep]
+        ids = batch.column("doc_id").to_numpy()[doc_idx[keep]]
+        g = (pd.DataFrame({"doc_id": ids, "token": flat})
+             .groupby(["doc_id", "token"], sort=False).size().reset_index(name="c"))
+        return pa.table({"doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                         "token": pa.array(g["token"], pa.string()),
+                         "c": pa.array(g["c"].to_numpy(), pa.int64())})
+
+    token_stream = ds.map_batches(token_rows, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    # ONE scalar to the driver: the corpus token total — computed from a
+    # SEPARATE cheap count pass, not by consuming token_stream twice (the
+    # double-consume would recompute every per-batch groupby; same lesson
+    # as the round-3 minhash fix)
+    total = token_counts(sf_dir).sum("n_tokens")
+    ln_total = float(np.log(total)) if total else 0.0
+
+    from ..exchange import reduce_blocks
+
+    def per_token_block(df: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "w": pd.Series(dtype="float64"),
+                              "c": pd.Series(dtype="int64")})
+        if df.empty:
+            return empty
+        ct = df.groupby("token", sort=False)["c"].transform("sum")
+        df = df.assign(w=df["c"].to_numpy() * np.log(ct.to_numpy(dtype=np.float64)))
+        out = df.groupby("doc_id", sort=True).agg(w=("w", "sum"), c=("c", "sum"))
+        return out.reset_index()
+
+    partials = reduce_blocks(token_stream, ["token"], per_token_block,
+                             batch_format="pandas")
+
+    def per_doc_block(df: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "n_tokens": pd.Series(dtype="int64"),
+                              "avg_logprob": pd.Series(dtype="float64")})
+        if df.empty:
+            return empty
+        g = df.groupby("doc_id", sort=True).agg(w=("w", "sum"), c=("c", "sum"))
+        avg = g["w"].to_numpy() / g["c"].to_numpy(dtype=np.float64) - ln_total
+        # half-away rounding, valid for negatives too: sign * floor(|x|*1e5+0.5)
+        r5 = np.sign(avg) * np.floor(np.abs(avg) * 1e5 + 0.5) / 1e5
+        return pd.DataFrame({"doc_id": g.index.to_numpy(),
+                             "n_tokens": g["c"].to_numpy(),
+                             "avg_logprob": r5})
+
+    return reduce_blocks(partials, ["doc_id"], per_doc_block,
+                         batch_format="pandas")

@@ -82,6 +82,56 @@ def latest_snapshots(paths: Union[str, List[str]]) -> rd.Dataset:
         ["url"], final)
 
 
+def snapshot_changes(paths: Union[str, List[str]]) -> rd.Dataset:
+    """Per-URL re-crawl change detection (CDC over crawl snapshots): for
+    each (url, warc_ts) snapshot, whether its extracted text differs from
+    the PREVIOUS snapshot of the same url (a url's first snapshot counts
+    as changed). Downstream of `latest_snapshots` this is the second
+    standard crawl-ingest question: which re-crawls actually carry new
+    content and which can be skipped.
+
+    Scale shape: texts are hashed at the scan (128-bit blake2b), so only
+    (url, warc_ts, h1, h2) rows cross the ONE url exchange; the change
+    scan is a vectorized sort + shift per partition block. Ordering is by
+    warc_ts within url — the corpus generator never emits two snapshots
+    of one url at the same timestamp, and the SQL oracle's LAG ordering
+    relies on the same invariant."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..exchange import reduce_blocks
+    from ..ops.dedup import hash128_array
+
+    ds = rd.read_parquet(paths, columns=["url", "warc_ts", "text"])
+
+    def hash_rows(batch: "pa.Table") -> "pa.Table":
+        h1, h2 = hash128_array(batch.column("text"))
+        return pa.table({"url": batch.column("url"),
+                         "warc_ts": batch.column("warc_ts"),
+                         "h1": pa.array(h1, pa.int64()),
+                         "h2": pa.array(h2, pa.int64())})
+
+    def scan(df: "pd.DataFrame") -> "pd.DataFrame":
+        if df.empty:
+            return pd.DataFrame({"url": pd.Series(dtype="object"),
+                                 "warc_ts": pd.Series(dtype="datetime64[us]"),
+                                 "changed": pd.Series(dtype="bool")})
+        df = df.sort_values(["url", "warc_ts"], kind="mergesort")
+        url = df["url"].to_numpy()
+        h1 = df["h1"].to_numpy()
+        h2 = df["h2"].to_numpy()
+        changed = np.ones(len(df), dtype=bool)
+        changed[1:] = ((url[1:] != url[:-1]) | (h1[1:] != h1[:-1])
+                       | (h2[1:] != h2[:-1]))
+        return pd.DataFrame({"url": url, "warc_ts": df["warc_ts"].to_numpy(),
+                             "changed": changed})
+
+    hashed = ds.map_batches(hash_rows, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return reduce_blocks(hashed, ["url"], scan, batch_format="pandas")
+
+
 def read_registry_tables(registry_dir: str) -> Dict[str, list]:
     """Load the small registry dimension tables driver-side (python lists —
     the gazetteer index is built from these inside each linker actor).

@@ -352,3 +352,71 @@ def test_latest_snapshots(ray_session, tmp_path):
     assert out.loc["u/a", "n_snapshots"] == 3
     assert out.loc["u/b", "n_snapshots"] == 1
     assert out.loc["u/a", "warc_ts"] == pd.Timestamp("2024-01-02 09:00")
+
+
+def test_dup_spans(ray_session, tmp_path):
+    """Exact duplicate-span detection: shared k-token windows merge into
+    maximal spans; intra-doc repetition alone does NOT mark a span; docs
+    shorter than k never emit."""
+    from neo4j_tkapi_ray.ops.dedup import dup_spans
+
+    shared = " ".join(f"s{j}" for j in range(12))       # 12 shared tokens
+    rows = [
+        # doc 0 and 1 share a 12-token run at different positions
+        {"doc_id": 0, "text": shared + " tail0 only zero x y z"},
+        {"doc_id": 1, "text": "head1 uniq " + shared + " end1"},
+        # doc 2: intra-doc repetition of ITS OWN 8-gram, nothing shared
+        {"doc_id": 2, "text": " ".join(f"r{j % 8}" for j in range(24))},
+        # doc 3: shorter than k
+        {"doc_id": 3, "text": "tiny doc"},
+    ]
+    for r in rows:
+        r.update({"lang": "en", "source": "t", "n_chars": len(r["text"])})
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    out = dup_spans(str(tmp_path), k=8).to_pandas()
+    got = {(r.doc_id, r.span_start, r.span_end, r.n_windows)
+           for r in out.itertuples()}
+    # 12 shared tokens -> 5 windows of 8; doc0 span tokens 1..12,
+    # doc1 span tokens 3..14 (after "head1 uniq")
+    assert got == {(0, 1, 12, 5), (1, 3, 14, 5)}
+
+
+def test_unigram_logprob(ray_session, tmp_path):
+    """Mean unigram log-prob: hand-checked on a 2-doc corpus; empty docs
+    are absent from the output."""
+    from neo4j_tkapi_ray.ops.textstats import unigram_logprob
+
+    rows = [
+        {"doc_id": 0, "text": "a a b"},
+        {"doc_id": 1, "text": "b c"},
+        {"doc_id": 2, "text": "   "},          # whitespace-only -> absent
+    ]
+    for r in rows:
+        r.update({"lang": "en", "source": "t", "n_chars": len(r["text"])})
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    out = unigram_logprob(str(tmp_path)).to_pandas().set_index("doc_id")
+    # corpus: a:2 b:2 c:1, total 5
+    lp = {"a": np.log(2 / 5), "b": np.log(2 / 5), "c": np.log(1 / 5)}
+    exp0 = (2 * np.log(2) + np.log(2)) / 3 - np.log(5)
+    exp1 = (np.log(2) + np.log(1)) / 2 - np.log(5)
+    assert set(out.index) == {0, 1}
+    assert out.loc[0, "n_tokens"] == 3 and out.loc[1, "n_tokens"] == 2
+    assert abs(out.loc[0, "avg_logprob"] - exp0) < 1e-5
+    assert abs(out.loc[1, "avg_logprob"] - exp1) < 1e-5
+
+
+def test_snapshot_changes(ray_session, tmp_path):
+    """CDC over re-crawls: first snapshot changed=True, identical re-crawl
+    False, content change True again."""
+    from neo4j_tkapi_ray.sources.pages import snapshot_changes
+
+    ts = pd.to_datetime(["2024-01-01 10:00", "2024-01-02 10:00",
+                         "2024-01-03 10:00", "2024-02-01 08:00"])
+    pd.DataFrame({"url": ["u/a"] * 3 + ["u/b"],
+                  "warc_ts": ts,
+                  "html": [b"x"] * 4,
+                  "text": ["v1", "v1", "v2", "only"],
+                  "lang": ["nl"] * 4}).to_parquet(tmp_path / "pages.parquet")
+    out = (snapshot_changes(str(tmp_path / "pages.parquet")).to_pandas()
+           .sort_values(["url", "warc_ts"]).reset_index(drop=True))
+    assert out["changed"].tolist() == [True, False, True, True]
