@@ -731,7 +731,7 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.92) -> rd.Dataset:
 # exact duplicate-span detection (substring-level dedup)
 # ---------------------------------------------------------------------------
 
-def dup_spans(sf_dir: str, k: int = 8) -> rd.Dataset:
+def dup_spans(sf_dir: str, k: int = 8, stride: int = 1) -> rd.Dataset:
     """Exact duplicate-span detection: every k-token window whose exact
     text occurs in >= 2 distinct documents marks a duplicated position;
     overlapping/adjacent positions merge into maximal spans per document.
@@ -752,8 +752,18 @@ def dup_spans(sf_dir: str, k: int = 8) -> rd.Dataset:
     on doc_id merges surviving positions into maximal spans with a numpy
     islands scan. At the 10^12-doc target the window stream is
     n_tokens-sized — the honest cost of substring dedup (the suffix-array
-    equivalent sorts the same volume); stride>1 sampling is the documented
-    cheapening knob.
+    equivalent sorts the same volume).
+
+    ``stride`` is the scale knob: at stride s > 1 only CONTENT-ANCHORED
+    windows (hash % s == 0, winnowing-style) enter the exchange — a 1/s
+    stream. Anchoring by content, not position, is what makes sampling
+    sound: identical text selects identical windows in every document, so
+    a shared run of W windows is detected with prob 1-(1-1/s)^W regardless
+    of its alignment in each doc (positional striding would require the
+    run to start at congruent offsets mod s in BOTH docs and can miss
+    arbitrarily long duplicates). stride>1 is detection mode: spans cover
+    anchored positions only (boundaries shrink, long spans may fragment);
+    stride=1 — the default and the oracle-checked contract — is exact.
     """
     from functools import reduce as _reduce
 
@@ -792,6 +802,11 @@ def dup_spans(sf_dir: str, k: int = 8) -> rd.Dataset:
             return empty
         sel = np.flatnonzero(valid)
         h1, h2 = hash128_array(win.take(pa.array(sel)))
+        if stride > 1:
+            anchor = (h1.astype(np.uint64) % np.uint64(stride)) == 0
+            sel, h1, h2 = sel[anchor], h1[anchor], h2[anchor]
+            if not len(sel):
+                return empty
         starts = offsets[doc_idx[sel]]
         return pa.table({"h1": pa.array(h1, pa.int64()),
                          "h2": pa.array(h2, pa.int64()),

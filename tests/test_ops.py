@@ -420,3 +420,31 @@ def test_snapshot_changes(ray_session, tmp_path):
     out = (snapshot_changes(str(tmp_path / "pages.parquet")).to_pandas()
            .sort_values(["url", "warc_ts"]).reset_index(drop=True))
     assert out["changed"].tolist() == [True, False, True, True]
+
+
+def test_dup_spans_stride_content_anchored(ray_session, tmp_path):
+    """stride>1 samples CONTENT-anchored windows: a long shared run is
+    detected even when it sits at misaligned offsets in the two docs
+    (positional striding could miss it), and every reported span lies
+    inside the true shared span."""
+    from neo4j_tkapi_ray.ops.dedup import dup_spans
+
+    run = " ".join(f"s{j}" for j in range(64))            # 64 shared tokens
+    rows = [
+        {"doc_id": 0, "text": run + " t0a t0b"},          # run at pos 1
+        {"doc_id": 1, "text": "x1 x2 x3 " + run},         # run at pos 4
+    ]
+    for r in rows:
+        r.update({"lang": "en", "source": "t", "n_chars": len(r["text"])})
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    out = dup_spans(str(tmp_path), k=8, stride=4).to_pandas()
+    assert set(out["doc_id"]) == {0, 1}                   # detected in both
+    true_span = {0: (1, 64), 1: (4, 67)}
+    for r in out.itertuples():
+        lo, hi = true_span[r.doc_id]
+        assert lo <= r.span_start <= r.span_end <= hi
+    # anchoring is content-based: both docs anchor the SAME run offsets,
+    # so both report the same number of anchored windows
+    n0 = out[out.doc_id == 0]["n_windows"].sum()
+    n1 = out[out.doc_id == 1]["n_windows"].sum()
+    assert n0 == n1 > 0
