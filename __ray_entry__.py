@@ -432,6 +432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_docs": _curate_docs,                         # SQL-checkable
         "kg_latest_snapshot": _kg_latest_snapshot,           # SQL-checkable
         "dup_spans": lambda sf: dedup.dup_spans(sf),         # SQL-checkable
+        "drop_dup_spans": lambda sf: dedup.drop_dup_spans(sf),  # SQL-checkable
         "unigram_logprob": textstats.unigram_logprob,        # SQL-checkable
         "snapshot_changes": _snapshot_changes,               # SQL-checkable
         "ann_lsh_topk": _with_op_expected(
@@ -1196,6 +1197,58 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
                    CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
                    CAST(COUNT(*) AS BIGINT) AS n_windows
             FROM grp GROUP BY doc_id, g
+        """,
+        # removal-mode substring dedup: duplicated windows survive only in
+        # their owner doc (min doc_id); clean_text = kept tokens re-joined
+        "drop_dup_spans": """
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS t
+                FROM documents),
+                 toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(t, '\\s+')) AS token,
+                       generate_subscripts(string_split_regex(t, '\\s+'), 1)
+                           AS pos
+                FROM d WHERE t <> ''),
+                 win AS (
+                SELECT doc_id, pos,
+                       string_agg(token, ' ') OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS w,
+                       COUNT(*) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wn
+                FROM toks),
+                 shing AS (SELECT doc_id, pos, w FROM win WHERE wn = 8),
+                 own AS (SELECT w, MIN(doc_id) AS owner,
+                                COUNT(DISTINCT doc_id) AS nd
+                         FROM shing GROUP BY w),
+                 hits AS (SELECT s.doc_id, s.pos
+                          FROM shing s JOIN own o USING (w)
+                          WHERE o.nd >= 2 AND s.doc_id <> o.owner),
+                 drop_tok AS (
+                SELECT DISTINCT t.doc_id, t.pos
+                FROM toks t JOIN hits h
+                  ON t.doc_id = h.doc_id
+                 AND t.pos BETWEEN h.pos AND h.pos + 7),
+                 kept AS (
+                SELECT t.doc_id, t.pos, t.token
+                FROM toks t LEFT JOIN drop_tok dt
+                  ON t.doc_id = dt.doc_id AND t.pos = dt.pos
+                WHERE dt.pos IS NULL)
+            SELECT d0.doc_id,
+                   coalesce(k.ct, '') AS clean_text,
+                   CAST(coalesce(k.nk, 0) AS BIGINT) AS n_tokens_kept,
+                   CAST(coalesce(tt.n, 0) - coalesce(k.nk, 0) AS BIGINT)
+                       AS n_tokens_dropped
+            FROM (SELECT doc_id FROM documents) d0
+            LEFT JOIN (SELECT doc_id,
+                              string_agg(token, ' ' ORDER BY pos) AS ct,
+                              COUNT(*) AS nk
+                       FROM kept GROUP BY doc_id) k USING (doc_id)
+            LEFT JOIN (SELECT doc_id, COUNT(*) AS n
+                       FROM toks GROUP BY doc_id) tt USING (doc_id)
         """,
         # CCNet-style unigram-LM quality score. Both sides compute the
         # identical rearranged form SUM(c*ln(ct))/SUM(c) - ln(total) and

@@ -765,6 +765,41 @@ def dup_spans(sf_dir: str, k: int = 8, stride: int = 1) -> rd.Dataset:
     anchored positions only (boundaries shrink, long spans may fragment);
     stride=1 — the default and the oracle-checked contract — is exact.
     """
+    hits = _dup_window_positions(sf_dir, k, stride, exclude_owner=False)
+
+    def merge_spans(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "span_start": pd.Series(dtype="int64"),
+                              "span_end": pd.Series(dtype="int64"),
+                              "n_windows": pd.Series(dtype="int64")})
+        if df.empty:
+            return empty
+        df = df.sort_values(["doc_id", "pos"], kind="mergesort")
+        doc = df["doc_id"].to_numpy()
+        pos = df["pos"].to_numpy()
+        # windows cover [pos, pos+k-1]; two sorted positions merge when the
+        # later window starts inside-or-adjacent to the earlier's span
+        new = np.ones(len(df), dtype=bool)
+        new[1:] = (doc[1:] != doc[:-1]) | (pos[1:] - pos[:-1] > k)
+        grp = np.cumsum(new) - 1
+        out = pd.DataFrame({"doc_id": doc, "pos": pos, "g": grp})
+        agg = out.groupby("g", sort=True).agg(
+            doc_id=("doc_id", "first"), span_start=("pos", "min"),
+            span_end=("pos", "max"), n_windows=("pos", "size"))
+        agg["span_end"] += k - 1
+        return agg.reset_index(drop=True)[
+            ["doc_id", "span_start", "span_end", "n_windows"]].astype("int64")
+
+    return reduce_blocks(hits, ["doc_id"], merge_spans,
+                         batch_format="pandas")
+
+
+def _dup_window_positions(sf_dir: str, k: int, stride: int,
+                          exclude_owner: bool) -> rd.Dataset:
+    """(doc_id, pos) of every k-token window shared by >= 2 distinct docs.
+    With ``exclude_owner`` the window's OWNER doc (global min doc_id among
+    its holders) keeps its positions — the 'all but one occurrence'
+    semantics of removal-mode substring dedup."""
     from functools import reduce as _reduce
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -827,35 +862,104 @@ def dup_spans(sf_dir: str, k: int = 8, stride: int = 1) -> rd.Dataset:
         dup = df[df.duplicated(["h1", "h2"], keep=False)]
         if dup.empty:
             return out_empty
-        nd = dup.groupby(["h1", "h2"], sort=False)["doc_id"].transform("nunique")
-        hit = dup[nd >= 2]
+        g = dup.groupby(["h1", "h2"], sort=False)["doc_id"]
+        hit = dup[g.transform("nunique") >= 2]
+        if exclude_owner and not hit.empty:
+            owner = hit.groupby(["h1", "h2"], sort=False)["doc_id"].transform("min")
+            hit = hit[hit["doc_id"].to_numpy() != owner.to_numpy()]
         return hit[["doc_id", "pos"]].reset_index(drop=True)
 
-    hits = reduce_blocks(windows, ["h1", "h2"], keep_cross_doc,
+    return reduce_blocks(windows, ["h1", "h2"], keep_cross_doc,
                          batch_format="pandas")
 
-    def merge_spans(df: pd.DataFrame) -> pd.DataFrame:
+
+def drop_dup_spans(sf_dir: str, k: int = 8) -> rd.Dataset:
+    """Removal-mode substring dedup: materialize each document's text with
+    cross-document duplicated spans CUT OUT, keeping exactly one occurrence
+    corpus-wide (Lee et al. 2022 "remove all but one of the occurrences"):
+    a duplicated window survives only in its OWNER doc — the global min
+    doc_id among the docs holding it. Intra-document repetition inside the
+    owner is untouched.
+
+    Output: (doc_id, clean_text, n_tokens_kept, n_tokens_dropped) for
+    EVERY document; clean_text is the kept tokens joined by single spaces
+    (whitespace-normalized, like the SQL oracle's string_agg ORDER BY pos).
+
+    Distributed shape: the (doc_id, pos) drop stream from the window-hash
+    exchange (owner excluded in-block — min doc_id per hash group, no
+    driver round-trip) joins the document stream on ONE doc_id exchange; a
+    numpy difference-array coverage scan marks dropped token ranges and the
+    kept tokens re-join per doc. Texts cross exactly one exchange."""
+    hits = _dup_window_positions(sf_dir, k, stride=1, exclude_owner=True)
+
+    def hit_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "pos": batch.column("pos"),
+                         "text": pa.nulls(n, pa.string()),
+                         "kind": pa.array(np.ones(n, dtype=np.int8))})
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "pos": pa.array(np.full(n, -1, dtype=np.int64)),
+                         "text": batch.column("text"),
+                         "kind": pa.array(np.zeros(n, dtype=np.int8))})
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).map_batches(
+        doc_rows, batch_format="pyarrow", zero_copy_batch=True)
+    mixed = hits.map_batches(hit_rows, batch_format="pyarrow").union(docs)
+
+    def cut(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                              "span_start": pd.Series(dtype="int64"),
-                              "span_end": pd.Series(dtype="int64"),
-                              "n_windows": pd.Series(dtype="int64")})
+                              "clean_text": pd.Series(dtype="object"),
+                              "n_tokens_kept": pd.Series(dtype="int64"),
+                              "n_tokens_dropped": pd.Series(dtype="int64")})
         if df.empty:
             return empty
-        df = df.sort_values(["doc_id", "pos"], kind="mergesort")
-        doc = df["doc_id"].to_numpy()
-        pos = df["pos"].to_numpy()
-        # windows cover [pos, pos+k-1]; two sorted positions merge when the
-        # later window starts inside-or-adjacent to the earlier's span
-        new = np.ones(len(df), dtype=bool)
-        new[1:] = (doc[1:] != doc[:-1]) | (pos[1:] - pos[:-1] > k)
-        grp = np.cumsum(new) - 1
-        out = pd.DataFrame({"doc_id": doc, "pos": pos, "g": grp})
-        agg = out.groupby("g", sort=True).agg(
-            doc_id=("doc_id", "first"), span_start=("pos", "min"),
-            span_end=("pos", "max"), n_windows=("pos", "size"))
-        agg["span_end"] += k - 1
-        return agg.reset_index(drop=True)[
-            ["doc_id", "span_start", "span_end", "n_windows"]].astype("int64")
+        doc_df = df[df["kind"].to_numpy() == 0]
+        if doc_df.empty:
+            return empty
+        doc_ids = doc_df["doc_id"].to_numpy()
+        text = pa.array(doc_df["text"].to_numpy(), pa.string())
+        trimmed = pc.replace_substring_regex(text, r"^\s+|\s+$", "")
+        toks = pc.split_pattern_regex(trimmed, r"\s+")
+        offsets = toks.offsets.to_numpy()
+        lens = np.diff(offsets)
+        nonempty = pc.utf8_length(trimmed).to_numpy(zero_copy_only=False) > 0
+        lens = np.where(nonempty, lens, 0)  # [''] from empty docs -> 0
+        n_docs = len(doc_ids)
+        row_of = {d: i for i, d in enumerate(doc_ids)}
 
-    return reduce_blocks(hits, ["doc_id"], merge_spans,
-                         batch_format="pandas")
+        hit_df = df[df["kind"].to_numpy() == 1]
+        # difference-array coverage over the flattened token stream:
+        # +1 at each dropped window start, -1 after its end
+        n_flat = int(offsets[-1])
+        diff = np.zeros(n_flat + 1, dtype=np.int64)
+        if not hit_df.empty:
+            rows = hit_df["doc_id"].map(row_of).to_numpy()
+            base = offsets[:-1][rows]
+            start = base + hit_df["pos"].to_numpy() - 1
+            end = np.minimum(start + k, base + lens[rows])
+            np.add.at(diff, start, 1)
+            np.add.at(diff, end, -1)
+        dropped = np.cumsum(diff[:-1]) > 0
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(n_docs), np.diff(offsets))
+        keep = ~dropped
+        # empty docs contribute the [''] pseudo-token: mask it out
+        keep &= nonempty[doc_idx]
+        kept_per_doc = np.zeros(n_docs, dtype=np.int64)
+        if keep.any():
+            np.add.at(kept_per_doc, doc_idx[keep], 1)
+        joined = (pd.Series(flat[keep]).groupby(doc_idx[keep])
+                  .agg(" ".join) if keep.any() else pd.Series(dtype="object"))
+        clean = np.full(n_docs, "", dtype=object)
+        clean[joined.index.to_numpy()] = joined.to_numpy()
+        return pd.DataFrame({"doc_id": doc_ids,
+                             "clean_text": clean,
+                             "n_tokens_kept": kept_per_doc,
+                             "n_tokens_dropped": lens - kept_per_doc})
+
+    return reduce_blocks(mixed, ["doc_id"], cut, batch_format="pandas")

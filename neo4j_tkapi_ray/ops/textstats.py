@@ -332,10 +332,18 @@ def unigram_logprob(sf_dir: str) -> rd.Dataset:
     token_stream = ds.map_batches(token_rows, batch_format="pyarrow",
                                   zero_copy_batch=True)
     # ONE scalar to the driver: the corpus token total — computed from a
-    # SEPARATE cheap count pass, not by consuming token_stream twice (the
-    # double-consume would recompute every per-batch groupby; same lesson
-    # as the round-3 minhash fix)
-    total = token_counts(sf_dir).sum("n_tokens")
+    # SEPARATE cheap count pass (a \S+ run count equals the \s+ split token
+    # count, without building token lists), not by consuming token_stream
+    # twice (the double-consume would recompute every per-batch groupby;
+    # same lesson as the round-3 minhash fix)
+    def count_rows(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch.column("text"),
+                                     r"\S+").cast(pa.int64())
+        return pa.table({"n": n})
+
+    total = (rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+             .map_batches(count_rows, batch_format="pyarrow",
+                          zero_copy_batch=True).sum("n"))
     ln_total = float(np.log(total)) if total else 0.0
 
     from ..exchange import reduce_blocks

@@ -448,3 +448,27 @@ def test_dup_spans_stride_content_anchored(ray_session, tmp_path):
     n0 = out[out.doc_id == 0]["n_windows"].sum()
     n1 = out[out.doc_id == 1]["n_windows"].sum()
     assert n0 == n1 > 0
+
+
+def test_drop_dup_spans_owner_keeps_copy(ray_session, tmp_path):
+    """Removal-mode substring dedup keeps exactly one occurrence: the min
+    doc_id owns each duplicated window; clean_text re-joins kept tokens."""
+    from neo4j_tkapi_ray.ops.dedup import drop_dup_spans
+
+    run = " ".join(f"s{j}" for j in range(10))            # 10 shared tokens
+    rows = [
+        {"doc_id": 0, "text": run + " t0a"},              # owner keeps all
+        {"doc_id": 1, "text": "x1 x2 " + run + " x3"},    # loses the run
+        {"doc_id": 2, "text": "all unique here"},         # untouched
+    ]
+    for r in rows:
+        r.update({"lang": "en", "source": "t", "n_chars": len(r["text"])})
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    out = (drop_dup_spans(str(tmp_path), k=8).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert out.loc[0, "n_tokens_dropped"] == 0
+    assert out.loc[0, "clean_text"] == run + " t0a"
+    assert out.loc[1, "n_tokens_dropped"] == 10
+    assert out.loc[1, "clean_text"] == "x1 x2 x3"
+    assert out.loc[2, "n_tokens_dropped"] == 0
+    assert out.loc[2, "clean_text"] == "all unique here"
