@@ -114,9 +114,12 @@ def snapshot_changes(paths: Union[str, List[str]]) -> rd.Dataset:
 
     def scan(df: "pd.DataFrame") -> "pd.DataFrame":
         if df.empty:
-            return pd.DataFrame({"url": pd.Series(dtype="object"),
-                                 "warc_ts": pd.Series(dtype="datetime64[us]"),
-                                 "changed": pd.Series(dtype="bool")})
+            # derive the empty frame from the INPUT block so warc_ts keeps
+            # the exact timestamp dtype of the data blocks (a hand-built
+            # empty dtype could diverge across partitions)
+            out = df.head(0)[["url", "warc_ts"]].copy()
+            out["changed"] = pd.Series(dtype="bool")
+            return out
         df = df.sort_values(["url", "warc_ts"], kind="mergesort")
         url = df["url"].to_numpy()
         h1 = df["h1"].to_numpy()
