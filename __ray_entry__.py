@@ -435,6 +435,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drop_dup_spans": lambda sf: dedup.drop_dup_spans(sf),  # SQL-checkable
         "unigram_logprob": textstats.unigram_logprob,        # SQL-checkable
         "snapshot_changes": _snapshot_changes,               # SQL-checkable
+        "top_ngrams": lambda sf: sampling.top_ngrams(sf),    # SQL-checkable
+        "event_props_rollup": events.event_props_rollup,     # SQL-checkable
         "ann_lsh_topk": _with_op_expected(
             "ann_lsh_topk", lambda sf: ann.lsh_bucketed_topk(sf, n_queries=5, k=5)),
         "ann_ivf_topk": _with_op_expected(
@@ -1270,6 +1272,49 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
                          - ln((SELECT n FROM tot)), 5) AS avg_logprob
             FROM tf JOIN gt USING (token)
             GROUP BY doc_id
+        """,
+        # corpus bigram table (boilerplate mining): same lowercase/strip/
+        # split kernel as token_doc_freq; bigrams are adjacent positions
+        # within one document (the pos self-join mirrors the engine's
+        # same-doc adjacency mask)
+        "top_ngrams": """
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g')
+                           AS t
+                FROM documents),
+                 toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(t, '\\s+')) AS token,
+                       generate_subscripts(string_split_regex(t, '\\s+'), 1)
+                           AS pos
+                FROM d WHERE t <> ''),
+                 grams AS (
+                SELECT a.token || ' ' || b.token AS ngram
+                FROM toks a JOIN toks b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+                 agg AS (SELECT ngram, COUNT(*) AS n_occ
+                         FROM grams GROUP BY ngram)
+            SELECT * FROM (
+                SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, ngram)
+                            AS BIGINT) AS rank,
+                       ngram, CAST(n_occ AS BIGINT) AS n_occ
+                FROM agg) WHERE rank <= 100
+        """,
+        # sidecar-field extraction + rollup: identical RE2 pattern on both
+        # sides; NULLIF handles the no-match case the way extract_regex's
+        # null does (SUM skips both)
+        "event_props_rollup": """
+            WITH x AS (
+                SELECT event_type,
+                       CAST(NULLIF(regexp_extract(props,
+                                                  '"k":\\s*(\\d+)', 1),
+                                   '') AS BIGINT) AS k
+                FROM events)
+            SELECT event_type, COUNT(*) AS n_events,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
+            FROM x GROUP BY event_type
         """,
         # composed curation verdict: quality + repetition + exact-dup
         # survivorship + decontamination, first failing rule wins (order is

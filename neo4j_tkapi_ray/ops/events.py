@@ -114,3 +114,57 @@ def trailing_window_counts(sf_dir: str, window_minutes: int = 60) -> rd.Dataset:
 
     from ..exchange import reduce_blocks
     return reduce_blocks(ds, ["user_id"], window_block, batch_format="pandas")
+
+
+def event_props_rollup(sf_dir: str) -> rd.Dataset:
+    """Sidecar-metadata extraction + rollup: pull the integer field ``k``
+    out of the JSON-ish ``props`` string column with ONE vectorized RE2
+    kernel pass (``pc.extract_regex``) — the crawl-sidecar / WARC-metadata
+    extraction shape (a production pipeline with full JSON values would
+    swap the regex kernel for an Arrow JSON parser; the plumbing is
+    identical) — then roll up per event_type.
+
+    Output: (event_type, n_events, sum_k, avg_k). The DuckDB oracle uses
+    the same RE2 pattern via regexp_extract, so both sides agree on every
+    input including rows where the field is absent (NULL, skipped by SUM).
+
+    Scale shape: extraction is fused into the partial-combine map_batches
+    (one row per (event_type, batch) crosses the exchange); the final
+    reduce sums partials and derives the average — O(#event_types) output.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..exchange import reduce_blocks
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+    _PAT = r'"k":\s*(?P<k>\d+)'
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "sum_k": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64())})
+        ks = pc.extract_regex(b.column("props").combine_chunks(), _PAT)
+        k = pc.cast(pc.struct_field(ks, "k"), pa.int64())
+        t = pa.table({"event_type": b.column("event_type"), "k": k})
+        g = t.group_by("event_type").aggregate([("k", "sum"),
+                                                ([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "sum_k": g.column("k_sum").cast(pa.int64()),
+                         "n_events": g.column("count_all").cast(pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def final(b: pa.Table) -> pa.Table:
+        g = b.group_by("event_type").aggregate([("sum_k", "sum"),
+                                                ("n_events", "sum")])
+        n = g.column("n_events_sum").cast(pa.int64())
+        s = g.column("sum_k_sum").cast(pa.int64())
+        avg = pc.divide(pc.cast(s, pa.float64()), pc.cast(n, pa.float64()))
+        return pa.table({"event_type": g.column("event_type"),
+                         "n_events": n, "sum_k": s, "avg_k": avg})
+
+    return reduce_blocks(partials, ["event_type"], final)

@@ -390,3 +390,76 @@ def length_quantiles(sf_dir: str, group_col: str = "lang") -> rd.Dataset:
 
     return reduce_blocks(partials, [group_col], final_q,
                          batch_format="pandas")
+
+
+def top_ngrams(sf_dir: str, top_k: int = 100) -> rd.Dataset:
+    """Corpus bigram frequency table — the boilerplate-mining step of web
+    curation (C4 removed boilerplate lines by corpus frequency; the same
+    signal at token-bigram granularity surfaces template phrases).
+
+    Tokenization is the module's shared kernel (lowercase, RE2 ``\\s``
+    strip, split ``\\s+``); bigrams are adjacent token pairs WITHIN a
+    document (never across doc boundaries). Output: the ``top_k`` bigrams
+    by total occurrence count — (rank, ngram, n_occ), rank 1-based, ties
+    broken by ngram asc.
+
+    Scale shape: per-batch partial counts (one Arrow group_by per batch —
+    one row per distinct bigram per batch crosses the wire, never one per
+    occurrence) -> exchange on ngram -> per-partition sum + partial top-k
+    (<= top_k rows leave each partition) -> one tiny merge block. The
+    vocab-sized aggregate exists only sharded across the exchange
+    partitions; the driver/merge side sees <= top_k x P rows no matter the
+    corpus size.
+    """
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    _empty = pa.table({"ngram": pa.array([], pa.string()),
+                       "n_occ": pa.array([], pa.int64())})
+
+    def partial_grams(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _empty
+        doc_idx, flat = _doc_tokens(b)
+        if flat is None or len(flat) < 2:
+            return _empty
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        grams = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1, len(flat) - 1), " ")
+        grams = grams.filter(pa.array(doc_idx[:-1] == doc_idx[1:]))
+        if len(grams) == 0:
+            return _empty
+        g = pa.table({"ngram": grams}).group_by("ngram").aggregate(
+            [([], "count_all")])
+        return pa.table({"ngram": g.column("ngram"),
+                         "n_occ": g.column("count_all").cast(pa.int64())})
+
+    partials = docs.map_batches(partial_grams, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def partition_topk(b: pa.Table) -> pd.DataFrame:
+        if b.num_rows == 0:
+            return pd.DataFrame({"ngram": pd.Series(dtype="object"),
+                                 "n_occ": pd.Series(dtype="int64")})
+        agg = b.group_by("ngram").aggregate([("n_occ", "sum")]).to_pandas()
+        agg = agg.rename(columns={"n_occ_sum": "n_occ"})
+        return (agg.sort_values(["n_occ", "ngram"],
+                                ascending=[False, True], kind="stable")
+                .head(top_k).astype({"n_occ": "int64"}))
+
+    tops = reduce_blocks(partials, ["ngram"], partition_topk)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"rank": pd.Series(dtype="int64"),
+                                 "ngram": pd.Series(dtype="object"),
+                                 "n_occ": pd.Series(dtype="int64")})
+        df = (df.sort_values(["n_occ", "ngram"],
+                             ascending=[False, True], kind="stable")
+              .head(top_k))
+        df = df.assign(rank=np.arange(1, len(df) + 1, dtype=np.int64))
+        return df[["rank", "ngram", "n_occ"]].astype(
+            {"rank": "int64", "n_occ": "int64"})
+
+    # <= top_k x P rows by construction: a single-block merge is safe
+    return tops.repartition(1).map_batches(merge, batch_format="pandas",
+                                           batch_size=None)

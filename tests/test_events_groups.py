@@ -67,3 +67,29 @@ def test_neardup_groups_empty(ray_session, tmp_path):
     from neo4j_tkapi_ray.ops.dedup import neardup_groups
     g = neardup_groups(str(tmp_path), jaccard_threshold=0.9).to_pandas()
     assert len(g) == 0
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_event_props_rollup_matches_scalar(ray_session):
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    from neo4j_tkapi_ray.ops.events import event_props_rollup
+
+    out = event_props_rollup(SF).to_pandas().set_index("event_type")
+    t = _pq.read_table(f"{SF}/events.parquet", columns=["event_type", "props"])
+    expected: dict = {}
+    for et, props in zip(t.column("event_type").to_pylist(),
+                         t.column("props").to_pylist()):
+        k = _json.loads(props).get("k")
+        n, s = expected.get(et, (0, 0))
+        expected[et] = (n + 1, s + (int(k) if k is not None else 0))
+    assert set(out.index) == set(expected)
+    for et, (n, s) in expected.items():
+        row = out.loc[et]
+        assert int(row["n_events"]) == n
+        assert int(row["sum_k"]) == s
+        assert abs(float(row["avg_k"]) - s / n) < 1e-9

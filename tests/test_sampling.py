@@ -188,3 +188,26 @@ def test_curate_docs_rules_and_order(ray_session, tmp_path):
     assert got[5] == "stopword_ratio"       # order: stopword before repetitive
     assert got[6] == "mean_token_len"       # order: mtl before stopword
     assert got[7] == "exact_duplicate"      # loses to doc 1 on min doc_id
+
+
+def test_top_ngrams_counts_and_ranks(ray_session):
+    out = sampling.top_ngrams(SF, top_k=50).to_pandas()
+    assert len(out) == 50
+    assert list(out["rank"]) == list(range(1, 51))
+    # count order is non-increasing; ties are ngram-ascending
+    n = out["n_occ"].to_numpy()
+    assert (n[:-1] >= n[1:]).all()
+    for i in range(len(out) - 1):
+        if n[i] == n[i + 1]:
+            assert out["ngram"].iloc[i] < out["ngram"].iloc[i + 1]
+    # scalar cross-check on the top bigram: count within docs, no
+    # cross-document adjacency
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    top = out["ngram"].iloc[0]
+    a, b = top.split(" ")
+    expected = 0
+    for s in t.column("text").to_pylist():
+        toks = s.lower().split()
+        expected += sum(1 for i in range(len(toks) - 1)
+                        if toks[i] == a and toks[i + 1] == b)
+    assert int(out["n_occ"].iloc[0]) == expected
