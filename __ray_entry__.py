@@ -379,6 +379,33 @@ def _snapshot_changes(sf_dir: str):
     return _epochify(snapshot_changes(c["pages"]))
 
 
+def _graph_edges_ds(sf_dir: str):
+    """Canonical full-graph edge table, stage-cached: the graph-analytics
+    queries consume the SAME edge set kg_graph_edges checks, without
+    re-running extract/link/canonicalize per query."""
+    from neo4j_tkapi_ray.config import EngineConfig
+    from neo4j_tkapi_ray.stages.canonicalize import canonicalize_edges
+    return _stage_cache(
+        sf_dir, "graph_edges",
+        lambda: canonicalize_edges(_full_graph_triples(sf_dir),
+                                   EngineConfig.default()))
+
+
+def _kg_degree_distribution(sf_dir: str):
+    from neo4j_tkapi_ray.ops.graph import degree_distribution
+    return degree_distribution(_graph_edges_ds(sf_dir))
+
+
+def _kg_pagerank(sf_dir: str):
+    from neo4j_tkapi_ray.ops.graph import pagerank
+    return pagerank(_graph_edges_ds(sf_dir), iters=5)
+
+
+def _kg_triangles(sf_dir: str):
+    from neo4j_tkapi_ray.ops.graph import triangle_counts
+    return triangle_counts(_graph_edges_ds(sf_dir))
+
+
 def _media_decode(_sf_dir: str):
     from neo4j_tkapi_ray.ops.multimodal import decode_media, synth_media_dataset
     return decode_media(synth_media_dataset(n=48), decode="real")
@@ -437,6 +464,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_changes": _snapshot_changes,               # SQL-checkable
         "top_ngrams": lambda sf: sampling.top_ngrams(sf),    # SQL-checkable
         "event_props_rollup": events.event_props_rollup,     # SQL-checkable
+        # graph analytics over the constructed KG (round 3; ops/graph.py)
+        "kg_degree_distribution": _kg_degree_distribution,   # SQL-checkable
+        "kg_pagerank": _kg_pagerank,                         # SQL-checkable
+        "kg_triangles": _kg_triangles,                       # SQL-checkable
         "ann_lsh_topk": _with_op_expected(
             "ann_lsh_topk", lambda sf: ann.lsh_bucketed_topk(sf, n_queries=5, k=5)),
         "ann_ivf_topk": _with_op_expected(
@@ -535,6 +566,50 @@ def _registry_edges_sql(corpus_dir: str) -> str:
 def _nested_edges_sql(corpus_dir: str) -> str:
     from neo4j_tkapi_ray.ops.nested import nested_edges_sql
     return nested_edges_sql(corpus_dir)
+
+
+def _graph_edges_select(cd: str) -> str:
+    """Derivational SQL for the full-graph canonical edge table (the D2
+    shuffle over page triples UNION registry + nested-child projections) —
+    shared by the kg_graph_edges oracle and the graph-analytics CTEs."""
+    exp_triples = f"read_parquet('{cd}/expected_triples.parquet')"
+    return f"""
+            SELECT subj, pred, obj, COUNT(*) AS weight, MAX(score) AS score
+            FROM (
+                SELECT subj, pred, obj, score FROM {exp_triples}
+                WHERE pred <> '_FAILED'
+                UNION ALL
+                SELECT subj, pred, obj, 1.0 AS score
+                FROM ({_registry_edges_sql(cd)}
+                      UNION ALL {_nested_edges_sql(cd)})
+            ) GROUP BY subj, pred, obj
+    """
+
+
+def _pagerank_sql(cd: str, iters: int = 5) -> str:
+    """Unrolled fixed-point PageRank (ops/graph.pagerank contract): integer
+    micro-unit ranks, contribution = r // out_degree, damping step
+    150000 + (85 * sum) // 100 — bit-identical to the engine's distributed
+    integer sums by associativity of integer addition."""
+    ctes = [
+        f"g AS ({_graph_edges_select(cd)})",
+        "e AS (SELECT DISTINCT subj AS src, obj AS dst FROM g)",
+        "outd AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src)",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node, SUM(r.r // o.od) AS s "
+            f"FROM e JOIN outd o USING (src) "
+            f"JOIN r{i - 1} r ON r.node = e.src GROUP BY e.dst)")
+        ctes.append(
+            f"r{i} AS (SELECT n.node, "
+            f"CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r "
+            f"FROM nodes n LEFT JOIN c{i} c USING (node))")
+    return ("WITH " + ",\n ".join(ctes)
+            + f" SELECT node AS node_id, r AS rank_micro FROM r{iters}")
 
 
 def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
@@ -825,16 +900,31 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         # relationships + VLOS facts through the same D1/D2 shuffles),
         # re-derived as SQL over expected_triples UNION the registry +
         # nested-child projections
-        "kg_graph_edges": f"""
-            SELECT subj, pred, obj, COUNT(*) AS weight, MAX(score) AS score
-            FROM (
-                SELECT subj, pred, obj, score FROM {exp('expected_triples')}
-                WHERE pred <> '_FAILED'
-                UNION ALL
-                SELECT subj, pred, obj, 1.0 AS score
-                FROM ({_registry_edges_sql(cd)}
-                      UNION ALL {_nested_edges_sql(cd)})
-            ) GROUP BY subj, pred, obj
+        "kg_graph_edges": _graph_edges_select(cd),
+        # graph analytics re-derived over the SAME edge-set SQL (round 3)
+        "kg_degree_distribution": f"""
+            WITH g AS ({_graph_edges_select(cd)}),
+                 x AS (SELECT subj AS node FROM g
+                       UNION ALL SELECT obj FROM g),
+                 d AS (SELECT node, COUNT(*) AS degree FROM x GROUP BY node)
+            SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+            FROM d GROUP BY degree
+        """,
+        "kg_pagerank": _pagerank_sql(cd),
+        "kg_triangles": f"""
+            WITH g AS ({_graph_edges_select(cd)}),
+                 E AS (SELECT DISTINCT LEAST(subj, obj) AS u,
+                              GREATEST(subj, obj) AS v
+                       FROM g WHERE subj <> obj),
+                 t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                       FROM E e1
+                       JOIN E e2 ON e2.u = e1.u AND e2.v > e1.v
+                       JOIN E e3 ON e3.u = e1.v AND e3.v = e2.v),
+                 x AS (SELECT a AS node FROM t
+                       UNION ALL SELECT b FROM t
+                       UNION ALL SELECT c FROM t)
+            SELECT node AS node_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM x GROUP BY node
         """,
         "kg_graph_nodes": f"""
             WITH t AS (SELECT * FROM {exp('expected_triples')}

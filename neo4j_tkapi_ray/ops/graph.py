@@ -1,0 +1,380 @@
+"""Graph analytics over the constructed knowledge graph.
+
+The reference stops at materializing the property graph in Neo4j and runs
+its analyses (voting/interruption rollups) over the *source* facts; any
+whole-graph analytics happen later in Cypher. This module supplies the
+equivalent whole-graph operators as distributed Ray Data pipelines over the
+canonical edge table (`stages/canonicalize.canonicalize_edges` output —
+`(subj, pred, obj, weight, score)`), so a user of the reference who today
+runs `MATCH (n)-[r]-() RETURN n, count(r)` / graph-algo PageRank / triangle
+counting on the loaded Neo4j graph can run the same computations here
+without a graph database.
+
+Every operator is expressed through the engine's one shuffle primitive
+(`exchange.reduce_blocks`: hash-partition by key + per-block vectorized
+reduce) and is oracle-checked against derivational DuckDB SQL over the same
+edge set (see `__ray_entry__.oracle_sql`):
+
+  * ``degree_distribution`` — per-node degree (both endpoints of every
+    distinct (subj, pred, obj) edge row) folded into a degree histogram.
+    Two exchanges, both over already-combined partials.
+  * ``pagerank`` — fixed-point *integer* PageRank: ranks live in micro
+    units (1e6 = 1.0), contributions are ``rank // out_degree`` and the
+    damping step is ``150_000 + (85 * sum) // 100`` — integer arithmetic
+    is associative, so the distributed sum is bit-identical to the SQL
+    oracle regardless of partitioning / summation order (a float PageRank
+    would differ in the last ulp per reduction order and flake any exact
+    value-hash gate). Dangling-node mass is dropped, not redistributed
+    (documented deviation from the textbook formulation; both sides
+    identical). Scale note: total mass is ``n_nodes * 1e6`` micro-units, so
+    a single node's inbound sum stays < 2^63 up to ~1e12 nodes; beyond
+    that, shrink SCALE or move the accumulator to 128-bit.
+  * ``triangle_counts`` — per-node triangle participation over the
+    undirected, self-loop-free, pred-collapsed pair set. Internally uses
+    the degree-ordered orientation (wedges are generated at each edge's
+    lower-degree endpoint) so a hub of degree D generates O(D * d_small)
+    wedges instead of O(D^2) — the standard scale mitigation for skewed
+    web graphs — then closes wedges with one exchange semi-join against
+    the pair set. The orientation changes work placement only, never the
+    result.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..exchange import reduce_blocks
+
+# PageRank fixed-point constants: SCALE = 1.0, BASE = (1 - d) * SCALE with
+# damping d = 0.85. Mirrored literally in the SQL oracle.
+PR_SCALE = 1_000_000
+PR_BASE = 150_000
+
+
+# ---------------------------------------------------------------------------
+# degree distribution
+# ---------------------------------------------------------------------------
+
+_DEG_EMPTY = pa.schema([("node", pa.string()), ("c", pa.int64())])
+_HIST_EMPTY = pa.schema([("degree", pa.int64()), ("n_nodes", pa.int64())])
+
+
+def _endpoint_counts(b: pa.Table) -> pa.Table:
+    """Explode both endpoints and partial-combine within the batch (bounds
+    hot-node fan-in at the exchange, same discipline as canonicalize)."""
+    if b.num_rows == 0:
+        return _DEG_EMPTY.empty_table()
+    nodes = pa.chunked_array([b.column("subj"), b.column("obj")]).combine_chunks()
+    g = pa.table({"node": nodes}).group_by(["node"]).aggregate([("node", "count")])
+    return pa.table({"node": g.column("node"),
+                     "c": g.column("node_count").cast(pa.int64())})
+
+
+def _sum_c_per(key: str, out: str):
+    def fin(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.schema([(key, block.schema.field(key).type
+                               if key in block.column_names else pa.string()),
+                              (out, pa.int64())]).empty_table()
+        g = block.group_by([key]).aggregate([("c", "sum")])
+        return pa.table({key: g.column(key),
+                         out: g.column("c_sum").cast(pa.int64())})
+    return fin
+
+
+def degree_distribution(edges: rd.Dataset) -> rd.Dataset:
+    """(degree, n_nodes) histogram over per-node degree, where degree counts
+    every incident edge-table row (both directions; a self-loop counts 2 —
+    both endpoints — identically on both sides)."""
+    deg = reduce_blocks(edges.map_batches(_endpoint_counts,
+                                          batch_format="pyarrow",
+                                          zero_copy_batch=True),
+                        ["node"], _sum_c_per("node", "degree"))
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([("degree", pa.int64()),
+                              ("c", pa.int64())]).empty_table()
+        g = b.group_by(["degree"]).aggregate([("degree", "count")])
+        return pa.table({"degree": g.column("degree"),
+                         "c": g.column("degree_count").cast(pa.int64())})
+
+    part = deg.map_batches(hist_partial, batch_format="pyarrow")
+    return reduce_blocks(part, ["degree"], _sum_c_per("degree", "n_nodes"))
+
+
+# ---------------------------------------------------------------------------
+# fixed-point PageRank
+# ---------------------------------------------------------------------------
+
+def _distinct_pairs_with_outdeg(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-src block: distinct (src, dst) + per-src out-degree column."""
+    if df.empty:
+        return pd.DataFrame({"src": pd.Series(dtype="object"),
+                             "dst": pd.Series(dtype="object"),
+                             "od": pd.Series(dtype="int64")})
+    d = df.drop_duplicates(["src", "dst"])
+    od = d.groupby("src", sort=False)["dst"].transform("size").astype("int64")
+    return pd.DataFrame({"src": d["src"].to_numpy(),
+                         "dst": d["dst"].to_numpy(), "od": od.to_numpy()})
+
+
+def pagerank(edges: rd.Dataset, iters: int = 5) -> rd.Dataset:
+    """Deterministic fixed-point PageRank over distinct (subj -> obj) pairs.
+
+    Returns (node_id, rank_micro): rank in 1e-6 units, BIGINT on both the
+    engine and oracle side — hash-exact by construction (see module doc).
+    Per iteration: one exchange to co-locate each src's rank with its
+    adjacency rows, one exchange to sum contributions per dst. The
+    adjacency (with out-degree) and the node set are built once and
+    re-streamed every round; ranks are the only evolving table.
+    """
+    raw = edges.map_batches(
+        lambda b: pa.table({"src": b.column("subj"), "dst": b.column("obj")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    adj = reduce_blocks(raw, ["src"], _distinct_pairs_with_outdeg,
+                        batch_format="pandas").materialize()
+
+    def node_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([("node", pa.string()),
+                              ("c", pa.int64())]).empty_table()
+        u = pc.unique(pa.chunked_array([b.column("src"),
+                                        b.column("dst")]).combine_chunks())
+        return pa.table({"node": u,
+                         "c": pa.array(np.zeros(len(u), np.int64))})
+
+    def node_dedup(block: pa.Table) -> pa.Table:
+        u = pc.unique(block.column("node")) if block.num_rows else \
+            pa.array([], pa.string())
+        return pa.table({"node": u,
+                         "c": pa.array(np.zeros(len(u), np.int64))})
+
+    nodes = reduce_blocks(adj.map_batches(node_rows, batch_format="pyarrow"),
+                          ["node"], node_dedup).materialize()
+
+    def init_ranks(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"),
+                         "val": pa.array(np.full(b.num_rows, PR_SCALE,
+                                                 np.int64))})
+
+    ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
+
+    def adj_tagged(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("src"), "dst": b.column("dst"),
+                         "val": b.column("od"),
+                         "is_rank": pa.array(np.zeros(b.num_rows, np.int8))})
+
+    def rank_tagged(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"),
+                         "dst": pa.nulls(b.num_rows, pa.string()),
+                         "val": b.column("val"),
+                         "is_rank": pa.array(np.ones(b.num_rows, np.int8))})
+
+    def contribs(df: pd.DataFrame) -> pd.DataFrame:
+        """Block holds, per src node: its rank row and its adjacency rows.
+        Emit (dst, rank // od) per edge — integer floor division."""
+        if df.empty:
+            return pd.DataFrame({"node": pd.Series(dtype="object"),
+                                 "c": pd.Series(dtype="int64")})
+        e = df[df["is_rank"] == 0]
+        if e.empty:
+            return pd.DataFrame({"node": pd.Series(dtype="object"),
+                                 "c": pd.Series(dtype="int64")})
+        r = df[df["is_rank"] == 1].set_index("node")["val"]
+        rv = r.reindex(e["node"]).to_numpy()  # every src has a rank row
+        c = rv.astype(np.int64) // e["val"].to_numpy().astype(np.int64)
+        return pd.DataFrame({"node": e["dst"].to_numpy(), "c": c})
+
+    def damp_sum(block: pa.Table) -> pa.Table:
+        """Per node: new rank = BASE + (85 * sum(contribs)) // 100. The
+        zero-contribution base row from `nodes` keeps every node present."""
+        if block.num_rows == 0:
+            return pa.schema([("node", pa.string()),
+                              ("val", pa.int64())]).empty_table()
+        g = block.group_by(["node"]).aggregate([("c", "sum")])
+        s = g.column("c_sum").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = PR_BASE + (85 * s) // 100
+        return pa.table({"node": g.column("node"), "val": pa.array(val)})
+
+    for _ in range(iters):
+        mixed = adj.map_batches(adj_tagged, batch_format="pyarrow").union(
+            ranks.map_batches(rank_tagged, batch_format="pyarrow"))
+        contrib = reduce_blocks(mixed, ["node"], contribs,
+                                batch_format="pandas", coalesce_rows=None)
+        ranks = reduce_blocks(contrib.union(nodes), ["node"], damp_sum,
+                              coalesce_rows=None).materialize()
+
+    return ranks.map_batches(
+        lambda b: pa.table({"node_id": b.column("node"),
+                            "rank_micro": b.column("val")}),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (degree-ordered)
+# ---------------------------------------------------------------------------
+
+def _pair_distinct(df: pd.DataFrame) -> pd.DataFrame:
+    if df.empty:
+        return pd.DataFrame({"u": pd.Series(dtype="object"),
+                             "v": pd.Series(dtype="object")})
+    return df.drop_duplicates(["u", "v"]).reset_index(drop=True)
+
+
+def triangle_counts(edges: rd.Dataset) -> rd.Dataset:
+    """(node_id, n_triangles): number of triangles each node participates
+    in, over the undirected self-loop-free pair set (preds collapsed)."""
+    def canon(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.invert(pc.equal(b.column("subj"), b.column("obj"))))
+        if t.num_rows == 0:
+            return pa.schema([("u", pa.string()),
+                              ("v", pa.string())]).empty_table()
+        s, o = t.column("subj"), t.column("obj")
+        lt = pc.less(s, o)
+        return pa.table({"u": pc.if_else(lt, s, o),
+                         "v": pc.if_else(lt, o, s)})
+
+    pairs = reduce_blocks(edges.map_batches(canon, batch_format="pyarrow",
+                                            zero_copy_batch=True),
+                          ["u", "v"], _pair_distinct,
+                          batch_format="pandas").materialize()
+
+    # per-node degree over the distinct pair set
+    deg = reduce_blocks(pairs.map_batches(_endpoint_counts_uv,
+                                          batch_format="pyarrow"),
+                        ["node"], _sum_c_per("node", "deg")).materialize()
+
+    # attach deg(u) then deg(v) via two exchange hops (never the driver)
+    def deg_tag(b: pa.Table) -> pa.Table:
+        return pa.table({"k": b.column("node"),
+                         "other": pa.nulls(b.num_rows, pa.string()),
+                         "du": pa.nulls(b.num_rows, pa.int64()),
+                         "d": b.column("deg"),
+                         "t": pa.array(np.ones(b.num_rows, np.int8))})
+
+    def pair_tag_u(b: pa.Table) -> pa.Table:
+        return pa.table({"k": b.column("u"), "other": b.column("v"),
+                         "du": pa.nulls(b.num_rows, pa.int64()),
+                         "d": pa.nulls(b.num_rows, pa.int64()),
+                         "t": pa.array(np.zeros(b.num_rows, np.int8))})
+
+    def attach_u(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or not (df["t"] == 0).any():
+            return pd.DataFrame({"k": pd.Series(dtype="object"),
+                                 "other": pd.Series(dtype="object"),
+                                 "du": pd.Series(dtype="int64")})
+        p = df[df["t"] == 0]
+        d = df[df["t"] == 1].set_index("k")["d"]
+        return pd.DataFrame({
+            # re-key on v for the second hop
+            "k": p["other"].to_numpy(),
+            "other": p["k"].to_numpy(),
+            "du": d.reindex(p["k"]).to_numpy().astype(np.int64)})
+
+    hop1 = reduce_blocks(
+        pairs.map_batches(pair_tag_u, batch_format="pyarrow").union(
+            deg.map_batches(deg_tag, batch_format="pyarrow")),
+        ["k"], attach_u, batch_format="pandas", coalesce_rows=None)
+
+    def hop1_tag(b: pa.Table) -> pa.Table:
+        return pa.table({"k": b.column("k"), "other": b.column("other"),
+                         "du": b.column("du"),
+                         "d": pa.nulls(b.num_rows, pa.int64()),
+                         "t": pa.array(np.zeros(b.num_rows, np.int8))})
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        """Attach deg(v) and orient each pair from its lower-(deg, id)
+        endpoint: (src, dst) with (deg, id) of src < of dst."""
+        if df.empty or not (df["t"] == 0).any():
+            return pd.DataFrame({"src": pd.Series(dtype="object"),
+                                 "dst": pd.Series(dtype="object")})
+        p = df[df["t"] == 0]
+        d = df[df["t"] == 1].set_index("k")["d"]
+        dv = d.reindex(p["k"]).to_numpy().astype(np.int64)  # k here is v
+        du = p["du"].to_numpy().astype(np.int64)
+        u = p["other"].to_numpy()
+        v = p["k"].to_numpy()
+        # u-first when (du, u) < (dv, v); ids break degree ties
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        return pd.DataFrame({"src": np.where(u_first, u, v),
+                             "dst": np.where(u_first, v, u)})
+
+    oriented = reduce_blocks(
+        hop1.map_batches(hop1_tag, batch_format="pyarrow").union(
+            deg.map_batches(deg_tag, batch_format="pyarrow")),
+        ["k"], orient, batch_format="pandas", coalesce_rows=None)
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        """Per src: all unordered neighbor pairs (x < y by id), plus the
+        apex. Degree orientation bounds the per-node neighbor list."""
+        if df.empty:
+            return pd.DataFrame({"u": pd.Series(dtype="object"),
+                                 "v": pd.Series(dtype="object"),
+                                 "apex": pd.Series(dtype="object")})
+        outs = []
+        for src, g in df.groupby("src", sort=False):
+            nb = np.sort(g["dst"].to_numpy())
+            m = len(nb)
+            if m < 2:
+                continue
+            iu, ju = np.triu_indices(m, 1)
+            outs.append(pd.DataFrame({"u": nb[iu], "v": nb[ju],
+                                      "apex": np.repeat(src, len(iu))}))
+        if not outs:
+            return pd.DataFrame({"u": pd.Series(dtype="object"),
+                                 "v": pd.Series(dtype="object"),
+                                 "apex": pd.Series(dtype="object")})
+        return pd.concat(outs, ignore_index=True)
+
+    wedge = reduce_blocks(oriented, ["src"], wedges, batch_format="pandas",
+                          coalesce_rows=None)
+
+    def wedge_tag(b: pa.Table) -> pa.Table:
+        return pa.table({"u": b.column("u"), "v": b.column("v"),
+                         "apex": b.column("apex"),
+                         "t": pa.array(np.zeros(b.num_rows, np.int8))})
+
+    def pair_tag(b: pa.Table) -> pa.Table:
+        return pa.table({"u": b.column("u"), "v": b.column("v"),
+                         "apex": pa.nulls(b.num_rows, pa.string()),
+                         "t": pa.array(np.ones(b.num_rows, np.int8))})
+
+    def close(df: pd.DataFrame) -> pd.DataFrame:
+        """Exchange semi-join: a wedge (u, v, apex) is a triangle iff the
+        (u, v) pair exists. Emit all three corners per triangle."""
+        if df.empty:
+            return pd.DataFrame({"node": pd.Series(dtype="object"),
+                                 "c": pd.Series(dtype="int64")})
+        closed = df[df["t"] == 1][["u", "v"]].drop_duplicates()
+        w = df[df["t"] == 0].merge(closed, on=["u", "v"], how="inner")
+        if w.empty:
+            return pd.DataFrame({"node": pd.Series(dtype="object"),
+                                 "c": pd.Series(dtype="int64")})
+        corners = pd.concat([w["u"], w["v"], w["apex"]], ignore_index=True)
+        out = corners.value_counts()
+        return pd.DataFrame({"node": out.index.to_numpy(),
+                             "c": out.to_numpy().astype(np.int64)})
+
+    tri = reduce_blocks(
+        wedge.map_batches(wedge_tag, batch_format="pyarrow").union(
+            pairs.map_batches(pair_tag, batch_format="pyarrow")),
+        ["u", "v"], close, batch_format="pandas", coalesce_rows=None)
+
+    return reduce_blocks(tri, ["node"], _sum_c_per("node", "n_triangles")) \
+        .map_batches(lambda b: pa.table({"node_id": b.column("node"),
+                                         "n_triangles": b.column("n_triangles")}),
+                     batch_format="pyarrow")
+
+
+def _endpoint_counts_uv(b: pa.Table) -> pa.Table:
+    if b.num_rows == 0:
+        return _DEG_EMPTY.empty_table()
+    nodes = pa.chunked_array([b.column("u"), b.column("v")]).combine_chunks()
+    g = pa.table({"node": nodes}).group_by(["node"]).aggregate([("node", "count")])
+    return pa.table({"node": g.column("node"),
+                     "c": g.column("node_count").cast(pa.int64())})
