@@ -406,6 +406,21 @@ def _kg_triangles(sf_dir: str):
     return triangle_counts(_graph_edges_ds(sf_dir))
 
 
+def _kg_clustering_coeff(sf_dir: str):
+    from neo4j_tkapi_ray.ops.graph import clustering_coefficient
+    return clustering_coefficient(_graph_edges_ds(sf_dir))
+
+
+def _pii_scrub(sf_dir: str):
+    from neo4j_tkapi_ray.ops.pii import pii_scrub
+    return pii_scrub(sf_dir)
+
+
+def _source_keep_rates(sf_dir: str):
+    from neo4j_tkapi_ray.ops.curation import source_keep_rates
+    return source_keep_rates(sf_dir)
+
+
 def _media_decode(_sf_dir: str):
     from neo4j_tkapi_ray.ops.multimodal import decode_media, synth_media_dataset
     return decode_media(synth_media_dataset(n=48), decode="real")
@@ -468,6 +483,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_distribution": _kg_degree_distribution,   # SQL-checkable
         "kg_pagerank": _kg_pagerank,                         # SQL-checkable
         "kg_triangles": _kg_triangles,                       # SQL-checkable
+        "kg_clustering_coeff": _kg_clustering_coeff,         # SQL-checkable
+        "pii_scrub": _pii_scrub,                             # SQL-checkable
+        "source_keep_rates": _source_keep_rates,             # SQL-checkable
         "ann_lsh_topk": _with_op_expected(
             "ann_lsh_topk", lambda sf: ann.lsh_bucketed_topk(sf, n_queries=5, k=5)),
         "ann_ivf_topk": _with_op_expected(
@@ -610,6 +628,77 @@ def _pagerank_sql(cd: str, iters: int = 5) -> str:
             f"FROM nodes n LEFT JOIN c{i} c USING (node))")
     return ("WITH " + ",\n ".join(ctes)
             + f" SELECT node AS node_id, r AS rank_micro FROM r{iters}")
+
+
+def _pii_oracle_sql() -> str:
+    from neo4j_tkapi_ray.ops.pii import pii_sql
+    return pii_sql()
+
+
+def _curate_sql() -> str:
+    """Derivational SQL for the composed curation verdict (ops/curation
+    contract) — shared by the curate_docs oracle and the per-source
+    rollup CTE."""
+    return """
+            WITH d AS (
+                SELECT doc_id, text,
+                       regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS t
+                FROM documents),
+                 toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(t, '\\s+')) AS token,
+                       generate_subscripts(string_split_regex(t, '\\s+'), 1)
+                           AS pos
+                FROM d WHERE t <> ''),
+                 tf AS (SELECT doc_id, token, COUNT(*) AS c
+                        FROM toks GROUP BY doc_id, token),
+                 agg AS (SELECT doc_id, SUM(c) AS n, MAX(c) AS top,
+                                SUM(length(token) * c) AS ltot,
+                                SUM(CASE WHEN lower(token) IN
+                                    ('the','a','of','to','and','de','het',
+                                     'een','van','en','data','query',
+                                     'table','row') THEN c ELSE 0 END) AS sh
+                         FROM tf GROUP BY doc_id),
+                 bg AS (SELECT a.doc_id, a.token || ' ' || b.token AS bigram
+                        FROM toks a JOIN toks b
+                          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+                 bga AS (SELECT doc_id, COUNT(*) AS total,
+                                COUNT(DISTINCT bigram) AS dist
+                         FROM bg GROUP BY doc_id),
+                 snip AS (
+                SELECT DISTINCT substr(text, 41, 30) AS s FROM documents
+                WHERE doc_id % 97 = 0 AND length(text) >= 70),
+                 scored AS (
+                SELECT d.doc_id,
+                       CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens,
+                       coalesce(a.ltot / CAST(a.n AS DOUBLE), 0) AS mtl,
+                       coalesce(a.sh / CAST(a.n AS DOUBLE), 0) AS sr,
+                       coalesce(a.top / CAST(a.n AS DOUBLE), 0) AS ttr,
+                       coalesce((g.total - g.dist)
+                                / CAST(g.total AS DOUBLE), 0) AS dbr,
+                       d.doc_id <> MIN(d.doc_id)
+                           OVER (PARTITION BY d.text) AS is_dup,
+                       coalesce((SELECT MAX(CASE WHEN contains(d.text, s.s)
+                                            THEN 1 ELSE 0 END)
+                                 FROM snip s), 0) = 1 AS contam
+                FROM d LEFT JOIN agg a USING (doc_id)
+                       LEFT JOIN bga g USING (doc_id))
+            SELECT doc_id, n_tokens,
+                   CAST(CASE WHEN reject_reason = '' THEN 1 ELSE 0 END
+                        AS BIGINT) AS keep,
+                   reject_reason
+            FROM (SELECT doc_id, n_tokens,
+                         CASE WHEN n_tokens < 20 THEN 'too_short'
+                              WHEN NOT (mtl >= 3.0 AND mtl <= 8.0)
+                                  THEN 'mean_token_len'
+                              WHEN NOT (sr >= 0.1 AND sr <= 0.6)
+                                  THEN 'stopword_ratio'
+                              WHEN ttr > 0.2 OR dbr > 0.1 THEN 'repetitive'
+                              WHEN is_dup THEN 'exact_duplicate'
+                              WHEN contam THEN 'contaminated'
+                              ELSE '' END AS reject_reason
+                  FROM scored)
+    """
 
 
 def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
@@ -911,6 +1000,30 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
             FROM d GROUP BY degree
         """,
         "kg_pagerank": _pagerank_sql(cd),
+        "kg_clustering_coeff": f"""
+            WITH g AS ({_graph_edges_select(cd)}),
+                 E AS (SELECT DISTINCT LEAST(subj, obj) AS u,
+                              GREATEST(subj, obj) AS v
+                       FROM g WHERE subj <> obj),
+                 t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                       FROM E e1
+                       JOIN E e2 ON e2.u = e1.u AND e2.v > e1.v
+                       JOIN E e3 ON e3.u = e1.v AND e3.v = e2.v),
+                 x AS (SELECT a AS node FROM t
+                       UNION ALL SELECT b FROM t
+                       UNION ALL SELECT c FROM t),
+                 tc AS (SELECT node, COUNT(*) AS n_tri FROM x GROUP BY node),
+                 d AS (SELECT node, COUNT(*) AS deg FROM
+                       (SELECT u AS node FROM E UNION ALL SELECT v FROM E)
+                       GROUP BY node)
+            SELECT d.node AS node_id, CAST(d.deg AS BIGINT) AS degree,
+                   CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_triangles,
+                   ROUND(CASE WHEN d.deg >= 2
+                              THEN 2.0 * COALESCE(tc.n_tri, 0)
+                                   / (d.deg * (d.deg - 1))
+                              ELSE 0.0 END, 5) AS local_cc
+            FROM d LEFT JOIN tc ON tc.node = d.node
+        """,
         "kg_triangles": f"""
             WITH g AS ({_graph_edges_select(cd)}),
                  E AS (SELECT DISTINCT LEAST(subj, obj) AS u,
@@ -1410,66 +1523,21 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         # survivorship + decontamination, first failing rule wins (order is
         # the ops/curation.RULES contract). Threshold comparisons are on raw
         # doubles on both sides — identical IEEE arithmetic, no rounding.
-        "curate_docs": """
-            WITH d AS (
-                SELECT doc_id, text,
-                       regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS t
-                FROM documents),
-                 toks AS (
-                SELECT doc_id,
-                       unnest(string_split_regex(t, '\\s+')) AS token,
-                       generate_subscripts(string_split_regex(t, '\\s+'), 1)
-                           AS pos
-                FROM d WHERE t <> ''),
-                 tf AS (SELECT doc_id, token, COUNT(*) AS c
-                        FROM toks GROUP BY doc_id, token),
-                 agg AS (SELECT doc_id, SUM(c) AS n, MAX(c) AS top,
-                                SUM(length(token) * c) AS ltot,
-                                SUM(CASE WHEN lower(token) IN
-                                    ('the','a','of','to','and','de','het',
-                                     'een','van','en','data','query',
-                                     'table','row') THEN c ELSE 0 END) AS sh
-                         FROM tf GROUP BY doc_id),
-                 bg AS (SELECT a.doc_id, a.token || ' ' || b.token AS bigram
-                        FROM toks a JOIN toks b
-                          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
-                 bga AS (SELECT doc_id, COUNT(*) AS total,
-                                COUNT(DISTINCT bigram) AS dist
-                         FROM bg GROUP BY doc_id),
-                 snip AS (
-                SELECT DISTINCT substr(text, 41, 30) AS s FROM documents
-                WHERE doc_id % 97 = 0 AND length(text) >= 70),
-                 scored AS (
-                SELECT d.doc_id,
-                       CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens,
-                       coalesce(a.ltot / CAST(a.n AS DOUBLE), 0) AS mtl,
-                       coalesce(a.sh / CAST(a.n AS DOUBLE), 0) AS sr,
-                       coalesce(a.top / CAST(a.n AS DOUBLE), 0) AS ttr,
-                       coalesce((g.total - g.dist)
-                                / CAST(g.total AS DOUBLE), 0) AS dbr,
-                       d.doc_id <> MIN(d.doc_id)
-                           OVER (PARTITION BY d.text) AS is_dup,
-                       coalesce((SELECT MAX(CASE WHEN contains(d.text, s.s)
-                                            THEN 1 ELSE 0 END)
-                                 FROM snip s), 0) = 1 AS contam
-                FROM d LEFT JOIN agg a USING (doc_id)
-                       LEFT JOIN bga g USING (doc_id))
-            SELECT doc_id, n_tokens,
-                   CAST(CASE WHEN reject_reason = '' THEN 1 ELSE 0 END
-                        AS BIGINT) AS keep,
-                   reject_reason
-            FROM (SELECT doc_id, n_tokens,
-                         CASE WHEN n_tokens < 20 THEN 'too_short'
-                              WHEN NOT (mtl >= 3.0 AND mtl <= 8.0)
-                                  THEN 'mean_token_len'
-                              WHEN NOT (sr >= 0.1 AND sr <= 0.6)
-                                  THEN 'stopword_ratio'
-                              WHEN ttr > 0.2 OR dbr > 0.1 THEN 'repetitive'
-                              WHEN is_dup THEN 'exact_duplicate'
-                              WHEN contam THEN 'contaminated'
-                              ELSE '' END AS reject_reason
-                  FROM scored)
+        "curate_docs": _curate_sql(),
+        # per-source curation rollup: the curate verdict joined back to the
+        # (doc_id, source) projection; pct rounded half-away at 2dp on both
+        # sides in the same association (100.0 * k / n)
+        "source_keep_rates": f"""
+            WITH cd AS ({_curate_sql()})
+            SELECT d.source, COUNT(*) AS n_docs,
+                   CAST(SUM(cd.keep) AS BIGINT) AS n_keep,
+                   ROUND(100.0 * SUM(cd.keep) / COUNT(*), 2) AS keep_pct
+            FROM cd JOIN documents d USING (doc_id)
+            GROUP BY d.source
         """,
+        # PII scrub: oracle rendered from the engine's own pattern tuples
+        # (both sides RE2, same order, stepwise counts)
+        "pii_scrub": _pii_oracle_sql(),
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
                        FROM embeddings ORDER BY vec_id LIMIT 5),

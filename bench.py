@@ -225,9 +225,13 @@ def run_scaling() -> dict:
 
     lo, hi = 8, 32
     legs = {lo: [], hi: []}
-    for _ in range(reps):
+    for i in range(reps):
         legs[lo].append(run(lo))
+        print(f"# leg {i} cpus={lo}: {legs[lo][-1]['value']}s",
+              file=sys.stderr, flush=True)
         legs[hi].append(run(hi))
+        print(f"# leg {i} cpus={hi}: {legs[hi][-1]['value']}s",
+              file=sys.stderr, flush=True)
     best_lo = min(legs[lo], key=lambda r: r["value"])
     best_hi = min(legs[hi], key=lambda r: r["value"])
     thr_lo = best_lo["kg_pages"] / best_lo["value"]

@@ -146,3 +146,69 @@ def curate_docs(sf_dir: str, *, min_tokens: int = 20,
             "reject_reason": pa.array(reason, pa.string())})
 
     return reduce_blocks(scored, ["h1", "h2"], verdict)
+
+
+def source_keep_rates(sf_dir: str, **curate_kw) -> rd.Dataset:
+    """Per-source curation rollup: how much of each source survives the
+    composed keep/reject rules — the table a 100-TB run uses to DROP whole
+    domains (a source with a 5% keep rate isn't worth crawling).
+
+    Composition: ``curate_docs`` verdicts exchange-join the (doc_id, source)
+    projection on doc_id (tag + union + key exchange — both sides stream,
+    nothing on the driver), partial (source, n, keep) counts are combined
+    in-block, and one last tiny exchange on source finishes the rollup.
+    Output: ``source, n_docs, n_keep, keep_pct`` (pct rounded half-away at
+    2dp, bit-matching DuckDB ROUND(x, 2)).
+    """
+    verdicts = curate_docs(sf_dir, **curate_kw)
+    src = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "source"])
+
+    def src_tag(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "source": b.column("source"),
+                         "keep": pa.nulls(b.num_rows, pa.int64())})
+
+    def verdict_tag(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "source": pa.nulls(b.num_rows, pa.string()),
+                         "keep": b.column("keep")})
+
+    def join_partial(df: pd.DataFrame) -> pd.DataFrame:
+        """Per doc_id: pair the source row with the verdict row, then
+        partial-combine per source BEFORE the source exchange."""
+        if df.empty:
+            return pd.DataFrame({"source": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "k": pd.Series(dtype="int64")})
+        s = df[df["source"].notna()].set_index("doc_id")["source"]
+        v = df[df["keep"].notna()]
+        joined = pd.DataFrame({"source": s.reindex(v["doc_id"]).to_numpy(),
+                               "keep": v["keep"].to_numpy()})
+        g = joined.groupby("source", sort=False)["keep"]
+        return pd.DataFrame({"source": g.size().index.to_numpy(),
+                             "n": g.size().to_numpy().astype(np.int64),
+                             "k": g.sum().to_numpy().astype(np.int64)})
+
+    partial = reduce_blocks(
+        src.map_batches(src_tag, batch_format="pyarrow").union(
+            verdicts.map_batches(verdict_tag, batch_format="pyarrow")),
+        ["doc_id"], join_partial, batch_format="pandas")
+
+    def finish(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_keep": pa.array([], pa.int64()),
+                             "keep_pct": pa.array([], pa.float64())})
+        g = block.group_by(["source"]).aggregate([("n", "sum"), ("k", "sum")])
+        n = g.column("n_sum").cast(pa.int64()).to_numpy()
+        k = g.column("k_sum").cast(pa.int64()).to_numpy()
+        # half-away at 2dp == DuckDB ROUND(x, 2) for the non-negative pcts
+        pct = np.floor((100.0 * k / n) * 100 + 0.5) / 100
+        return pa.table({"source": g.column("source"),
+                         "n_docs": pa.array(n, pa.int64()),
+                         "n_keep": pa.array(k, pa.int64()),
+                         "keep_pct": pa.array(pct, pa.float64())})
+
+    return reduce_blocks(partial, ["source"], finish)

@@ -226,9 +226,9 @@ def _pair_distinct(df: pd.DataFrame) -> pd.DataFrame:
     return df.drop_duplicates(["u", "v"]).reset_index(drop=True)
 
 
-def triangle_counts(edges: rd.Dataset) -> rd.Dataset:
-    """(node_id, n_triangles): number of triangles each node participates
-    in, over the undirected self-loop-free pair set (preds collapsed)."""
+def undirected_pairs(edges: rd.Dataset) -> rd.Dataset:
+    """Distinct self-loop-free unordered (u < v) pairs, preds collapsed —
+    the graph the triangle/clustering operators run over."""
     def canon(b: pa.Table) -> pa.Table:
         t = b.filter(pc.invert(pc.equal(b.column("subj"), b.column("obj"))))
         if t.num_rows == 0:
@@ -239,10 +239,19 @@ def triangle_counts(edges: rd.Dataset) -> rd.Dataset:
         return pa.table({"u": pc.if_else(lt, s, o),
                          "v": pc.if_else(lt, o, s)})
 
-    pairs = reduce_blocks(edges.map_batches(canon, batch_format="pyarrow",
-                                            zero_copy_batch=True),
-                          ["u", "v"], _pair_distinct,
-                          batch_format="pandas").materialize()
+    return reduce_blocks(edges.map_batches(canon, batch_format="pyarrow",
+                                           zero_copy_batch=True),
+                         ["u", "v"], _pair_distinct, batch_format="pandas")
+
+
+def triangle_counts(edges: rd.Dataset | None = None, *,
+                    pairs: rd.Dataset | None = None) -> rd.Dataset:
+    """(node_id, n_triangles): number of triangles each node participates
+    in, over the undirected self-loop-free pair set (preds collapsed).
+    Pass ``pairs`` (an ``undirected_pairs`` output) to reuse a pair set
+    another operator already built."""
+    pairs = (pairs if pairs is not None
+             else undirected_pairs(edges)).materialize()
 
     # per-node degree over the distinct pair set
     deg = reduce_blocks(pairs.map_batches(_endpoint_counts_uv,
@@ -378,3 +387,52 @@ def _endpoint_counts_uv(b: pa.Table) -> pa.Table:
     g = pa.table({"node": nodes}).group_by(["node"]).aggregate([("node", "count")])
     return pa.table({"node": g.column("node"),
                      "c": g.column("node_count").cast(pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# local clustering coefficient
+# ---------------------------------------------------------------------------
+
+def clustering_coefficient(edges: rd.Dataset) -> rd.Dataset:
+    """(node_id, degree, n_triangles, local_cc) for every node of the
+    undirected pair graph: local_cc = 2*T / (deg*(deg-1)) rounded half-away
+    at 5dp (== DuckDB ROUND(x, 5) on the identically-associated double).
+    Composes ``undirected_pairs`` (built once) + ``triangle_counts`` + the
+    pair-degree table via one exchange join on node."""
+    pairs = undirected_pairs(edges).materialize()
+    tri = triangle_counts(pairs=pairs)
+    deg = reduce_blocks(pairs.map_batches(_endpoint_counts_uv,
+                                          batch_format="pyarrow"),
+                        ["node"], _sum_c_per("node", "deg"))
+
+    def deg_tag(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"), "t": b.column("deg"),
+                         "is_tri": pa.array(np.zeros(b.num_rows, np.int8))})
+
+    def tri_tag(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node_id"),
+                         "t": b.column("n_triangles"),
+                         "is_tri": pa.array(np.ones(b.num_rows, np.int8))})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or not (df["is_tri"] == 0).any():
+            return pd.DataFrame({"node_id": pd.Series(dtype="object"),
+                                 "degree": pd.Series(dtype="int64"),
+                                 "n_triangles": pd.Series(dtype="int64"),
+                                 "local_cc": pd.Series(dtype="float64")})
+        d = df[df["is_tri"] == 0].set_index("node")["t"]
+        t = (df[df["is_tri"] == 1].set_index("node")["t"]
+             .reindex(d.index).fillna(0).astype("int64"))
+        deg_np = d.to_numpy().astype(np.int64)
+        tri_np = t.to_numpy()
+        denom = deg_np * (deg_np - 1)
+        cc = np.where(denom > 0, (2.0 * tri_np) / np.maximum(denom, 1), 0.0)
+        cc5 = np.floor(cc * 1e5 + 0.5) / 1e5
+        return pd.DataFrame({"node_id": d.index.to_numpy(),
+                             "degree": deg_np, "n_triangles": tri_np,
+                             "local_cc": cc5})
+
+    mixed = deg.map_batches(deg_tag, batch_format="pyarrow").union(
+        tri.map_batches(tri_tag, batch_format="pyarrow"))
+    return reduce_blocks(mixed, ["node"], combine, batch_format="pandas",
+                         coalesce_rows=None)

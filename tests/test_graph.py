@@ -10,6 +10,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from neo4j_tkapi_ray.ops.graph import (PR_BASE, PR_SCALE,
+                                       clustering_coefficient,
                                        degree_distribution, pagerank,
                                        triangle_counts)
 
@@ -94,6 +95,26 @@ def test_triangle_counts(ray_session):
     # sanity on the fixture: a-b-c triangle, c-d-f-? square diagonal makes
     # c-d-f and d-e-f triangles, hub h closes with every a..e edge pair
     assert want["d"] >= 2 and want["a"] >= 1
+
+
+def test_clustering_coefficient(ray_session):
+    got = {r["node_id"]: (r["degree"], r["n_triangles"], r["local_cc"])
+           for r in clustering_coefficient(_edges_ds()).take_all()}
+    und = {tuple(sorted((s, o))) for s, _, o in EDGES if s != o}
+    deg = {}
+    for u, v in und:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    tri = _triangles_ref()
+    assert set(got) == set(deg)
+    for n, (d, t, cc) in got.items():
+        assert d == deg[n]
+        assert t == tri.get(n, 0)
+        want = (2.0 * t) / (d * (d - 1)) if d >= 2 else 0.0
+        want = np.floor(want * 1e5 + 0.5) / 1e5
+        assert cc == want
+    # the i-j isolated pair has degree 1, zero triangles, cc 0
+    assert got["i"] == (1, 0, 0.0)
 
 
 def test_pagerank_empty(ray_session):

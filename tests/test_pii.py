@@ -1,0 +1,58 @@
+"""PII scrub: the engine kernel (pyarrow RE2) and the DuckDB oracle
+(also RE2, rendered from the SAME pattern tuples) must agree byte-for-byte
+on planted adversarial PII — the synthetic documents corpus has no PII, so
+this fixture is where the semantics are actually pinned."""
+
+import duckdb
+import pyarrow as pa
+
+from neo4j_tkapi_ray.ops.pii import PII_PATTERNS, pii_sql, scrub_batch
+
+ADVERSARIAL = [
+    "contact me at john.doe+spam@example.co.uk today",
+    "server at 192.168.0.1 and 10.0.0.255.",
+    "call +31 6 1234 5678 now",
+    "mixed a@b.io then 8.8.8.8 then 020 555 123 4567 end",
+    "no pii here at all",
+    "",
+    "999.999.999.999 borderline ip-shaped",
+    "email@sub.domain.example.com. trailing dot",
+    "+1-800-555-0100",
+    "digits 1234567890123 run",
+    "two mails a@x.org b@y.net and ip 1.2.3.4",
+    "@not-an-email and 1.2.3 not an ip",
+]
+
+
+def _duck_scrub():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)",
+                    list(enumerate(ADVERSARIAL)))
+    rows = con.execute(pii_sql() + " ORDER BY doc_id").fetchall()
+    con.close()
+    return rows
+
+
+def test_engine_matches_duckdb_on_planted_pii():
+    clean, n = scrub_batch(pa.array(ADVERSARIAL, pa.string()))
+    got = list(zip(range(len(ADVERSARIAL)), clean.to_pylist(), n.to_pylist()))
+    assert got == _duck_scrub()
+
+
+def test_redactions_happen():
+    clean, n = scrub_batch(pa.array(ADVERSARIAL, pa.string()))
+    c = clean.to_pylist()
+    assert "<EMAIL>" in c[0] and "john.doe" not in c[0]
+    assert c[1].count("<IP>") == 2
+    assert "<PHONE>" in c[2]
+    # order contract: email redacted before phone-shaped digit runs
+    assert c[3].count("<EMAIL>") == 1 and "<IP>" in c[3] and "<PHONE>" in c[3]
+    assert c[4] == ADVERSARIAL[4] and n.to_pylist()[4] == 0
+    assert n.to_pylist()[0] >= 1
+
+
+def test_pattern_table_is_the_single_source():
+    sql = pii_sql()
+    for pat, repl in PII_PATTERNS:
+        assert repl in sql
