@@ -33,7 +33,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-EXPECTED_VERSION = "e3"
+EXPECTED_VERSION = "e4"  # e4: media query surfaces hex-encode binary cols
 
 KG_EXPECTED = ["expected_triples", "expected_triples_embedding",
                "expected_mentions", "expected_docs", "expected_analysis",
@@ -536,12 +536,17 @@ def _media_decode_sp(n=48) -> pd.DataFrame:
 
 
 def _media_resize_sp(n=48, target=16) -> pd.DataFrame:
+    # query surface carries lowercase hex, not raw bytes (driver canon
+    # cannot sort bytearray cells) — mirrors __ray_entry__._media_resize
     from .ops.multimodal import resize_rows, synth_media_rows
     rows = []
     for r in synth_media_rows(n=n):
         rows.extend(resize_rows(r["media_id"], r["kind"], r["payload"], target))
-    df = pd.DataFrame(rows, columns=["media_id", "width", "height", "payload",
-                                     "mean_b", "mean_g", "mean_r", "resized"])
+    for r in rows:
+        r["payload_hex"] = r.pop("payload").hex()
+    df = pd.DataFrame(rows, columns=["media_id", "width", "height",
+                                     "payload_hex", "mean_b", "mean_g",
+                                     "mean_r", "resized"])
     return df.astype({"width": "int32", "height": "int32"})
 
 
@@ -550,7 +555,9 @@ def _media_frames_sp(n=48) -> pd.DataFrame:
     rows = []
     for r in synth_media_rows(n=n):
         rows.extend(frame_sample_rows(r["media_id"], r["kind"], r["payload"]))
-    df = pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_bytes"])
+    for r in rows:
+        r["frame_hex"] = r.pop("frame_bytes").hex()
+    df = pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_hex"])
     return df.astype({"frame_idx": "int32"})
 
 

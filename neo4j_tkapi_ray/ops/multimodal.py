@@ -296,6 +296,25 @@ def frame_sample(ds: rd.Dataset, every_n: int = 2) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=16)
 
 
+def hex_binary_view(ds: rd.Dataset, columns: dict[str, str]) -> rd.Dataset:
+    """Presentation-layer view for query surfaces: replace raw ``binary``
+    columns with lowercase-hex strings (``columns`` maps binary column ->
+    hex column name). Raw bytes stay internal-stage-only; anything exposed
+    to a SQL-comparable query surface must be sortable/hashable (the
+    driver's canonicalizer dies on bytearray cells — CORRECTNESS_r03
+    media_frames/media_resize). Mirrors DuckDB ``lower(to_hex(b))``."""
+    def fn(batch: pa.Table) -> pa.Table:
+        for src, dst in columns.items():
+            idx = batch.schema.get_field_index(src)
+            hexed = pa.array(
+                [None if v is None else v.hex()
+                 for v in batch.column(src).to_pylist()], type=pa.string())
+            batch = batch.set_column(idx, dst, hexed)
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # resize (real nearest-neighbor over the decoded BMP pixel grid)
 # ---------------------------------------------------------------------------

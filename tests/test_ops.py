@@ -337,6 +337,33 @@ def test_media_resize_stage(ray_session):
         assert (w, h) == (8, 8)
 
 
+def test_media_hex_query_surface(ray_session):
+    """Query-facing media views hex-encode binary (driver canon cannot sort
+    bytearray cells — the two red CORRECTNESS_r03 rows). The hex must
+    round-trip to the exact internal bytes and match DuckDB lower(to_hex)."""
+    import duckdb
+    from neo4j_tkapi_ray.ops.multimodal import (
+        frame_sample, hex_binary_view, resize_images, synth_media_dataset)
+    raw = frame_sample(synth_media_dataset(n=24)).to_pandas()
+    view = hex_binary_view(frame_sample(synth_media_dataset(n=24)),
+                           {"frame_bytes": "frame_hex"}).to_pandas()
+    assert list(view.columns) == ["media_id", "frame_idx", "frame_hex"]
+    merged = raw.merge(view, on=["media_id", "frame_idx"])
+    assert len(merged) == len(raw) > 0
+    for _, r in merged.iterrows():
+        assert bytes.fromhex(r.frame_hex) == bytes(r.frame_bytes)
+        got = duckdb.sql(
+            "SELECT lower(to_hex(?::BLOB))", params=[bytes(r.frame_bytes)]
+        ).fetchone()[0]
+        assert got == r.frame_hex
+    rview = hex_binary_view(resize_images(synth_media_dataset(n=12), target=8),
+                            {"payload": "payload_hex"}).to_pandas()
+    assert "payload" not in rview.columns and (rview.payload_hex.str.len() > 0).all()
+    # driver-canon compatibility: raw sort_values over all columns succeeds
+    rview.sort_values(list(rview.columns))
+    view.sort_values(list(view.columns))
+
+
 def test_latest_snapshots(ray_session, tmp_path):
     """CDX-style crawl dedup: per url keep the max warc_ts + count."""
     import pandas as pd

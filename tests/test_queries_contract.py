@@ -34,12 +34,15 @@ def _duck():
 
 def _cell(v):
     """Hashable, representation-stable cell: lists/arrays -> tuples (floats
-    rounded to 6), bytes -> hex."""
+    rounded to 6). Binary cells FAIL the test rather than being masked: the
+    driver's canonicalizer raw-sorts every column and dies on bytearray
+    (DuckDB BLOB) — the round-3 media_frames/media_resize reds were hidden
+    by a pre-hex exactly here. Query surfaces must hex-encode binary."""
     if isinstance(v, (list, tuple, np.ndarray)):
         return tuple(round(float(x), 6) if isinstance(x, (int, float, np.floating))
                      else x for x in v)
-    if isinstance(v, (bytes, bytearray)):
-        return bytes(v).hex()
+    assert not isinstance(v, (bytes, bytearray, memoryview)), \
+        "binary cell on a query surface — driver canon cannot sort this"
     return v
 
 
@@ -62,6 +65,17 @@ def test_entry_smoke(ray_session):
     res = _to_pandas(entrymod.entry())
     assert len(res) > 0
     assert {"subj", "pred", "obj"} <= set(res.columns)
+
+
+def test_sweep_front_rotation():
+    """The driver checks the first ~50 dict entries only; _SWEEP_FRONT pins
+    that window by check-recency. Guard: every front name exists, no dupes,
+    and the window actually leads the dict order."""
+    names = list(entrymod.queries().keys())
+    front = entrymod._SWEEP_FRONT
+    assert len(front) == len(set(front))
+    assert set(front) <= set(names)
+    assert names[:len(front)] == front
 
 
 def test_every_query_has_an_oracle():

@@ -62,8 +62,16 @@ def cell(v):
         return tuple(round(float(x), 6)
                      if isinstance(x, (int, float, np.floating)) else x
                      for x in v)
-    if isinstance(v, (bytes, bytearray)):
-        return bytes(v).hex()
+    # NO bytes masking here: the driver's canonicalizer raw-sorts every
+    # column and dies on bytearray cells (DuckDB BLOB -> bytearray). Round
+    # 3's pre-hex in this sweep hid exactly that failure class
+    # (media_frames/media_resize were 79/79 green locally yet red in
+    # CORRECTNESS_r03). Python `bytes` on the Ray side ARE hashable, so a
+    # silent pass-through would still under-detect — fail loudly instead:
+    # query surfaces must never emit binary cells.
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        raise TypeError("binary cell on a query surface — the driver's "
+                        "canonicalizer cannot sort this; hex-encode it")
     return v
 
 
