@@ -1287,7 +1287,8 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         "decontaminate": """
             WITH snip AS (
                 SELECT DISTINCT substr(text, 41, 30) AS s FROM documents
-                WHERE doc_id % 97 = 0 AND length(text) >= 70)
+                WHERE doc_id % 97 = 0 AND length(text) >= 70
+                ORDER BY s LIMIT 1000)
             SELECT d.doc_id,
                    CAST(coalesce(
                        (SELECT MAX(CASE WHEN contains(d.text, s.s)
