@@ -1062,9 +1062,12 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         "kg_graph_edges": _graph_edges_select(cd),
         # graph analytics re-derived over the SAME edge-set SQL (round 3)
         "kg_degree_distribution": f"""
+            -- self-loop counts ONE incident edge (Cypher (n)-[r]-()
+            -- semantics), hence the obj <> subj mask — mirrors the
+            -- engine's _endpoint_counts
             WITH g AS ({_graph_edges_select(cd)}),
                  x AS (SELECT subj AS node FROM g
-                       UNION ALL SELECT obj FROM g),
+                       UNION ALL SELECT obj FROM g WHERE obj <> subj),
                  d AS (SELECT node, COUNT(*) AS degree FROM x GROUP BY node)
             SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
             FROM d GROUP BY degree

@@ -167,26 +167,35 @@ def source_keep_rates(sf_dir: str, **curate_kw) -> rd.Dataset:
     def src_tag(b: pa.Table) -> pa.Table:
         return pa.table({"doc_id": b.column("doc_id"),
                          "source": b.column("source"),
-                         "keep": pa.nulls(b.num_rows, pa.int64())})
+                         "keep": pa.nulls(b.num_rows, pa.int64()),
+                         "is_src": pa.array(np.ones(b.num_rows, np.int8))})
 
     def verdict_tag(b: pa.Table) -> pa.Table:
         return pa.table({"doc_id": b.column("doc_id"),
                          "source": pa.nulls(b.num_rows, pa.string()),
-                         "keep": b.column("keep")})
+                         "keep": b.column("keep"),
+                         "is_src": pa.array(np.zeros(b.num_rows, np.int8))})
 
     def join_partial(df: pd.DataFrame) -> pd.DataFrame:
         """Per doc_id: pair the source row with the verdict row, then
-        partial-combine per source BEFORE the source exchange."""
+        partial-combine per source BEFORE the source exchange. Sides are
+        told apart by the explicit ``is_src`` tag (NOT ``source.notna()``)
+        and the groupby keeps the NULL-source group (``dropna=False``), so
+        documents with a NULL source roll up into a NULL group exactly
+        like the DuckDB oracle's GROUP BY (ADVICE r3: the pandas default
+        silently dropped them)."""
         if df.empty:
             return pd.DataFrame({"source": pd.Series(dtype="object"),
                                  "n": pd.Series(dtype="int64"),
                                  "k": pd.Series(dtype="int64")})
-        s = df[df["source"].notna()].set_index("doc_id")["source"]
-        v = df[df["keep"].notna()]
+        s = df[df["is_src"] == 1].set_index("doc_id")["source"]
+        v = df[df["is_src"] == 0]
         joined = pd.DataFrame({"source": s.reindex(v["doc_id"]).to_numpy(),
                                "keep": v["keep"].to_numpy()})
-        g = joined.groupby("source", sort=False)["keep"]
-        return pd.DataFrame({"source": g.size().index.to_numpy(),
+        g = joined.groupby("source", sort=False, dropna=False)["keep"]
+        src = np.array([None if isinstance(x, float) and np.isnan(x) else x
+                        for x in g.size().index.to_numpy()], dtype=object)
+        return pd.DataFrame({"source": src,
                              "n": g.size().to_numpy().astype(np.int64),
                              "k": g.sum().to_numpy().astype(np.int64)})
 

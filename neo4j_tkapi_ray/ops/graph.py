@@ -26,9 +26,14 @@ edge set (see `__ray_entry__.oracle_sql`):
     would differ in the last ulp per reduction order and flake any exact
     value-hash gate). Dangling-node mass is dropped, not redistributed
     (documented deviation from the textbook formulation; both sides
-    identical). Scale note: total mass is ``n_nodes * 1e6`` micro-units, so
-    a single node's inbound sum stays < 2^63 up to ~1e12 nodes; beyond
-    that, shrink SCALE or move the accumulator to 128-bit.
+    identical). Scale note: total mass is ``n_nodes * 1e6`` micro-units and
+    the damping step multiplies a node's inbound sum by 85 BEFORE dividing,
+    so the binding bound is ``85 * s < 2^63`` — safe up to ~1e11 nodes
+    (not 1e12; ADVICE r3), and ``damp_sum`` guards the bound explicitly
+    (numpy would wrap silently where the DuckDB oracle raises). Beyond
+    that, shrink SCALE or move the accumulator to 128-bit. Contributions
+    are per-dst partial-combined inside each src block before the damp_sum
+    exchange, bounding a head entity's fan-in at #src-partitions rows.
   * ``triangle_counts`` — per-node triangle participation over the
     undirected, self-loop-free, pred-collapsed pair set. Internally uses
     the degree-ordered orientation (wedges are generated at each edge's
@@ -65,10 +70,16 @@ _HIST_EMPTY = pa.schema([("degree", pa.int64()), ("n_nodes", pa.int64())])
 
 def _endpoint_counts(b: pa.Table) -> pa.Table:
     """Explode both endpoints and partial-combine within the batch (bounds
-    hot-node fan-in at the exchange, same discipline as canonicalize)."""
+    hot-node fan-in at the exchange, same discipline as canonicalize).
+    A self-loop contributes ONE incident edge, matching the Cypher this
+    emulates (`MATCH (n)-[r]-() RETURN n, count(r)` counts an undirected
+    self-loop relationship once — ADVICE r3); the obj endpoint is masked
+    where it equals subj, mirrored in the oracle's `WHERE obj <> subj`."""
     if b.num_rows == 0:
         return _DEG_EMPTY.empty_table()
-    nodes = pa.chunked_array([b.column("subj"), b.column("obj")]).combine_chunks()
+    obj = b.filter(pc.invert(pc.equal(b.column("subj"),
+                                      b.column("obj")))).column("obj")
+    nodes = pa.chunked_array([b.column("subj"), obj]).combine_chunks()
     g = pa.table({"node": nodes}).group_by(["node"]).aggregate([("node", "count")])
     return pa.table({"node": g.column("node"),
                      "c": g.column("node_count").cast(pa.int64())})
@@ -88,8 +99,8 @@ def _sum_c_per(key: str, out: str):
 
 def degree_distribution(edges: rd.Dataset) -> rd.Dataset:
     """(degree, n_nodes) histogram over per-node degree, where degree counts
-    every incident edge-table row (both directions; a self-loop counts 2 —
-    both endpoints — identically on both sides)."""
+    every incident edge-table row (both directions; a self-loop counts 1,
+    the Neo4j `MATCH (n)-[r]-()` semantics — identically on both sides)."""
     deg = reduce_blocks(edges.map_batches(_endpoint_counts,
                                           batch_format="pyarrow",
                                           zero_copy_batch=True),
@@ -177,7 +188,12 @@ def pagerank(edges: rd.Dataset, iters: int = 5) -> rd.Dataset:
 
     def contribs(df: pd.DataFrame) -> pd.DataFrame:
         """Block holds, per src node: its rank row and its adjacency rows.
-        Emit (dst, rank // od) per edge — integer floor division."""
+        Emit (dst, rank // od) per edge — integer floor division — then
+        partial-combine per dst WITHIN the block (ADVICE r3): a head entity
+        with in-degree D would otherwise funnel D raw rows into one
+        partition of the damp_sum exchange; pre-summing here bounds its
+        fan-in at the number of src partitions. Integer addition is
+        associative, so the final sum is unchanged."""
         if df.empty:
             return pd.DataFrame({"node": pd.Series(dtype="object"),
                                  "c": pd.Series(dtype="int64")})
@@ -188,16 +204,25 @@ def pagerank(edges: rd.Dataset, iters: int = 5) -> rd.Dataset:
         r = df[df["is_rank"] == 1].set_index("node")["val"]
         rv = r.reindex(e["node"]).to_numpy()  # every src has a rank row
         c = rv.astype(np.int64) // e["val"].to_numpy().astype(np.int64)
-        return pd.DataFrame({"node": e["dst"].to_numpy(), "c": c})
+        out = pd.DataFrame({"node": e["dst"].to_numpy(), "c": c})
+        return out.groupby("node", sort=False, as_index=False)["c"].sum()
 
     def damp_sum(block: pa.Table) -> pa.Table:
         """Per node: new rank = BASE + (85 * sum(contribs)) // 100. The
-        zero-contribution base row from `nodes` keeps every node present."""
+        zero-contribution base row from `nodes` keeps every node present.
+        The 85x multiply is the binding int64 bound (~1e11 nodes, see
+        module doc); numpy would WRAP silently past it while the DuckDB
+        oracle raises — guard loudly so engine and oracle can never
+        diverge silently (ADVICE r3)."""
         if block.num_rows == 0:
             return pa.schema([("node", pa.string()),
                               ("val", pa.int64())]).empty_table()
         g = block.group_by(["node"]).aggregate([("c", "sum")])
         s = g.column("c_sum").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if len(s) and int(s.max()) > (2**63 - 1) // 85:
+            raise OverflowError(
+                "pagerank inbound mass would overflow int64 under the 85x "
+                "damping multiply — shrink PR_SCALE or move to 128-bit")
         val = PR_BASE + (85 * s) // 100
         return pa.table({"node": g.column("node"), "val": pa.array(val)})
 

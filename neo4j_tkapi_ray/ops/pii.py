@@ -25,11 +25,16 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-# (pattern, replacement) — order is the contract
+# (pattern, replacement) — order is the contract.
+# Phone: 7-15 total digits with AT MOST ONE space/paren/dash between
+# consecutive digits, ending on a word boundary (ADVICE r3: the earlier
+# unbounded `\+?\d[\d\s()-]{7,}\d` swallowed year lists / table cells /
+# long IDs into a single <PHONE> token — destructive over-redaction for a
+# training-data scrub). 7-15 mirrors E.164's max-15-digit rule.
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    (r"\+?\d[\d\s()-]{7,}\d", "<PHONE>"),
+    (r"\+?\d(?:[\s()-]?\d){6,14}\b", "<PHONE>"),
 )
 
 

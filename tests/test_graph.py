@@ -42,11 +42,15 @@ def _edges_ds():
 def test_degree_distribution(ray_session):
     got = {r["degree"]: r["n_nodes"]
            for r in degree_distribution(_edges_ds()).take_all()}
-    # per-node incident edge-row count (self-loop counts 2)
+    # per-node incident edge-row count; a self-loop counts ONCE — the
+    # Cypher (n)-[r]-() semantics the operator emulates (ADVICE r3: g's
+    # degree is 1, not 2)
     deg = {}
     for s, _, o in EDGES:
         deg[s] = deg.get(s, 0) + 1
-        deg[o] = deg.get(o, 0) + 1
+        if o != s:
+            deg[o] = deg.get(o, 0) + 1
+    assert deg["g"] == 1  # the self-loop node pins the semantics
     want = {}
     for d in deg.values():
         want[d] = want.get(d, 0) + 1

@@ -21,6 +21,12 @@ ADVERSARIAL = [
     "digits 1234567890123 run",
     "two mails a@x.org b@y.net and ip 1.2.3.4",
     "@not-an-email and 1.2.3 not an ip",
+    # ADVICE r3 over-redaction probes for the bounded phone pattern
+    "years 2020 2021 2022 follow",             # 12 digits, single seps
+    "2020  2021 double-space is NOT one run",  # two+ seps break the run
+    "id 12345678901234567890 too many digits",
+    "short 123456 run",                        # 6 digits: below minimum
+    "tel (020) 555-1234 ok",
 ]
 
 
@@ -50,6 +56,14 @@ def test_redactions_happen():
     assert c[3].count("<EMAIL>") == 1 and "<IP>" in c[3] and "<PHONE>" in c[3]
     assert c[4] == ADVERSARIAL[4] and n.to_pylist()[4] == 0
     assert n.to_pylist()[0] >= 1
+    # bounded phone pattern (ADVICE r3): double separators break a run
+    # (the old unbounded pattern swallowed the whole cell list); a long ID
+    # redacts at most a 15-digit (E.164-max) window instead of the entire
+    # run; 6 digits is below the minimum; real formatted numbers still hit
+    assert c[13] == ADVERSARIAL[13]              # "2020  2021 ..." untouched
+    assert c[14] == "id 12345<PHONE> too many digits"
+    assert c[15] == ADVERSARIAL[15]              # 6-digit run untouched
+    assert "<PHONE>" in c[16]
 
 
 def test_pattern_table_is_the_single_source():

@@ -211,6 +211,36 @@ def test_curate_docs_rules_and_order(ray_session, tmp_path):
     assert got[7] == "exact_duplicate"      # loses to doc 1 on min doc_id
 
 
+def test_source_keep_rates_keeps_null_source_group(ray_session, tmp_path):
+    """ADVICE r3: a NULL source must roll up into a NULL group exactly like
+    DuckDB's GROUP BY d.source — the pandas groupby default silently
+    dropped those documents."""
+    import duckdb
+    import pandas as pd
+    from neo4j_tkapi_ray.ops.curation import source_keep_rates
+
+    good = ("the quick spark pipeline reads a parquet file and emits arrow "
+            "batches of rows while the driver tracks to shuffle en metadata "
+            "van blocks")
+    rows = [
+        {"doc_id": 1, "text": good, "source": "a"},
+        {"doc_id": 2, "text": "tiny", "source": "a"},
+        {"doc_id": 3, "text": good + " extra tail of words", "source": None},
+        {"doc_id": 4, "text": "tiny", "source": None},
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    out = (source_keep_rates(str(tmp_path), snippet_stride=1000).to_pandas()
+           .sort_values("source", na_position="last").reset_index(drop=True))
+    assert len(out) == 2 and out.loc[1, "source"] is None
+    assert out.loc[1, "n_docs"] == 2 and out.loc[1, "n_keep"] == 1
+    # DuckDB parity on the NULL group's aggregates
+    want = duckdb.sql(
+        f"""SELECT source, COUNT(*) AS n_docs
+            FROM read_parquet('{tmp_path}/documents.parquet')
+            GROUP BY source ORDER BY source NULLS LAST""").df()
+    assert list(out.n_docs) == list(want.n_docs)
+
+
 def test_top_ngrams_counts_and_ranks(ray_session):
     out = sampling.top_ngrams(SF, top_k=50).to_pandas()
     assert len(out) == 50
