@@ -472,29 +472,64 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 5,
     req_factor = jaccard_threshold / (1.0 + jaccard_threshold)
 
     def pairs_of_group(df: pd.DataFrame) -> pd.DataFrame:
-        """Pair expansion WITH the PPJoin positional filter: for docs A, B
-        sharing this prefix shingle at positions i, j, the overlap is at
-        most min(i, j) + min(|A|-i, |B|-j); the pair survives only if that
-        bound reaches ceil(t/(1+t) * (|A|+|B|)) — the minimum overlap any
+        """Pair expansion WITH the PPJoin length + positional filters.
+
+        Length-ratio filter (VERDICT r3 item 6, the documented PPJoin
+        companion filter): Jaccard >= t forces t*|B| <= |A| for |A| <= |B|.
+        On buckets past a size cutoff, docs are sorted by (size, doc_id)
+        and each doc pairs only with the CONTIGUOUS run of docs whose
+        size <= size/t — out-of-window pairs are never generated, vs a triu
+        over the whole bucket (O(m^2) index materialization on hot template
+        buckets); tiny buckets keep the plain triu, which is cheaper than
+        the sort+window machinery there. Output is bit-identical either
+        way: the positional bound below subsumes the length filter
+        (ub <= min(|A|,|B|) < t*|B| <= req when the ratio fails), so the
+        window only skips pairs the positional mask rejected anyway.
+
+        Positional filter: for docs A, B sharing this prefix shingle at
+        rarest-first positions i, j, the overlap is at most
+        min(i, j) + min(|A|-i, |B|-j); the pair survives only if that bound
+        reaches ceil(t/(1+t) * (|A|+|B|)) — the minimum overlap any
         Jaccard>=t pair must have. Conservative (a true pair's bound always
         covers its real overlap), vectorized per group."""
         empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
                               "b": pd.Series([], dtype="int64")})
-        d = df.drop_duplicates("doc_id").sort_values("doc_id")
+        d = df.drop_duplicates("doc_id")
         m = len(d)
         if m < 2:
             return empty
+        size = d["size"].to_numpy().astype(np.int64)
         ids = d["doc_id"].to_numpy()
         pos = d["pos"].to_numpy().astype(np.int64)
-        size = d["size"].to_numpy().astype(np.int64)
-        iu, ju = np.triu_indices(m, 1)
+        if m <= 64:
+            # small bucket: plain triu is cheaper than the sort+window
+            # machinery (measured: most buckets are tiny once rarest-first
+            # prefixes keep boilerplate shingles out)
+            iu, ju = np.triu_indices(m, 1)
+        else:
+            # hot bucket: size-windowed generation — sort by (size, id),
+            # pair each doc only with the contiguous run whose size fits
+            # the ratio, so out-of-window pairs are never materialized
+            # (O(sum window) instead of O(m^2) on template buckets)
+            o = np.lexsort((ids, size))
+            ids, size, pos = ids[o], size[o], pos[o]
+            hi = np.searchsorted(size, size / jaccard_threshold + 1e-9,
+                                 side="right")
+            cnt = np.maximum(hi - np.arange(m) - 1, 0)
+            total = int(cnt.sum())
+            if total == 0:
+                return empty
+            iu = np.repeat(np.arange(m), cnt)
+            starts = np.cumsum(cnt) - cnt
+            ju = np.arange(total) - starts[iu] + iu + 1
         ub = (np.minimum(pos[iu], pos[ju])
               + np.minimum(size[iu] - pos[iu], size[ju] - pos[ju]))
         req = req_factor * (size[iu] + size[ju]) - 1e-9
         keep = ub >= req
         if not keep.any():
             return empty
-        return pd.DataFrame({"a": ids[iu[keep]], "b": ids[ju[keep]]})
+        x, y = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame({"a": np.minimum(x, y), "b": np.maximum(x, y)})
 
     cand = grouped_apply(banded, ["band", "bucket"], pairs_of_group,
                          colliding_only=True)

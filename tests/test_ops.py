@@ -101,6 +101,40 @@ def test_ngram_jaccard_exact_no_false_negatives(ray_session, dup_dir):
     assert any(b == 3 for (_, b) in got)  # planted near-dup found
 
 
+def test_ngram_jaccard_hot_bucket_window_branch(ray_session, tmp_path):
+    """A >64-doc template bucket drives the size-windowed pair-generation
+    branch (the PPJoin length-ratio filter, VERDICT r3 item 6); output must
+    still equal brute force exactly — including pairs whose sizes differ
+    too much to ever reach the threshold."""
+    from neo4j_tkapi_ray.ops.dedup import _char_shingles, ngram_jaccard_pairs
+
+    base = ("the streaming executor schedules map batches across the "
+            "cluster while arrow blocks flow through the object store "
+            "under backpressure and partition manifests record progress ")
+    rows = []
+    for i in range(90):
+        # near-copies with one varying token -> one hot prefix bucket;
+        # every 10th doc gets a long unique tail -> size-ratio prunable
+        text = base + f"variant token {i % 7} "
+        if i % 10 == 0:
+            text += " ".join(f"uniquefiller{i}x{j}" for j in range(120))
+        rows.append({"doc_id": i, "text": text, "lang": "en",
+                     "source": "t", "n_chars": len(text)})
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet",
+                                  row_group_size=20)
+    pairs = ngram_jaccard_pairs(str(tmp_path), jaccard_threshold=0.8).to_pandas()
+    got = {(a, b): j for a, b, j in zip(pairs.a, pairs.b, pairs.jaccard)}
+    sh = {r["doc_id"]: _char_shingles(r["text"]) for r in rows}
+    expected = {}
+    for i in range(90):
+        for j in range(i + 1, 90):
+            u = len(sh[i] | sh[j])
+            jac = len(sh[i] & sh[j]) / u if u else 0.0
+            if jac >= 0.8:
+                expected[(i, j)] = round(jac, 4)
+    assert got == expected and len(expected) > 100
+
+
 def test_simhash(ray_session, dup_dir):
     from neo4j_tkapi_ray.ops.dedup import simhash_neardup_pairs, simhash_signatures
     sigs = simhash_signatures(dup_dir).to_pandas()
