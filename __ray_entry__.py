@@ -465,8 +465,15 @@ _SWEEP_FRONT = [
     "kg_pagerank",               # per-dst partial combine (ADVICE r3)
     "kg_degree_distribution",    # self-loop semantics documented/changed
     "decontaminate",             # snippet derivation bounded (VERDICT r3)
-    "kg_mentions",               # oracle re-derived as SQL (VERDICT r3)
-    "kg_analysis_rows",          # oracle re-derived as SQL (VERDICT r3)
+    # kg_mentions / kg_analysis_rows stay expected-table oracles after a
+    # round-4 feasibility pass (VERDICT r3 item 5): their score columns are
+    # continuous outputs of the weighted fuzzy scorer (5-6 distinct values
+    # per match tier at sf0.001 — time proximity + ratio dampening), so a
+    # SQL oracle would have to transplant the whole J3/J4 scorer into a
+    # third language, duplicating rather than independently checking it.
+    # They ride the window for a fresh driver row on the unchanged paths.
+    "kg_mentions",
+    "kg_analysis_rows",
     # group 2 — r02-green, missed r03's window
     "kg_interruption_types",
     "kg_interruption_topics",

@@ -105,6 +105,16 @@ class RayExecConfig:
     canonical_salt_buckets: int = 16      # head-entity skew fan-out (SURVEY §4 skew)
     target_max_block_size: int = 64 * 1024 * 1024
     min_rows_per_output_file: int = 100_000
+    # Sharded speaker gazetteer (0/1 = off, the default broadcast path).
+    # >1 enables the opt-in scale path for registries too big to broadcast
+    # (SCALING.md §"Map stages": at 10M persons the surname gazetteer +
+    # trigram index is ~10 GB): the person gazetteer is sharded by surname
+    # hash, distinct speaker surfaces are routed through shard-keyed
+    # exchanges (stages/shard_link.py), and the link stage runs with the
+    # resolved-surface table instead of the gazetteer. Execution-strategy
+    # knob only — results are bit-identical (oracle-parity test), so it is
+    # deliberately NOT part of fingerprint().
+    gazetteer_shards: int = 0
 
 
 @dataclass

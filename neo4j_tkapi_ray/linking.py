@@ -69,7 +69,7 @@ class RegistryIndex:
     broadcast via the Ray object store at pipeline build time.
     """
 
-    def __init__(self, tables: Dict[str, list]):
+    def __init__(self, tables: Dict[str, list], build_gazetteer: bool = True):
         import numpy as np
 
         # ------- memory/broadcast design (round 2) ------------------------
@@ -114,8 +114,16 @@ class RegistryIndex:
         # trigram inverted index over surnames: the contains-fallback
         # (api_extractor.py:157-163 `contains(tolower(Achternaam))`) becomes
         # posting-list intersection + substring verify instead of a scan
-        # over every unique surname — O(candidates) at gazetteer scale
+        # over every unique surname — O(candidates) at gazetteer scale.
+        # ``build_gazetteer=False`` (sharded-gazetteer finish stage,
+        # stages/shard_link.py) skips the bucket map + trigram postings —
+        # the speaker cascade is pre-resolved there, so this index never
+        # serves surname lookups and the broadcast drops the gazetteer
+        # weight (persons_list stays: actor rosters are activity-keyed).
         self._surname_trigrams: Dict[str, set] = {}
+        if not build_gazetteer:
+            self.persons_by_achternaam = {}
+            self._unique_surnames = []
         for s in self._unique_surnames:
             for i in range(max(1, len(s) - 2)):
                 self._surname_trigrams.setdefault(s[i:i + 3], set()).add(s)
@@ -396,12 +404,18 @@ def precompute_candidate_invariants(index: RegistryIndex, cfg: EngineConfig) -> 
 class Linker:
     """Stateful scorer: compiled topic regex + registry index + config."""
 
-    def __init__(self, index: RegistryIndex, cfg: EngineConfig):
+    def __init__(self, index: RegistryIndex, cfg: EngineConfig,
+                 speaker_overrides: Optional[Dict[tuple, tuple]] = None):
         self.idx = index
         self.cfg = cfg
         self._prefix_re = build_prefix_regex(cfg.matching.common_topic_prefixes)
         self._norm_cache: Dict[str, str] = {}
-        self._speaker_cache: Dict[tuple, tuple] = {}
+        # speaker_overrides (sharded-gazetteer path): the global speaker
+        # cascade is a pure function of the surface name and is memoized in
+        # _speaker_cache — the sharded resolver precomputes EVERY surface
+        # and seals the cache, so a miss is a pipeline bug, not a fallback.
+        self._speaker_cache: Dict[tuple, tuple] = dict(speaker_overrides or {})
+        self._speaker_sealed = speaker_overrides is not None
         self._actor_cache: Dict[tuple, tuple] = {}
         self._name_score_cache: Dict[tuple, int] = {}
         self._soort_cache: Dict[tuple, float] = {}
@@ -662,6 +676,10 @@ class Linker:
         hit = self._speaker_cache.get(ckey)
         if hit is not None:
             return hit
+        if self._speaker_sealed:
+            raise RuntimeError(
+                f"sharded gazetteer: unresolved speaker surface {ckey!r} — "
+                "the surface-collection pass must cover every speaker")
         result = self._match_speaker_uncached(voornaam, achternaam)
         if len(self._speaker_cache) < 500_000:
             self._speaker_cache[ckey] = result

@@ -64,11 +64,40 @@ def kg_triples_stream(pages_paths, registry, cfg: Optional[EngineConfig] = None,
                       lang: str = "nl") -> rd.Dataset:
     """Fused lazy pipeline: pages -> triples (failed rows tagged _FAILED).
     Uses the fused link+emit actor (stages/link.py LinkEmitActor) — one
-    actor-pool hop from parsed docs straight to triple rows."""
+    actor-pool hop from parsed docs straight to triple rows.
+
+    ``cfg.ray.gazetteer_shards > 1`` switches the speaker gazetteer to the
+    sharded opt-in path (stages/shard_link.py): an extra extract pass
+    collects distinct speaker surfaces, shard-keyed exchanges resolve them
+    against 1/n-sized gazetteer shards, and the link stage runs with the
+    resolved-surface table instead of the broadcast gazetteer. Results are
+    bit-identical (oracle-parity test); the trade is one more pass over
+    the pages — the price a registry too big to broadcast pays."""
     cfg = cfg or EngineConfig.default()
     pages = read_pages(pages_paths, lang=lang)
     docs = extract_docs(pages, cfg)
+    if cfg.ray.gazetteer_shards > 1:
+        return _link_emit_sharded(pages_paths, docs, registry, cfg, lang)
     return link_emit_docs(docs, _registry_ref(registry, cfg), cfg)
+
+
+def _link_emit_sharded(pages_paths, docs: rd.Dataset, registry,
+                       cfg: EngineConfig, lang: str) -> rd.Dataset:
+    from ..linking import RegistryIndex, precompute_candidate_invariants
+    from ..stages.shard_link import speaker_overrides_via_shards
+    if isinstance(registry, str):
+        registry = read_registry_tables(registry)
+    if not isinstance(registry, dict):
+        raise TypeError("sharded gazetteer needs the registry tables dict "
+                        "or a registry dir (the shard split happens here)")
+    overrides = speaker_overrides_via_shards(docs, registry["persons"], cfg)
+    # the finish index skips the surname gazetteer entirely — that is the
+    # broadcast-weight win; the resolution table stands in for it
+    index = RegistryIndex(registry, build_gazetteer=False)
+    precompute_candidate_invariants(index, cfg)
+    docs2 = extract_docs(read_pages(pages_paths, lang=lang), cfg)
+    return link_emit_docs(docs2, ray.put(index), cfg,
+                          speaker_overrides=overrides)
 
 
 def _list_page_files(pages_path: str) -> List[str]:

@@ -22,16 +22,21 @@ from ..linking import Linker, RegistryIndex, link_doc
 
 
 class LinkerActor:
-    def __init__(self, registry, cfg: EngineConfig):
+    def __init__(self, registry, cfg: EngineConfig, speaker_overrides=None):
         # registry: ObjectRef of a PREBUILT RegistryIndex (preferred — the
         # driver builds and precomputes once, actors just deserialize), an
-        # ObjectRef of the tables dict, a parquet dir, or the tables dict
+        # ObjectRef of the tables dict, a parquet dir, or the tables dict.
+        # speaker_overrides: ObjectRef/dict of the sharded-gazetteer
+        # resolution table (stages/shard_link.py) — preloads and SEALS the
+        # Linker's speaker memo.
         import os as _os
         import time as _time
         trace_dir = _os.environ.get("NTR_ACTOR_TRACE_DIR")
         t0 = _time.time() if trace_dir else 0.0
         if isinstance(registry, ray.ObjectRef):
             registry = ray.get(registry)
+        if isinstance(speaker_overrides, ray.ObjectRef):
+            speaker_overrides = ray.get(speaker_overrides)
         if trace_dir:
             with open(_os.path.join(trace_dir, f"init-{_os.getpid()}.log"), "a") as f:
                 f.write(f"{t0:.3f} {_time.time():.3f} get\n")
@@ -41,7 +46,7 @@ class LinkerActor:
             index = RegistryIndex.from_parquet_dir(registry)
         else:
             index = RegistryIndex(registry)
-        self.linker = Linker(index, cfg)
+        self.linker = Linker(index, cfg, speaker_overrides=speaker_overrides)
         if trace_dir:
             with open(_os.path.join(trace_dir, f"init-{_os.getpid()}.log"), "a") as f:
                 f.write(f"{t0:.3f} {_time.time():.3f} init_done\n")
@@ -106,15 +111,18 @@ class LinkEmitActor(LinkerActor):
 
 
 def link_emit_docs(docs: rd.Dataset, registry, cfg: EngineConfig,
-                   concurrency=None) -> rd.Dataset:
+                   concurrency=None, speaker_overrides=None) -> rd.Dataset:
     """Fused extract-output -> triples actor-pool stage (see LinkEmitActor)."""
     if isinstance(registry, dict):
         registry = ray.put(registry)
+    if isinstance(speaker_overrides, dict):
+        speaker_overrides = ray.put(speaker_overrides)
     if concurrency is None:
         concurrency = _auto_concurrency(cfg)
     return docs.map_batches(
         LinkEmitActor,
-        fn_constructor_kwargs={"registry": registry, "cfg": cfg},
+        fn_constructor_kwargs={"registry": registry, "cfg": cfg,
+                               "speaker_overrides": speaker_overrides},
         batch_format="pyarrow",
         batch_size=cfg.ray.link_batch_size,
         concurrency=concurrency,

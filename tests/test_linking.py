@@ -229,3 +229,59 @@ def test_zaak_document_fallback():
     # toevoeging-less dossier document
     eid, kind, score, mt, doc_id = linker.match_zaak("36999", "7")
     assert (eid, kind, doc_id) == ("d3", "dossier", "docB")
+
+
+def test_sharded_gazetteer_merge_equals_full_cascade():
+    """Sharded speaker resolution (stages/shard_link.py) must reproduce the
+    full-index global cascade bit-for-bit: exact-bucket [:20] cap +
+    first-of-equals scan, contains-fallback person_id-order cap, threshold
+    gate — swept over a surname-dense synthetic registry with misspelled,
+    substring-token, tie-scored, sub-threshold and unknown probes, at
+    several shard counts."""
+    import itertools
+    from neo4j_tkapi_ray.stages.shard_link import (
+        GazetteerShard, merge_surface, shard_partial_rows,
+        split_person_shards)
+    import pandas as pd
+
+    cfg = EngineConfig.default()
+    surnames = ["berg", "van der berg", "bergsma", "den berg", "bergh",
+                "jansen", "janssen", "de jong", "jong", "vries", "de vries",
+                "bakker", "bakkers", "visser", "smit", "smits"]
+    persons = []
+    for i, (sn, v) in enumerate(itertools.product(surnames, "abc")):
+        persons.append({"person_id": f"p{i:03d}",
+                        "voornamen": f"{v.upper()}name {v}x",
+                        "roepnaam": f"{v.upper()}roep",
+                        "tussenvoegsel": "", "achternaam": sn.title(),
+                        "fractie_id": "f1"})
+    # a 25-person bucket exercises the exact-tier [:20] cap
+    for i in range(25):
+        persons.append({"person_id": f"q{i:03d}", "voornamen": "Piet Jan",
+                        "roepnaam": "Piet", "tussenvoegsel": "",
+                        "achternaam": "Hotbucket", "fractie_id": "f1"})
+    tables = {"persons": persons, "parties": [], "sessions": [],
+              "activities": [], "cases": [], "dossiers": [],
+              "activity_cases": []}
+    full = Linker(RegistryIndex(tables), EngineConfig.default())
+
+    probes = [("Aroep", "Berg"), ("Broep", "berg"), ("Croep", "Bergg"),
+              ("Aname", "van der Berg"), ("", "berg"), ("Piet", "Hotbucket"),
+              ("Pieter", "Hotbucket"), ("X", "jong"), ("Y", "de Jong"),
+              ("Z", "vries"), ("A", "bakker"), ("B", "bakkerss"),
+              ("C", "nosuchname"), ("D", "visserig"), ("E", "smit"),
+              ("F", " Smits "), ("G", "s")]
+    for n_shards in (2, 4, 7):
+        shards = [GazetteerShard(p) for p in
+                  split_person_shards(persons, n_shards)]
+        for vn, an in probes:
+            want = full.match_speaker(vn, an)
+            rows = []
+            for sid, sh in enumerate(shards):
+                rows.extend(shard_partial_rows(sh, sid, n_shards, vn, an, cfg))
+            if rows:
+                pid, score, mt = merge_surface(pd.DataFrame(rows), cfg)
+            else:
+                pid, score, mt = None, 0, "NO_MATCH"
+            got = (pid, score, mt)
+            assert got == want, (vn, an, n_shards, got, want)
