@@ -474,6 +474,7 @@ _SWEEP_FRONT = [
     # They ride the window for a fresh driver row on the unchanged paths.
     "kg_mentions",
     "kg_analysis_rows",
+    "neardup_drop_docs",         # NEW in round 4 — never driver-checked
     # group 2 — r02-green, missed r03's window
     "kg_interruption_types",
     "kg_interruption_topics",
@@ -534,6 +535,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 sf, pairs=_stage_cache(
                     sf, "minhash_pairs",
                     lambda: dedup.minhash_lsh_pairs(sf)))),
+        # near-dup REMOVAL (round 4): one representative per component,
+        # verdict for every doc; oracle = LEFT JOIN against the union-find
+        # expected groups (ensured via the neardup_groups registration)
+        "neardup_drop_docs": _with_op_expected(
+            "neardup_groups", lambda sf: dedup.drop_neardup_docs(
+                sf, groups=dedup.neardup_groups(
+                    sf, pairs=_stage_cache(
+                        sf, "minhash_pairs",
+                        lambda: dedup.minhash_lsh_pairs(sf))))),
         "simhash_signatures": _with_op_expected(
             "simhash_signatures", dedup.simhash_signatures),
         "language_id": _with_op_expected("language_id", textstats.language_id),
@@ -1183,6 +1193,17 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
     }
 
     ops = {name: op(name) for name in _OP_EXPECTED_NAMES}
+    # near-dup removal: derivational SQL over the union-find expected
+    # groups (an independent algorithm from the engine's label propagation)
+    ops["neardup_drop_docs"] = f"""
+        SELECT d.doc_id,
+               CAST(coalesce(g.group_id, -1) AS BIGINT) AS group_id,
+               CAST(CASE WHEN g.group_id IS NULL OR g.group_id = d.doc_id
+                         THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM documents d
+        LEFT JOIN read_parquet('{od}/neardup_groups.parquet') g
+          USING (doc_id)
+    """
 
     return {
         **kg,

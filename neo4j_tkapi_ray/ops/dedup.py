@@ -653,6 +653,57 @@ def neardup_groups(sf_dir: str, jaccard_threshold: float = 0.7,
         batch_format="pyarrow")
 
 
+def drop_neardup_docs(sf_dir: str, groups: rd.Dataset | None = None,
+                      pairs: rd.Dataset | None = None) -> rd.Dataset:
+    """Near-dup document REMOVAL — the consumer of ``neardup_groups`` a
+    100-TB curation run actually ships: every connected component keeps
+    exactly one representative (the min doc_id = the component's group_id)
+    and drops the rest; documents with no near-dup pass through.
+
+    Shape: the (small) group table and the document-id projection meet on
+    ONE doc_id exchange (tag + union); the per-block verdict is a
+    vectorized null/equality check. The text column never moves — a real
+    run would semi-join the verdict back onto the full rows the same way
+    ``drop_dup_spans`` re-joins cleaned text.
+
+    Output: (doc_id, group_id, kept) for EVERY document — group_id = -1
+    for docs outside any near-dup component; kept = 1 iff the doc survives.
+    """
+    if groups is None:
+        groups = neardup_groups(sf_dir, pairs=pairs)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def doc_tag(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b.column("doc_id"), pa.int64())
+        return pa.table({"doc_id": ids,
+                         "group_id": pa.array(np.full(b.num_rows, -1,
+                                                      np.int64)),
+                         "is_doc": pa.array(np.ones(b.num_rows, np.int8))})
+
+    def group_tag(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "group_id": b.column("group_id"),
+                         "is_doc": pa.array(np.zeros(b.num_rows, np.int8))})
+
+    def verdict(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "group_id": pd.Series(dtype="int64"),
+                                 "kept": pd.Series(dtype="int64")})
+        d = df[df["is_doc"] == 1]
+        g = df[df["is_doc"] == 0].set_index("doc_id")["group_id"]
+        gid = g.reindex(d["doc_id"]).fillna(-1).astype("int64").to_numpy()
+        ids = d["doc_id"].to_numpy()
+        kept = ((gid == -1) | (gid == ids)).astype(np.int64)
+        return pd.DataFrame({"doc_id": ids, "group_id": gid, "kept": kept})
+
+    return reduce_blocks(
+        docs.map_batches(doc_tag, batch_format="pyarrow").union(
+            groups.map_batches(group_tag, batch_format="pyarrow")),
+        ["doc_id"], verdict, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

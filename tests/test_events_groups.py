@@ -60,6 +60,32 @@ def test_neardup_groups_connected_components(ray_session, tmp_path):
     assert groups[4] == groups[5] == 4
 
 
+def test_drop_neardup_docs_keeps_one_representative(ray_session, tmp_path):
+    """Near-dup removal: each component keeps exactly its min-doc_id
+    representative; singletons pass through with group_id -1."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    v1 = base.replace("delta", "DELTA")
+    other = "totally different words about ray data pipelines and shuffles again"
+    rows = [
+        {"doc_id": 0, "text": base, "lang": "en", "source": "t", "n_chars": 1},
+        {"doc_id": 1, "text": v1, "lang": "en", "source": "t", "n_chars": 1},
+        {"doc_id": 2, "text": other, "lang": "en", "source": "t", "n_chars": 1},
+        {"doc_id": 3, "text": other, "lang": "en", "source": "t", "n_chars": 1},
+        {"doc_id": 4, "text": "a lone unique document about nothing shared",
+         "lang": "en", "source": "t", "n_chars": 1},
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    from neo4j_tkapi_ray.ops.dedup import drop_neardup_docs, neardup_groups
+    out = drop_neardup_docs(
+        str(tmp_path),
+        groups=neardup_groups(str(tmp_path), jaccard_threshold=0.6)
+    ).to_pandas().set_index("doc_id").sort_index()
+    assert len(out) == 5
+    assert list(out["kept"]) == [1, 0, 1, 0, 1]
+    assert list(out["group_id"]) == [0, 0, 2, 2, -1]
+
+
 def test_neardup_groups_empty(ray_session, tmp_path):
     rows = [{"doc_id": i, "text": f"totally unique text number {i} " * 3,
              "lang": "en", "source": "t", "n_chars": 1} for i in range(5)]
