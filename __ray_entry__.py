@@ -411,6 +411,11 @@ def _kg_clustering_coeff(sf_dir: str):
     return clustering_coefficient(_graph_edges_ds(sf_dir))
 
 
+def _kg_wcc(sf_dir: str):
+    from neo4j_tkapi_ray.ops.graph import connected_components
+    return connected_components(_graph_edges_ds(sf_dir))
+
+
 def _pii_scrub(sf_dir: str):
     from neo4j_tkapi_ray.ops.pii import pii_scrub
     return pii_scrub(sf_dir)
@@ -475,6 +480,7 @@ _SWEEP_FRONT = [
     "kg_mentions",
     "kg_analysis_rows",
     "neardup_drop_docs",         # NEW in round 4 — never driver-checked
+    "kg_wcc",                    # NEW in round 4 — never driver-checked
     # group 2 — r02-green, missed r03's window
     "kg_interruption_types",
     "kg_interruption_topics",
@@ -566,6 +572,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _kg_pagerank,                         # SQL-checkable
         "kg_triangles": _kg_triangles,                       # SQL-checkable
         "kg_clustering_coeff": _kg_clustering_coeff,         # SQL-checkable
+        # GDS wcc over the constructed KG (round 4): distributed min-label
+        # propagation vs a UNION-FIND expected table (independent algorithm)
+        "kg_wcc": _with_op_expected("kg_wcc", _kg_wcc),
         "pii_scrub": _pii_scrub,                             # SQL-checkable
         "source_keep_rates": _source_keep_rates,             # SQL-checkable
         "ann_lsh_topk": _with_op_expected(

@@ -561,6 +561,40 @@ def _media_frames_sp(n=48) -> pd.DataFrame:
     return df.astype({"frame_idx": "int32"})
 
 
+def _kg_wcc_sp(sf_dir: str) -> pd.DataFrame:
+    """Union-find connected components over the SAME full-graph edge set
+    the engine's label propagation runs on — a genuinely different
+    algorithm (the neardup_groups pattern). The edge set comes from the
+    canonical derivational SQL (__ray_entry__._graph_edges_select) so both
+    sides agree on the graph by construction."""
+    import duckdb
+
+    import __ray_entry__ as entry
+    cd = entry._corpus_dir(sf_dir)
+    sql = entry._graph_edges_select(cd)
+    pairs = duckdb.sql(
+        f"SELECT DISTINCT subj, obj FROM ({sql})").fetchall()
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by smaller id so the root IS the component min
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [{"node_id": n, "component_id": find(n)} for n in parent]
+    return pd.DataFrame(rows, columns=["node_id", "component_id"])
+
+
 _OP_EXPECTED = {
     "minhash_neardup": lambda sf: _minhash_pairs_sp(sf),
     "ngram_jaccard": lambda sf: _ngram_jaccard_sp(sf),
@@ -574,6 +608,7 @@ _OP_EXPECTED = {
     "media_decode": lambda sf: _media_decode_sp(),
     "media_frames": lambda sf: _media_frames_sp(),
     "media_resize": lambda sf: _media_resize_sp(),
+    "kg_wcc": lambda sf: _kg_wcc_sp(sf),
 }
 
 

@@ -415,6 +415,106 @@ def _endpoint_counts_uv(b: pa.Table) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# weakly connected components
+# ---------------------------------------------------------------------------
+
+_CC_EMPTY = pa.schema([("node", pa.string()), ("peer", pa.string())])
+
+
+def connected_components(edges: rd.Dataset, max_rounds: int = 25) -> rd.Dataset:
+    """(node_id, component_id) over the undirected pred-collapsed graph —
+    the GDS ``wcc`` a reference user runs on the loaded Neo4j graph.
+    component_id = lexicographically smallest node id of the component.
+
+    Same distributed min-label propagation as ``ops/dedup.neardup_groups``
+    (two exchanges per round, convergence flag computed in-stream, driver
+    reads ONE int per round), generalized to string node ids. The
+    adjacency dedups (node, peer) within each batch before materializing —
+    parallel preds between the same endpoints add no propagation traffic.
+    """
+    def explode(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _CC_EMPTY.empty_table()
+        t = pa.table({
+            "node": pa.chunked_array([b.column("subj"),
+                                      b.column("obj")]).combine_chunks(),
+            "peer": pa.chunked_array([b.column("obj"),
+                                      b.column("subj")]).combine_chunks()})
+        return t.group_by(["node", "peer"]).aggregate([]).select(
+            ["node", "peer"])
+
+    adj = edges.map_batches(explode, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    if adj.count() == 0:
+        return rd.from_arrow(pa.table({"node_id": pa.array([], pa.string()),
+                                       "component_id": pa.array([], pa.string())}))
+
+    def as_label_row(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"),
+                         "peer": pa.nulls(b.num_rows, pa.string()),
+                         "label": b.column("label")})
+
+    def as_edge_row(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"), "peer": b.column("peer"),
+                         "label": pa.nulls(b.num_rows, pa.string())})
+
+    def propose(df: pd.DataFrame) -> pd.DataFrame:
+        """Per node in this block: min(label rows, own id) is its current
+        label; emit one proposal per incident edge + an is_old keep row."""
+        if df.empty:
+            return pd.DataFrame({"node": pd.Series(dtype="object"),
+                                 "label": pd.Series(dtype="object"),
+                                 "is_old": pd.Series(dtype="int8")})
+        edges_df = df[df["peer"].notna()]
+        lab = df[df["peer"].isna()].groupby("node")["label"].min()
+        nodes = pd.Index(edges_df["node"].unique())
+        lab = lab.reindex(nodes.union(lab.index))
+        own = pd.Series(lab.index.to_numpy(), index=lab.index, dtype="object")
+        lab = lab.fillna(own)
+        my_label = lab.reindex(edges_df["node"]).to_numpy()
+        out = pd.DataFrame({"node": edges_df["peer"].to_numpy(),
+                            "label": my_label,
+                            "is_old": np.zeros(len(edges_df), dtype=np.int8)})
+        keep = pd.DataFrame({"node": lab.index.to_numpy(),
+                             "label": lab.to_numpy(),
+                             "is_old": np.ones(len(lab), dtype=np.int8)})
+        return pd.concat([out, keep], ignore_index=True)
+
+    def min_with_convergence(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"node": pd.Series(dtype="object"),
+                                 "label": pd.Series(dtype="object"),
+                                 "changed": pd.Series(dtype="int64")})
+        g = df.groupby("node", sort=False)
+        new = g["label"].min()
+        old = df[df["is_old"] == 1].groupby("node", sort=False)["label"].min()
+        changed = (old.reindex(new.index) != new).astype("int64")
+        return pd.DataFrame({"node": new.index.to_numpy(),
+                             "label": new.to_numpy(),
+                             "changed": changed.to_numpy()})
+
+    labels = None
+    for _ in range(max_rounds):
+        mixed = adj.map_batches(as_edge_row, batch_format="pyarrow")
+        if labels is not None:
+            mixed = labels.map_batches(as_label_row,
+                                       batch_format="pyarrow").union(mixed)
+        proposals = reduce_blocks(mixed, ["node"], propose,
+                                  batch_format="pandas", coalesce_rows=None)
+        labels = reduce_blocks(proposals, ["node"], min_with_convergence,
+                               batch_format="pandas",
+                               coalesce_rows=None).materialize()
+        if int(labels.sum("changed") or 0) == 0:
+            break
+        labels = labels.drop_columns(["changed"])
+
+    return labels.map_batches(
+        lambda b: pa.table({"node_id": b.column("node"),
+                            "component_id": b.column("label")}),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # local clustering coefficient
 # ---------------------------------------------------------------------------
 

@@ -121,6 +121,34 @@ def test_clustering_coefficient(ray_session):
     assert got["i"] == (1, 0, 0.0)
 
 
+def test_connected_components(ray_session):
+    """WCC over the adversarial graph: the hub ties the triangle+square
+    block together; the self-loop node is its own component; the isolated
+    pair is another. component_id = lexicographic min node id."""
+    from neo4j_tkapi_ray.ops.graph import connected_components
+    got = {r["node_id"]: r["component_id"]
+           for r in connected_components(_edges_ds()).take_all()}
+    # reference union-find
+    parent = {}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for s, _, o in EDGES:
+        parent.setdefault(s, s)
+        parent.setdefault(o, o)
+        ra, rb = find(s), find(o)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    want = {n: find(n) for n in parent}
+    assert got == want
+    assert got["g"] == "g" and got["i"] == got["j"] == "i"
+    assert got["h"] == got["a"] == "a"
+
+
 def test_pagerank_empty(ray_session):
     empty = rd.from_arrow(pa.schema(
         [("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
