@@ -1,10 +1,12 @@
 """Driver-simulation correctness sweep: run EVERY queries() entry at a
 given sf against its oracle_sql(), comparing rows + schema + values the way
 the driver's gate does. Usage:
-    python tools/sweep.py [sf_dir] [--cold]
+    python tools/sweep.py [sf_dir] [--cold] [--window N]
 --cold wipes the /tmp corpus/stage/expected caches first, so corpus
 generation, expected-table builds and stage materialization all run from
-scratch (the driver's worst case)."""
+scratch (the driver's worst case). --window N sweeps only the FIRST N dict
+entries — the driver's observed budget is 50, so `--window 50` previews
+exactly the rows CORRECTNESS_r{N} will record."""
 import glob
 import json
 import shutil
@@ -16,6 +18,8 @@ sys.path.insert(0, "/root/repo")
 SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
     else "/root/testdata/sf0.01"
 COLD = "--cold" in sys.argv
+WINDOW = (int(sys.argv[sys.argv.index("--window") + 1])
+          if "--window" in sys.argv else None)
 TAG = SF.rstrip("/").split("/")[-1]
 
 if COLD:
@@ -84,6 +88,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 qs = entrymod.queries()
+if WINDOW:
+    qs = dict(list(qs.items())[:WINDOW])
 sqls = entrymod.oracle_sql(SF)
 results, t_all = {}, time.time()
 for name, q in qs.items():
