@@ -827,15 +827,22 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
     def op(name: str) -> str:
         return f"SELECT * FROM read_parquet('{od}/{name}.parquet')"
 
+    from neo4j_tkapi_ray.derived_sql import analysis_sql, mentions_sql
+
     kg = {
         # expected-table pass-throughs (ground truth owned by the corpus
-        # generator's single-process oracle run)
+        # generator's single-process oracle run): the extract/link fuzzy
+        # cascade and the byte-level text collapse have no faithful SQL
+        # re-expression, so these three stay generator-owned
         "kg_triples": f"SELECT * FROM {exp('expected_triples')}",
         "kg_triples_embedding":
             f"SELECT * FROM {exp('expected_triples_embedding')}",
-        "kg_mentions": f"SELECT * FROM {exp('expected_mentions')}",
         "kg_docs_text": f"SELECT * FROM {exp('expected_docs')}",
-        "kg_analysis_rows": f"SELECT * FROM {exp('expected_analysis')}",
+        # derivational oracles: parse/emit structure re-derived in SQL from
+        # the RAW pages + registry parquets, link-side values joined from
+        # ground truth via ranked multiset joins (derived_sql.py docstring)
+        "kg_mentions": mentions_sql(cd),
+        "kg_analysis_rows": analysis_sql(cd),
         # CDX-style crawl dedup: latest snapshot + count per url, derived
         # straight from the raw pages parquet (all langs, no filters)
         "kg_latest_snapshot": f"""
