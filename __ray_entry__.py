@@ -470,17 +470,17 @@ _SWEEP_FRONT = [
     "kg_pagerank",               # per-dst partial combine (ADVICE r3)
     "kg_degree_distribution",    # self-loop semantics documented/changed
     "decontaminate",             # snippet derivation bounded (VERDICT r3)
-    # kg_mentions / kg_analysis_rows stay expected-table oracles after a
-    # round-4 feasibility pass (VERDICT r3 item 5): their score columns are
-    # continuous outputs of the weighted fuzzy scorer (5-6 distinct values
-    # per match tier at sf0.001 — time proximity + ratio dampening), so a
-    # SQL oracle would have to transplant the whole J3/J4 scorer into a
-    # third language, duplicating rather than independently checking it.
-    # They ride the window for a fresh driver row on the unchanged paths.
+    # kg_mentions / kg_analysis_rows oracles became DERIVATIONAL SQL this
+    # round (derived_sql.py: parse/emit structure from raw pages+registry,
+    # link-side values via ranked multiset joins) — oracle changed, so they
+    # ride the window
     "kg_mentions",
     "kg_analysis_rows",
     "neardup_drop_docs",         # NEW in round 4 — never driver-checked
     "kg_wcc",                    # NEW in round 4 — never driver-checked
+    "pack_sequences",            # NEW in round 4 — never driver-checked
+    "pack_stats",                # NEW in round 4 — never driver-checked
+    "embedding_kmeans",          # NEW in round 4 — never driver-checked
     # group 2 — r02-green, missed r03's window
     "kg_interruption_types",
     "kg_interruption_topics",
@@ -515,15 +515,15 @@ _SWEEP_FRONT = [
     "kg_graph_nodes",
     "kg_docs_text",
     "minhash_neardup",
-    "neardup_groups",
-    "curate_docs",
-    "media_decode",
+    # (neardup_groups / curate_docs / media_decode rotate to the tail this
+    # round — r03-green on code unchanged since — to keep the window at 50
+    # with the three new ops in it)
 ]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from neo4j_tkapi_ray.ops import (ann, dedup, events, joins, relational,
-                                     sampling, textstats)
+    from neo4j_tkapi_ray.ops import (ann, clustering, dedup, events, joins,
+                                     packing, relational, sampling, textstats)
     all_q = {
         "kg_triples": _kg_triples,
         # --- ops with single-process expected-table oracles
@@ -567,6 +567,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_changes": _snapshot_changes,               # SQL-checkable
         "top_ngrams": lambda sf: sampling.top_ngrams(sf),    # SQL-checkable
         "event_props_rollup": events.event_props_rollup,     # SQL-checkable
+        # sequence packing + deterministic k-means (round 4; ops/packing.py,
+        # ops/clustering.py)
+        "pack_sequences": packing.pack_sequences,            # SQL-checkable
+        "pack_stats": packing.pack_stats,                    # SQL-checkable
+        "embedding_kmeans": clustering.embedding_kmeans,     # SQL-checkable
         # graph analytics over the constructed KG (round 3; ops/graph.py)
         "kg_degree_distribution": _kg_degree_distribution,   # SQL-checkable
         "kg_pagerank": _kg_pagerank,                         # SQL-checkable
@@ -729,6 +734,17 @@ def _pagerank_sql(cd: str, iters: int = 5) -> str:
 def _pii_oracle_sql() -> str:
     from neo4j_tkapi_ray.ops.pii import pii_sql
     return pii_sql()
+
+
+def _pack_sql(sf_dir: str, which: str) -> str:
+    from neo4j_tkapi_ray.ops.packing import pack_sequences_sql, pack_stats_sql
+    return (pack_sequences_sql(sf_dir) if which == "pack_sequences"
+            else pack_stats_sql(sf_dir))
+
+
+def _kmeans_sql(sf_dir: str) -> str:
+    from neo4j_tkapi_ray.ops.clustering import embedding_kmeans_sql
+    return embedding_kmeans_sql(sf_dir)
 
 
 def _curate_sql() -> str:
@@ -1637,6 +1653,12 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
                    CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
             FROM x GROUP BY event_type
         """,
+        # sequence packing: the same greedy shard-local fold as a recursive
+        # CTE (depth bounded by the shard size); deterministic k-means: the
+        # unrolled integer Lloyd's (ops/clustering contract)
+        "pack_sequences": _pack_sql(sf_dir, "pack_sequences"),
+        "pack_stats": _pack_sql(sf_dir, "pack_stats"),
+        "embedding_kmeans": _kmeans_sql(sf_dir),
         # composed curation verdict: quality + repetition + exact-dup
         # survivorship + decontamination, first failing rule wins (order is
         # the ops/curation.RULES contract). Threshold comparisons are on raw

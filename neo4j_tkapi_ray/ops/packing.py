@@ -1,0 +1,163 @@
+"""Sequence packing: greedy token-budget packing of documents into
+context-window packs, shard-local.
+
+The LLM-training preprocessing step this models: concatenate documents
+into fixed-size context windows ("sequence packing") so training batches
+carry minimal padding. At 100 TB a GLOBAL greedy pack is a sequential fold
+over the whole corpus — unshardable by construction — so real pipelines
+pack within a shard (a file / row-group range) and never across shards.
+That is the semantics here: shards are fixed doc_id ranges
+(``doc_id // shard_docs``), so shard assignment is computable at the scan
+with no global pass, every shard packs independently (embarrassingly
+parallel), and adding new shards never repacks old ones (resumable).
+
+Greedy fold per shard, docs in doc_id order: a doc whose tokens no longer
+fit the remaining window budget starts a new pack; a doc longer than the
+window occupies a pack of its own. Token counts are the whitespace
+tokenization shared with ops/textstats.token_counts (same RE2 class both
+engine- and oracle-side).
+
+Scale shape: one tokenize map (Arrow kernels, zero-copy) + one exchange by
+shard_id; the per-shard fold is O(shard_docs) Python over a bounded group
+(64 docs default) — the fold IS the semantics (a non-associative reset
+scan), and bounding it to a shard is what makes it distributable at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..exchange import grouped_apply
+from .textstats import _WS, ws_strip
+
+DEFAULT_WINDOW = 1024
+DEFAULT_SHARD_DOCS = 64
+
+_EMPTY = {"doc_id": "int64", "shard_id": "int64", "pack_id": "int64",
+          "n_tokens": "int64"}
+
+
+def _tokenized(sf_dir: str, shard_docs: int) -> rd.Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        trimmed = ws_strip(batch.column("text"))
+        toks = pc.split_pattern_regex(trimmed, _WS)
+        n_tokens = pc.list_value_length(toks).cast(pa.int64())
+        n_tokens = pc.if_else(pc.equal(pc.utf8_length(trimmed), 0),
+                              pa.scalar(0, pa.int64()), n_tokens)
+        doc_id = batch.column("doc_id")
+        shard = pc.divide(doc_id, pa.scalar(shard_docs, pa.int64()))
+        return pa.table({"doc_id": doc_id,
+                         "shard_id": shard.cast(pa.int64()),
+                         "n_tokens": n_tokens})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pack_sequences(sf_dir: str, window: int = DEFAULT_WINDOW,
+                   shard_docs: int = DEFAULT_SHARD_DOCS) -> rd.Dataset:
+    """(doc_id, shard_id, pack_id, n_tokens): greedy shard-local packing.
+
+    ``pack_id`` is 0-based within the shard; ``(shard_id, pack_id)`` is the
+    global pack key.
+    """
+    def pack_shard(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in _EMPTY.items()})
+        df = df.sort_values("doc_id", kind="stable")
+        toks = df["n_tokens"].to_numpy()
+        packs = np.zeros(len(toks), dtype=np.int64)
+        fill, pack = 0, 0
+        # the greedy reset fold — sequential by definition, bounded by
+        # shard_docs rows; doc_id // shard_docs guarantees co-location
+        for i, t in enumerate(toks):
+            if i > 0 and fill + t > window:
+                pack += 1
+                fill = 0
+            fill += t
+            packs[i] = pack
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "shard_id": df["shard_id"].to_numpy(),
+                             "pack_id": packs,
+                             "n_tokens": toks})
+
+    return grouped_apply(_tokenized(sf_dir, shard_docs), ["shard_id"],
+                         pack_shard)
+
+
+def pack_stats(sf_dir: str, window: int = DEFAULT_WINDOW,
+               shard_docs: int = DEFAULT_SHARD_DOCS) -> rd.Dataset:
+    """Per-pack rollup: (shard_id, pack_id, n_docs, pack_tokens,
+    fill_micro) where fill_micro = pack_tokens * 1e6 // window (integer
+    fill ratio in micro-units — exact on both engine and oracle sides,
+    unlike a float division)."""
+    packed = pack_sequences(sf_dir, window, shard_docs)
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (df.groupby(["shard_id", "pack_id"], sort=False)["n_tokens"]
+             .agg(["size", "sum"]).reset_index())
+        return pa.table({
+            "shard_id": g["shard_id"].to_numpy(np.int64),
+            "pack_id": g["pack_id"].to_numpy(np.int64),
+            "n_docs": g["size"].to_numpy(np.int64),
+            "pack_tokens": g["sum"].to_numpy(np.int64),
+            "fill_micro": (g["sum"].to_numpy(np.int64) * 1_000_000
+                           // window),
+        })
+
+    # pack_sequences already co-located each shard in one partition, so the
+    # rollup is a pure per-block map — no second exchange
+    return packed.map_batches(rollup, batch_format="pyarrow")
+
+
+def pack_sequences_sql(sf_dir: str, window: int = DEFAULT_WINDOW,
+                       shard_docs: int = DEFAULT_SHARD_DOCS) -> str:
+    """DuckDB oracle: the same greedy fold as a recursive CTE stepping one
+    doc per shard per iteration (depth bounded by shard_docs)."""
+    return f"""
+        WITH RECURSIVE d AS (
+            SELECT doc_id, doc_id // {shard_docs} AS shard_id,
+                   CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g')
+                             = '' THEN 0
+                        ELSE len(string_split_regex(
+                                 regexp_replace(text, '^\\s+|\\s+$', '',
+                                                'g'), '\\s+')) END
+                       AS n_tokens,
+                   row_number() OVER (PARTITION BY doc_id // {shard_docs}
+                                      ORDER BY doc_id) AS idx
+            FROM documents
+        ), r AS (
+            SELECT shard_id, idx, doc_id, n_tokens,
+                   n_tokens AS fill, CAST(0 AS BIGINT) AS pack_id
+            FROM d WHERE idx = 1
+            UNION ALL
+            SELECT d.shard_id, d.idx, d.doc_id, d.n_tokens,
+                   CASE WHEN r.fill + d.n_tokens > {window}
+                        THEN d.n_tokens ELSE r.fill + d.n_tokens END,
+                   CASE WHEN r.fill + d.n_tokens > {window}
+                        THEN r.pack_id + 1 ELSE r.pack_id END
+            FROM r JOIN d ON d.shard_id = r.shard_id AND d.idx = r.idx + 1
+        )
+        SELECT doc_id, shard_id, pack_id, n_tokens FROM r
+    """
+
+
+def pack_stats_sql(sf_dir: str, window: int = DEFAULT_WINDOW,
+                   shard_docs: int = DEFAULT_SHARD_DOCS) -> str:
+    return f"""
+        WITH packed AS ({pack_sequences_sql(sf_dir, window, shard_docs)})
+        SELECT shard_id, pack_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+               CAST(SUM(n_tokens) AS BIGINT) * 1000000 // {window}
+                   AS fill_micro
+        FROM packed GROUP BY shard_id, pack_id
+    """
