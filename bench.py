@@ -122,6 +122,12 @@ def run_bench() -> dict:
         ).curate_docs(SF_DIR),
         "dup_spans": lambda: dedup.dup_spans(SF_DIR),
         "unigram_logprob": lambda: textstats.unigram_logprob(SF_DIR),
+        "pack_sequences": lambda: __import__(
+            "neo4j_tkapi_ray.ops.packing", fromlist=["pack_sequences"]
+        ).pack_sequences(SF_DIR),
+        "embedding_kmeans": lambda: __import__(
+            "neo4j_tkapi_ray.ops.clustering", fromlist=["embedding_kmeans"]
+        ).embedding_kmeans(SF_DIR),
         # full REL_MAP taxonomy over the bench corpus registry (manifest
         # shard source -> canonicalize), timed at bench scale
         "registry_graph_edges": lambda: canonicalize_edges(
