@@ -416,6 +416,42 @@ def _kg_wcc(sf_dir: str):
     return connected_components(_graph_edges_ds(sf_dir))
 
 
+def _kg_kcore(sf_dir: str):
+    from neo4j_tkapi_ray.ops.graph import kcore
+    return kcore(_graph_edges_ds(sf_dir))
+
+
+def _kcore_sql(cd: str, k: int = 3, rounds: int = 12) -> str:
+    """Unrolled k-core peel (ops/graph.kcore contract): ``rounds`` rounds of
+    removing nodes with < k distinct neighbors from the undirected
+    self-loop-free pair set. The engine's early exit on a no-removal round
+    is semantics-preserving (later rounds are no-ops on both sides)."""
+    # every CTE referenced more than once is MATERIALIZED: DuckDB otherwise
+    # INLINES each reference, and the round-over-round self-references here
+    # would expand p0 (and its ~20 read_parquet scans) exponentially in the
+    # number of rounds ("too many open files" long before any result)
+    ctes = [
+        f"g AS ({_graph_edges_select(cd)})",
+        "p0 AS MATERIALIZED (SELECT DISTINCT LEAST(subj, obj) AS u, "
+        "GREATEST(subj, obj) AS v FROM g WHERE subj <> obj)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM "
+            f"(SELECT u AS node FROM p{i - 1} "
+            f"UNION ALL SELECT v FROM p{i - 1}) GROUP BY node)")
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT p.u, p.v FROM p{i - 1} p "
+            f"JOIN (SELECT node FROM d{i} WHERE deg >= {k}) a "
+            f"ON a.node = p.u "
+            f"JOIN (SELECT node FROM d{i} WHERE deg >= {k}) b "
+            f"ON b.node = p.v)")
+    return ("WITH " + ",\n ".join(ctes)
+            + f" SELECT node AS node_id, CAST(COUNT(*) AS BIGINT) AS degree "
+              f"FROM (SELECT u AS node FROM p{rounds} "
+              f"UNION ALL SELECT v FROM p{rounds}) GROUP BY node")
+
+
 def _pii_scrub(sf_dir: str):
     from neo4j_tkapi_ray.ops.pii import pii_scrub
     return pii_scrub(sf_dir)
@@ -481,6 +517,7 @@ _SWEEP_FRONT = [
     "pack_sequences",            # NEW in round 4 — never driver-checked
     "pack_stats",                # NEW in round 4 — never driver-checked
     "embedding_kmeans",          # NEW in round 4 — never driver-checked
+    "kg_kcore",                  # NEW in round 4 — never driver-checked
     # group 2 — r02-green, missed r03's window
     "kg_interruption_types",
     "kg_interruption_topics",
@@ -514,10 +551,9 @@ _SWEEP_FRONT = [
     "kg_graph_edges",
     "kg_graph_nodes",
     "kg_docs_text",
-    "minhash_neardup",
-    # (neardup_groups / curate_docs / media_decode rotate to the tail this
-    # round — r03-green on code unchanged since — to keep the window at 50
-    # with the three new ops in it)
+    # (minhash_neardup / neardup_groups / curate_docs / media_decode rotate
+    # to the tail this round — r03-green on code unchanged since — to keep
+    # the window at 50 with the four new ops in it)
 ]
 
 
@@ -580,6 +616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # GDS wcc over the constructed KG (round 4): distributed min-label
         # propagation vs a UNION-FIND expected table (independent algorithm)
         "kg_wcc": _with_op_expected("kg_wcc", _kg_wcc),
+        "kg_kcore": _kg_kcore,                               # SQL-checkable
         "pii_scrub": _pii_scrub,                             # SQL-checkable
         "source_keep_rates": _source_keep_rates,             # SQL-checkable
         "ann_lsh_topk": _with_op_expected(
@@ -1161,6 +1198,7 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
             SELECT node AS node_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
             FROM x GROUP BY node
         """,
+        "kg_kcore": _kcore_sql(cd),
         "kg_graph_nodes": f"""
             WITH t AS (SELECT * FROM {exp('expected_triples')}
                        WHERE pred <> '_FAILED'),

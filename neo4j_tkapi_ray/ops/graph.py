@@ -561,3 +561,96 @@ def clustering_coefficient(edges: rd.Dataset) -> rd.Dataset:
         tri.map_batches(tri_tag, batch_format="pyarrow"))
     return reduce_blocks(mixed, ["node"], combine, batch_format="pandas",
                          coalesce_rows=None)
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed peel rounds)
+# ---------------------------------------------------------------------------
+
+def _filter_pairs_by_nodes(pairs: rd.Dataset, nodes: rd.Dataset,
+                           side: str) -> rd.Dataset:
+    """Keep pair rows whose ``side`` endpoint appears in ``nodes`` — an
+    exchange semi-join: both streams tagged + keyed on the endpoint, one
+    vectorized isin per block."""
+    def tag_pair(b: pa.Table) -> pa.Table:
+        return pa.table({"key": b.column(side), "u": b.column("u"),
+                         "v": b.column("v"),
+                         "is_node": pa.array(
+                             np.zeros(b.num_rows, np.int8))})
+
+    def tag_node(b: pa.Table) -> pa.Table:
+        return pa.table({"key": b.column("node"),
+                         "u": pa.nulls(b.num_rows, pa.string()),
+                         "v": pa.nulls(b.num_rows, pa.string()),
+                         "is_node": pa.array(np.ones(b.num_rows, np.int8))})
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"u": pd.Series(dtype="object"),
+                                 "v": pd.Series(dtype="object")})
+        present = df.loc[df["is_node"] == 1, "key"]
+        rows = df[(df["is_node"] == 0) & df["key"].isin(present)]
+        return rows[["u", "v"]].reset_index(drop=True)
+
+    mixed = pairs.map_batches(tag_pair, batch_format="pyarrow").union(
+        nodes.map_batches(tag_node, batch_format="pyarrow"))
+    return reduce_blocks(mixed, ["key"], keep, batch_format="pandas")
+
+
+def _uv_degrees(pairs: rd.Dataset) -> rd.Dataset:
+    """(node, deg) over a distinct undirected pair set: per-batch partial
+    endpoint counts, one exchange, per-block sum."""
+    return reduce_blocks(
+        pairs.map_batches(_endpoint_counts_uv, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["node"], _sum_c_per("node", "deg"))
+
+
+def kcore(edges: rd.Dataset | None = None, *, pairs: rd.Dataset | None = None,
+          k: int = 3, rounds: int = 12) -> rd.Dataset:
+    """(node_id, degree): the k-core approximation after ``rounds`` peel
+    rounds — each round removes every node with fewer than ``k`` distinct
+    neighbors from the undirected, self-loop-free, pred-collapsed pair set
+    (the same graph the triangle operators run over), then drops incident
+    pairs. The GDS ``kCore`` a reference user runs on the loaded graph.
+
+    Fixed-round contract (like ``pagerank``'s fixed iterations) so the
+    unrolled DuckDB oracle is exact on ANY input; the loop exits early when
+    a round removes nothing — semantics-preserving, since every later round
+    is then a no-op on both sides — which makes the result the TRUE k-core
+    whenever the peel converges within ``rounds`` (measured: round 10 at
+    sf0.001, earlier at sf0.01/0.1 — default 12 covers all with margin;
+    thanks to the early exit, extra rounds cost the engine nothing once
+    converged, so ``rounds`` bounds worst-case latency, not accuracy on
+    converging inputs).
+
+    Scale shape per round: one degree exchange over combined partials +
+    two endpoint semi-join exchanges; the pair table only ever shrinks.
+    The driver reads ONE int per round (the removal count — CC-loop
+    discipline)."""
+    if pairs is None:
+        pairs = undirected_pairs(edges)
+    def survivors(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b.column("deg"), k)).select(["node"])
+
+    def n_removed(b: pa.Table) -> pa.Table:
+        c = int(pc.sum(pc.less(b.column("deg"), k)).as_py() or 0)
+        return pa.table({"removed": pa.array([c], pa.int64())})
+
+    cur = pairs.materialize()
+    for _ in range(rounds):
+        deg = _uv_degrees(cur).materialize()
+        removed = sum(
+            r["removed"] for r in
+            deg.map_batches(n_removed, batch_format="pyarrow").take_all())
+        if removed == 0:
+            break
+        surv = deg.map_batches(survivors, batch_format="pyarrow")
+        cur = _filter_pairs_by_nodes(cur, surv, "u")
+        cur = _filter_pairs_by_nodes(cur, surv, "v").materialize()
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"node_id": b.column("node"),
+                         "degree": b.column("deg")})
+
+    return _uv_degrees(cur).map_batches(rename, batch_format="pyarrow")

@@ -156,3 +156,28 @@ def test_pagerank_empty(ray_session):
     assert pagerank(empty, iters=2).count() == 0
     assert degree_distribution(empty).count() == 0
     assert triangle_counts(empty).count() == 0
+
+
+def test_kcore(ray_session):
+    """Fixed-round k-core peel vs a single-process fixpoint reference on the
+    adversarial graph (hub keeps the triangle+square alive at k=3; isolated
+    pair and self-loop peel away immediately)."""
+    from neo4j_tkapi_ray.ops.graph import kcore
+
+    def reference(edges, k):
+        pairs = {tuple(sorted((s, o))) for s, _, o in edges if s != o}
+        while True:
+            deg = {}
+            for u, v in pairs:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+            bad = {n for n, d in deg.items() if d < k}
+            if not bad:
+                return deg
+            pairs = {(u, v) for u, v in pairs
+                     if u not in bad and v not in bad}
+
+    for k in (2, 3, 4):
+        got = {r["node_id"]: r["degree"]
+               for r in kcore(_edges_ds(), k=k).take_all()}
+        assert got == reference(EDGES, k), k
