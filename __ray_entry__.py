@@ -518,6 +518,7 @@ _SWEEP_FRONT = [
     "pack_stats",                # NEW in round 4 — never driver-checked
     "embedding_kmeans",          # NEW in round 4 — never driver-checked
     "kg_kcore",                  # NEW in round 4 — never driver-checked
+    "cluster_sample",            # NEW in round 4 — never driver-checked
     # group 2 — r02-green, missed r03's window
     "kg_interruption_types",
     "kg_interruption_topics",
@@ -550,10 +551,9 @@ _SWEEP_FRONT = [
     "kg_nodes",
     "kg_graph_edges",
     "kg_graph_nodes",
-    "kg_docs_text",
-    # (minhash_neardup / neardup_groups / curate_docs / media_decode rotate
-    # to the tail this round — r03-green on code unchanged since — to keep
-    # the window at 50 with the four new ops in it)
+    # (kg_docs_text / minhash_neardup / neardup_groups / curate_docs /
+    # media_decode rotate to the tail this round — r03-green on code
+    # unchanged since — to keep the window at 50 with the five new ops in)
 ]
 
 
@@ -608,6 +608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": packing.pack_sequences,            # SQL-checkable
         "pack_stats": packing.pack_stats,                    # SQL-checkable
         "embedding_kmeans": clustering.embedding_kmeans,     # SQL-checkable
+        "cluster_sample": clustering.cluster_sample,         # SQL-checkable
         # graph analytics over the constructed KG (round 3; ops/graph.py)
         "kg_degree_distribution": _kg_degree_distribution,   # SQL-checkable
         "kg_pagerank": _kg_pagerank,                         # SQL-checkable
@@ -782,6 +783,11 @@ def _pack_sql(sf_dir: str, which: str) -> str:
 def _kmeans_sql(sf_dir: str) -> str:
     from neo4j_tkapi_ray.ops.clustering import embedding_kmeans_sql
     return embedding_kmeans_sql(sf_dir)
+
+
+def _cluster_sample_sql(sf_dir: str) -> str:
+    from neo4j_tkapi_ray.ops.clustering import cluster_sample_sql
+    return cluster_sample_sql(sf_dir)
 
 
 def _curate_sql() -> str:
@@ -1697,6 +1703,7 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         "pack_sequences": _pack_sql(sf_dir, "pack_sequences"),
         "pack_stats": _pack_sql(sf_dir, "pack_stats"),
         "embedding_kmeans": _kmeans_sql(sf_dir),
+        "cluster_sample": _cluster_sample_sql(sf_dir),
         # composed curation verdict: quality + repetition + exact-dup
         # survivorship + decontamination, first failing rule wins (order is
         # the ops/curation.RULES contract). Threshold comparisons are on raw

@@ -167,7 +167,10 @@ def embedding_kmeans_sql(sf_dir: str, k: int = DEFAULT_K,
                    CAST(COUNT(DISTINCT q.vec_id) AS BIGINT) AS n
             FROM q JOIN a{i} a USING (vec_id)
             GROUP BY a.cluster, q.dim)""")
-        ctes.append(f"""c{i} AS (
+        # MATERIALIZED: c_i is referenced twice (next round's distance CTE
+        # and next round's centroid fallback) — DuckDB inlines CTE refs, so
+        # without it the round chain expands 2^iters-fold (cf. _kcore_sql)
+        ctes.append(f"""c{i} AS MATERIALIZED (
             SELECT p.cluster, p.dim,
                    CASE WHEN s.n IS NULL THEN p.c
                         ELSE s.s // s.n - CASE WHEN s.s % s.n <> 0
@@ -186,3 +189,48 @@ def embedding_kmeans_sql(sf_dir: str, k: int = DEFAULT_K,
         SELECT vec_id, cluster FROM df
         QUALIFY row_number() OVER (PARTITION BY vec_id
                                    ORDER BY score, cluster) = 1""")
+
+
+def cluster_sample(sf_dir: str, n_per_cluster: int = 10, k: int = DEFAULT_K,
+                   iters: int = DEFAULT_ITERS) -> rd.Dataset:
+    """Cluster-balanced sample: the ``n_per_cluster`` smallest vec_ids per
+    k-means cluster — the deterministic core of cluster-balanced data
+    selection (equal representation per semantic bucket regardless of
+    cluster skew). Output (vec_id, cluster, rank), rank 1-based by vec_id
+    within the cluster.
+
+    One exchange by cluster after the k-means assignment; the per-cluster
+    head is a vectorized groupby-rank inside each block (a cluster's full
+    id list lands in one partition — at extreme cluster sizes swap the
+    block rank for a per-batch partial top-n before the exchange, the same
+    combiner shape _init_centroids uses)."""
+    from ..exchange import reduce_blocks
+
+    assigned = embedding_kmeans(sf_dir, k=k, iters=iters)
+
+    def head_per_cluster(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([("vec_id", pa.int64()),
+                              ("cluster", pa.int64()),
+                              ("rank", pa.int64())]).empty_table()
+        df = b.to_pandas().sort_values(["cluster", "vec_id"], kind="stable")
+        rank = df.groupby("cluster", sort=False).cumcount().to_numpy() + 1
+        df = df.assign(rank=rank)
+        df = df[df["rank"] <= n_per_cluster]
+        return pa.table({"vec_id": df["vec_id"].to_numpy(np.int64),
+                         "cluster": df["cluster"].to_numpy(np.int64),
+                         "rank": df["rank"].to_numpy(np.int64)})
+
+    return reduce_blocks(assigned, ["cluster"], head_per_cluster)
+
+
+def cluster_sample_sql(sf_dir: str, n_per_cluster: int = 10,
+                       k: int = DEFAULT_K, iters: int = DEFAULT_ITERS) -> str:
+    return f"""
+        WITH km AS ({embedding_kmeans_sql(sf_dir, k, iters)})
+        SELECT vec_id, cluster,
+               CAST(row_number() OVER (PARTITION BY cluster
+                                       ORDER BY vec_id) AS BIGINT) AS rank
+        FROM km
+        QUALIFY rank <= {n_per_cluster}
+    """
