@@ -774,20 +774,10 @@ def _pii_oracle_sql() -> str:
     return pii_sql()
 
 
-def _pack_sql(sf_dir: str, which: str) -> str:
+def _pack_sql(which: str) -> str:
     from neo4j_tkapi_ray.ops.packing import pack_sequences_sql, pack_stats_sql
-    return (pack_sequences_sql(sf_dir) if which == "pack_sequences"
-            else pack_stats_sql(sf_dir))
-
-
-def _kmeans_sql(sf_dir: str) -> str:
-    from neo4j_tkapi_ray.ops.clustering import embedding_kmeans_sql
-    return embedding_kmeans_sql(sf_dir)
-
-
-def _cluster_sample_sql(sf_dir: str) -> str:
-    from neo4j_tkapi_ray.ops.clustering import cluster_sample_sql
-    return cluster_sample_sql(sf_dir)
+    return (pack_sequences_sql() if which == "pack_sequences"
+            else pack_stats_sql())
 
 
 def _curate_sql() -> str:
@@ -1700,10 +1690,14 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         # sequence packing: the same greedy shard-local fold as a recursive
         # CTE (depth bounded by the shard size); deterministic k-means: the
         # unrolled integer Lloyd's (ops/clustering contract)
-        "pack_sequences": _pack_sql(sf_dir, "pack_sequences"),
-        "pack_stats": _pack_sql(sf_dir, "pack_stats"),
-        "embedding_kmeans": _kmeans_sql(sf_dir),
-        "cluster_sample": _cluster_sample_sql(sf_dir),
+        "pack_sequences": _pack_sql("pack_sequences"),
+        "pack_stats": _pack_sql("pack_stats"),
+        "embedding_kmeans": __import__(
+            "neo4j_tkapi_ray.ops.clustering",
+            fromlist=["x"]).embedding_kmeans_sql(),
+        "cluster_sample": __import__(
+            "neo4j_tkapi_ray.ops.clustering",
+            fromlist=["x"]).cluster_sample_sql(),
         # composed curation verdict: quality + repetition + exact-dup
         # survivorship + decontamination, first failing rule wins (order is
         # the ops/curation.RULES contract). Threshold comparisons are on raw

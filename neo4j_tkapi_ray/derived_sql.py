@@ -33,8 +33,13 @@ mutates rows and the driver's hash gate goes red.
 
 Corpus-shape assumptions (validated by tools/sweep.py over every cached
 corpus): spreker elements always sit inside <sprekers>, text content never
-contains XML entities or CDATA, and each page carries at most one
-<vergadering> island — all true of corpus.py's renderer by construction.
+contains XML entities or CDATA, each page carries at most one
+<vergadering> island, and the speaker surface trim(voornaam || ' ' ||
+achternaam) is injective back to (voornaam, achternaam) within an activity
+(voornaam is always a single token in the renderer) — the interruption
+pid_map joins ground-truth person links by surface and takes
+MIN(entity_id) per (url, activity, surface), which merges links only when
+that injectivity holds. All true of corpus.py's renderer by construction.
 """
 
 from __future__ import annotations
@@ -185,17 +190,15 @@ vitem0 AS (
            COALESCE(regexp_extract(ib,
                '(?s)<uitslag>(.*?)</uitslag>', 1), '') AS uitslag,
            COALESCE(regexp_extract(ib,
-               '(?s)<stemmingen>(.*?)</stemmingen>', 1), '') AS stemb,
-           row_number() OVER (PARTITION BY url, warc_ts, object_id)
-               AS item_no
+               '(?s)<stemmingen>(.*?)</stemmingen>', 1), '') AS stemb
     FROM vitem0
 ), stem AS (
-    SELECT url, warc_ts, object_id, item_no, besluitvorm, uitslag,
+    SELECT url, warc_ts, object_id, besluitvorm, uitslag,
            unnest(regexp_extract_all(stemb,
                '(?s)<stemming>.*?</stemming>')) AS sb
     FROM vitem WHERE isoort IN ('besluit', 'stemming', 'vote')
 ), fvote AS (
-    SELECT url, warc_ts, object_id, item_no, besluitvorm, uitslag,
+    SELECT url, warc_ts, object_id, besluitvorm, uitslag,
            COALESCE(regexp_extract(sb,
                '(?s)<fractie>(.*?)</fractie>', 1), '') AS fractie_naam,
            COALESCE(regexp_extract(sb,
@@ -217,7 +220,7 @@ vitem0 AS (
                row_number() OVER (PARTITION BY k ORDER BY prio) AS r
         FROM party_keys) WHERE r = 1
 ), vrow AS (
-    SELECT f.url, f.warc_ts, f.object_id, f.item_no,
+    SELECT f.url, f.warc_ts, f.object_id,
            COALESCE(pm.fractie_id, '') AS fractie_id,
            f.fractie_naam, lower(f.stem) AS vote, f.uitslag,
            contains(lower(f.besluitvorm), 'hoofdelijk') AS is_hoofdelijk
@@ -282,7 +285,10 @@ frag0 AS (
                         ''), '<[^>]*>', ' ', 'g'),
                '^\\s+|\\s+$', '', 'g') AS speech
     FROM frag0
-    WHERE regexp_extract(fb, '(?s)<tekst>.*?</tekst>') IS NOT NULL
+    -- regexp_extract returns '' (not NULL) on no match, so the has-a-
+    -- <tekst>-child test must compare against '' (a match is never empty:
+    -- it includes the tags)
+    WHERE COALESCE(regexp_extract(fb, '(?s)<tekst>.*?</tekst>'), '') <> ''
 ), seqe AS (
     SELECT url, warc_ts, object_id, frag_no,
            unnest(regexp_extract_all(fb, {_SPR})) AS sp,

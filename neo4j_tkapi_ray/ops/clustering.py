@@ -8,7 +8,9 @@ bit-exact regardless of block order (float sums are not associative; a
 float k-means would flake the driver's value-hash gate).
 
 Contract (mirrored exactly by the unrolled DuckDB oracle):
-  * quantize: q = round(x * 1e6) per dimension (int64)
+  * quantize: q = round(x * 1e6) per dimension (int64), half away from
+    zero (DuckDB round() semantics; the engine spells it out because
+    np.rint rounds half to even)
   * init: centroids = the K smallest vec_ids' quantized vectors
   * iterate T times: assign each vector to the centroid minimizing the
     int64 squared L2 distance (ties -> lowest cluster id), then recompute
@@ -51,8 +53,10 @@ def _quantized(sf_dir: str) -> rd.Dataset:
                          columns=["vec_id", "embedding"])
 
     def fn(batch: pa.Table) -> pa.Table:
-        q = np.rint(emb_matrix(batch.column("embedding")) * SCALE
-                    ).astype(np.int64)
+        xs = emb_matrix(batch.column("embedding")) * SCALE
+        # round HALF AWAY FROM ZERO — DuckDB's round() semantics; np.rint
+        # rounds half to even and would diverge on exact .5 products
+        q = np.trunc(xs + np.copysign(0.5, xs)).astype(np.int64)
         return pa.table({"vec_id": batch.column("vec_id").cast(pa.int64()),
                          "q": pa.FixedSizeListArray.from_arrays(
                              pa.array(q.reshape(-1), pa.int64()),
@@ -130,11 +134,12 @@ def embedding_kmeans(sf_dir: str, k: int = DEFAULT_K,
     return qds.map_batches(final_assign, batch_format="pyarrow")
 
 
-def embedding_kmeans_sql(sf_dir: str, k: int = DEFAULT_K,
+def embedding_kmeans_sql(k: int = DEFAULT_K,
                          iters: int = DEFAULT_ITERS) -> str:
     """Unrolled Lloyd's in DuckDB (pagerank-style fixed-point unroll) over
     the long-form (vec_id, dim, q) table. Floor division is spelled out
-    because DuckDB's ``//`` truncates toward zero while the engine floors."""
+    because DuckDB's ``//`` truncates toward zero while the engine floors.
+    Reads the driver-registered ``embeddings`` view."""
     ctes = [
         """e AS (
             SELECT vec_id, unnest(embedding) AS x,
@@ -224,10 +229,10 @@ def cluster_sample(sf_dir: str, n_per_cluster: int = 10, k: int = DEFAULT_K,
     return reduce_blocks(assigned, ["cluster"], head_per_cluster)
 
 
-def cluster_sample_sql(sf_dir: str, n_per_cluster: int = 10,
+def cluster_sample_sql(n_per_cluster: int = 10,
                        k: int = DEFAULT_K, iters: int = DEFAULT_ITERS) -> str:
     return f"""
-        WITH km AS ({embedding_kmeans_sql(sf_dir, k, iters)})
+        WITH km AS ({embedding_kmeans_sql(k, iters)})
         SELECT vec_id, cluster,
                CAST(row_number() OVER (PARTITION BY cluster
                                        ORDER BY vec_id) AS BIGINT) AS rank

@@ -60,6 +60,28 @@ def _tokenized(sf_dir: str, shard_docs: int) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _pack_shard_kernel(df: pd.DataFrame, window: int) -> pd.DataFrame:
+    """One shard's greedy reset fold — sequential by definition, bounded by
+    shard_docs rows; doc_id // shard_docs guarantees co-location."""
+    if df.empty:
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in _EMPTY.items()})
+    df = df.sort_values("doc_id", kind="stable")
+    toks = df["n_tokens"].to_numpy()
+    packs = np.zeros(len(toks), dtype=np.int64)
+    fill, pack = 0, 0
+    for i, t in enumerate(toks):
+        if i > 0 and fill + t > window:
+            pack += 1
+            fill = 0
+        fill += t
+        packs[i] = pack
+    return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                         "shard_id": df["shard_id"].to_numpy(),
+                         "pack_id": packs,
+                         "n_tokens": toks})
+
+
 def pack_sequences(sf_dir: str, window: int = DEFAULT_WINDOW,
                    shard_docs: int = DEFAULT_SHARD_DOCS) -> rd.Dataset:
     """(doc_id, shard_id, pack_id, n_tokens): greedy shard-local packing.
@@ -67,29 +89,8 @@ def pack_sequences(sf_dir: str, window: int = DEFAULT_WINDOW,
     ``pack_id`` is 0-based within the shard; ``(shard_id, pack_id)`` is the
     global pack key.
     """
-    def pack_shard(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame({c: pd.Series(dtype=t)
-                                 for c, t in _EMPTY.items()})
-        df = df.sort_values("doc_id", kind="stable")
-        toks = df["n_tokens"].to_numpy()
-        packs = np.zeros(len(toks), dtype=np.int64)
-        fill, pack = 0, 0
-        # the greedy reset fold — sequential by definition, bounded by
-        # shard_docs rows; doc_id // shard_docs guarantees co-location
-        for i, t in enumerate(toks):
-            if i > 0 and fill + t > window:
-                pack += 1
-                fill = 0
-            fill += t
-            packs[i] = pack
-        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
-                             "shard_id": df["shard_id"].to_numpy(),
-                             "pack_id": packs,
-                             "n_tokens": toks})
-
     return grouped_apply(_tokenized(sf_dir, shard_docs), ["shard_id"],
-                         pack_shard)
+                         lambda df: _pack_shard_kernel(df, window))
 
 
 def pack_stats(sf_dir: str, window: int = DEFAULT_WINDOW,
@@ -97,31 +98,40 @@ def pack_stats(sf_dir: str, window: int = DEFAULT_WINDOW,
     """Per-pack rollup: (shard_id, pack_id, n_docs, pack_tokens,
     fill_micro) where fill_micro = pack_tokens * 1e6 // window (integer
     fill ratio in micro-units — exact on both engine and oracle sides,
-    unlike a float division)."""
-    packed = pack_sequences(sf_dir, window, shard_docs)
+    unlike a float division).
 
-    def rollup(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = (df.groupby(["shard_id", "pack_id"], sort=False)["n_tokens"]
+    The rollup runs INSIDE the per-shard packing kernel (same single
+    exchange as pack_sequences): a post-hoc map over pack_sequences output
+    would silently double-count whenever Ray's dynamic block slicing split
+    one shard's rows across batches."""
+    def pack_and_rollup(df: pd.DataFrame) -> pd.DataFrame:
+        packed = _pack_shard_kernel(df, window)
+        if packed.empty:
+            return pd.DataFrame({
+                "shard_id": pd.Series(dtype="int64"),
+                "pack_id": pd.Series(dtype="int64"),
+                "n_docs": pd.Series(dtype="int64"),
+                "pack_tokens": pd.Series(dtype="int64"),
+                "fill_micro": pd.Series(dtype="int64")})
+        g = (packed.groupby(["shard_id", "pack_id"], sort=False)["n_tokens"]
              .agg(["size", "sum"]).reset_index())
-        return pa.table({
+        return pd.DataFrame({
             "shard_id": g["shard_id"].to_numpy(np.int64),
             "pack_id": g["pack_id"].to_numpy(np.int64),
             "n_docs": g["size"].to_numpy(np.int64),
             "pack_tokens": g["sum"].to_numpy(np.int64),
             "fill_micro": (g["sum"].to_numpy(np.int64) * 1_000_000
-                           // window),
-        })
+                           // window)})
 
-    # pack_sequences already co-located each shard in one partition, so the
-    # rollup is a pure per-block map — no second exchange
-    return packed.map_batches(rollup, batch_format="pyarrow")
+    return grouped_apply(_tokenized(sf_dir, shard_docs), ["shard_id"],
+                         pack_and_rollup)
 
 
-def pack_sequences_sql(sf_dir: str, window: int = DEFAULT_WINDOW,
+def pack_sequences_sql(window: int = DEFAULT_WINDOW,
                        shard_docs: int = DEFAULT_SHARD_DOCS) -> str:
     """DuckDB oracle: the same greedy fold as a recursive CTE stepping one
-    doc per shard per iteration (depth bounded by shard_docs)."""
+    doc per shard per iteration (depth bounded by shard_docs). Reads the
+    driver-registered ``documents`` view."""
     return f"""
         WITH RECURSIVE d AS (
             SELECT doc_id, doc_id // {shard_docs} AS shard_id,
@@ -150,10 +160,10 @@ def pack_sequences_sql(sf_dir: str, window: int = DEFAULT_WINDOW,
     """
 
 
-def pack_stats_sql(sf_dir: str, window: int = DEFAULT_WINDOW,
+def pack_stats_sql(window: int = DEFAULT_WINDOW,
                    shard_docs: int = DEFAULT_SHARD_DOCS) -> str:
     return f"""
-        WITH packed AS ({pack_sequences_sql(sf_dir, window, shard_docs)})
+        WITH packed AS ({pack_sequences_sql(window, shard_docs)})
         SELECT shard_id, pack_id,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,

@@ -84,3 +84,18 @@ def test_kmeans_floor_division_semantics():
     cnt = np.array([2], dtype=np.int64)
     out = sums // cnt[:, None]
     assert out.tolist() == [[-4, 3]]
+
+
+def test_kmeans_quantizer_matches_duckdb_round_on_ties():
+    """The engine quantizer must round half AWAY FROM ZERO like DuckDB's
+    round() — np.rint (half to even) would diverge on exact .5 products."""
+    import duckdb
+
+    xs = np.array([2.5e-6, -2.5e-6, 3.5e-6, -3.5e-6, 0.0, -0.0,
+                   1.0000005e-6, 0.4999995], dtype=np.float64)
+    scaled = xs * 1_000_000
+    engine = np.trunc(scaled + np.copysign(0.5, scaled)).astype(np.int64)
+    duck = duckdb.connect().execute(
+        "SELECT list_transform(?::DOUBLE[], x -> "
+        "CAST(round(x * 1000000) AS BIGINT))", [list(xs)]).fetchone()[0]
+    assert engine.tolist() == list(duck)
