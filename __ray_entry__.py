@@ -519,6 +519,7 @@ _SWEEP_FRONT = [
     "embedding_kmeans",          # NEW in round 4 — never driver-checked
     "kg_kcore",                  # NEW in round 4 — never driver-checked
     "cluster_sample",            # NEW in round 4 — never driver-checked
+    "normalize_text",            # NEW in round 4 — never driver-checked
     # group 2 — r02-green, missed r03's window
     "kg_interruption_types",
     "kg_interruption_topics",
@@ -550,10 +551,10 @@ _SWEEP_FRONT = [
     "kg_edges",
     "kg_nodes",
     "kg_graph_edges",
-    "kg_graph_nodes",
     # (kg_docs_text / minhash_neardup / neardup_groups / curate_docs /
-    # media_decode rotate to the tail this round — r03-green on code
-    # unchanged since — to keep the window at 50 with the five new ops in)
+    # media_decode / kg_graph_nodes rotate to the tail this round —
+    # r03-green on code unchanged since — to keep the window at 50 with
+    # the six new ops in)
 ]
 
 
@@ -677,6 +678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _dedup_exact,                         # SQL-checkable
         "token_counts": textstats.token_counts,              # SQL-checkable
         "bpe_token_counts": textstats.bpe_token_counts,      # SQL-checkable
+        "normalize_text": textstats.normalize_text,          # SQL-checkable
         "ann_topk": lambda sf: ann.brute_force_topk(sf, n_queries=5, k=5),  # SQL-checkable
         # threshold 0.3: the synthetic embeddings are near-orthogonal (max
         # in-block cosine ~0.47), so a classic 0.9 near-dup threshold would
@@ -1484,6 +1486,21 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
                                  '\\s+')) END AS n_tokens,
                    length(text) AS n_chars
             FROM documents
+        """,
+        # NFC via nfc_normalize (identical to Python unicodedata NFC);
+        # collapse/strip use the same RE2 patterns as the Arrow kernels
+        "normalize_text": """
+            WITH n AS (
+                SELECT doc_id, text,
+                       regexp_replace(
+                           regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g'),
+                           '^ | $', '', 'g') AS norm_text
+                FROM documents)
+            SELECT doc_id, norm_text,
+                   CAST(norm_text <> text AS BIGINT) AS changed,
+                   length(text) AS n_chars,
+                   length(norm_text) AS n_chars_norm
+            FROM n
         """,
         "bpe_token_counts": """
             SELECT doc_id,

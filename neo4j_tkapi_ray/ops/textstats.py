@@ -378,3 +378,50 @@ def unigram_logprob(sf_dir: str) -> rd.Dataset:
 
     return reduce_blocks(partials, ["doc_id"], per_doc_block,
                          batch_format="pandas")
+
+
+def normalize_text(sf_dir: str) -> rd.Dataset:
+    """Text normalization for training-data prep: Unicode NFC + RE2-``\\s``
+    whitespace collapse + edge strip, per document.
+
+    Columns: ``doc_id, norm_text, changed, n_chars, n_chars_norm`` (both
+    lengths in code points, matching DuckDB ``length()``; ``changed`` is
+    0/1 BIGINT — the driver canon handles ints more portably than bools).
+
+    Scale shape: map-only (no exchange). The collapse/strip are RE2 Arrow
+    kernels — the SAME regex engine and ``\\s`` class DuckDB's
+    ``regexp_replace`` runs, so the oracle agrees on every input. NFC has
+    no Arrow kernel, but is the IDENTITY on pure-ASCII strings, so rows
+    are masked with the vectorized ``string_is_ascii`` kernel and only
+    non-ASCII rows (a small minority of real web text after extraction)
+    pay the per-row ``unicodedata.normalize`` C call.
+    """
+    import unicodedata
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column("text").combine_chunks()
+        if isinstance(text, pa.ChunkedArray):
+            text = text.chunk(0) if text.num_chunks else pa.array([], pa.string())
+        ascii_mask = pc.string_is_ascii(text)
+        if pc.all(pc.fill_null(ascii_mask, True)).as_py():
+            nfc = text  # NFC is the identity on ASCII — zero-copy fast path
+        else:
+            mask = ascii_mask.to_pylist()
+            nfc = pa.array(
+                [t if (t is None or a) else unicodedata.normalize("NFC", t)
+                 for t, a in zip(text.to_pylist(), mask)], pa.string())
+        collapsed = pc.replace_substring_regex(nfc, r"\s+", " ")
+        norm = pc.replace_substring_regex(collapsed, r"^ | $", "")
+        changed = pc.cast(pc.not_equal(norm, batch.column("text")), pa.int64())
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "norm_text": norm,
+            "changed": changed,
+            "n_chars": pc.utf8_length(batch.column("text")).cast(pa.int64()),
+            "n_chars_norm": pc.utf8_length(norm).cast(pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

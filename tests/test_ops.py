@@ -533,3 +533,48 @@ def test_drop_dup_spans_owner_keeps_copy(ray_session, tmp_path):
     assert out.loc[1, "clean_text"] == "x1 x2 x3"
     assert out.loc[2, "n_tokens_dropped"] == 0
     assert out.loc[2, "clean_text"] == "all unique here"
+
+
+def test_normalize_text_planted_parity(ray_session, tmp_path):
+    """normalize_text vs the DuckDB oracle expression on adversarial rows:
+    decomposed accents (NFC composes), NBSP (NOT in RE2 \\s — must survive),
+    tab/newline runs, all-whitespace, pure-ASCII fast path, and a row the
+    normalization must leave byte-identical (changed=0)."""
+    import duckdb
+
+    from neo4j_tkapi_ray.ops.textstats import normalize_text
+
+    rows = [
+        (0, "e\u0301cole  cafe\u0301"),  # NFD e+combining -> NFC \u00e9
+        (1, "a b  c"),                   # NBSP stays; double space folds
+        (2, "  tabs\tand\nnewlines \r\n end  "),
+        (3, " \t \n "),                       # all-whitespace -> empty
+        (4, "plain ascii already normal"),    # changed must be 0
+        (5, "\u212b vs A\u030a"),  # ANGSTROM SIGN / A+ring -> \u00c5 under NFC
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet", index=False)
+
+    ours = (normalize_text(str(tmp_path)).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    theirs = duckdb.connect().execute(f"""
+        WITH d AS (SELECT * FROM read_parquet('{tmp_path}/documents.parquet')),
+             n AS (SELECT doc_id, text,
+                          regexp_replace(
+                              regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g'),
+                              '^ | $', '', 'g') AS norm_text
+                   FROM d)
+        SELECT doc_id, norm_text, CAST(norm_text <> text AS BIGINT) AS changed,
+               length(text) AS n_chars, length(norm_text) AS n_chars_norm
+        FROM n ORDER BY doc_id
+    """).df()
+    assert list(ours.columns) == list(theirs.columns)
+    for c in ours.columns:
+        assert (ours[c].astype(str).values == theirs[c].astype(str).values).all(), c
+    # semantic spot checks
+    by = dict(zip(ours["doc_id"], ours["norm_text"]))
+    assert by[0] == "\u00e9cole caf\u00e9"
+    assert by[1] == "a\u00a0b c"
+    assert by[3] == ""
+    assert by[5] == "\u00c5 vs \u00c5"
+    assert ours.set_index("doc_id").loc[4, "changed"] == 0
