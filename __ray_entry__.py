@@ -421,6 +421,11 @@ def _kg_kcore(sf_dir: str):
     return kcore(_graph_edges_ds(sf_dir))
 
 
+def _kg_node_similarity(sf_dir: str):
+    from neo4j_tkapi_ray.ops.graph import node_similarity
+    return node_similarity(_graph_edges_ds(sf_dir), top_k=100)
+
+
 def _kcore_sql(cd: str, k: int = 3, rounds: int = 12) -> str:
     """Unrolled k-core peel (ops/graph.kcore contract): ``rounds`` rounds of
     removing nodes with < k distinct neighbors from the undirected
@@ -520,6 +525,7 @@ _SWEEP_FRONT = [
     "kg_kcore",                  # NEW in round 4 — never driver-checked
     "cluster_sample",            # NEW in round 4 — never driver-checked
     "normalize_text",            # NEW in round 4 — never driver-checked
+    "kg_node_similarity",        # NEW in round 4 — never driver-checked
     # group 2 — r02-green, missed r03's window
     "kg_interruption_types",
     "kg_interruption_topics",
@@ -550,11 +556,10 @@ _SWEEP_FRONT = [
     # remaining slots — high-value r03-green flagship surfaces
     "kg_edges",
     "kg_nodes",
-    "kg_graph_edges",
     # (kg_docs_text / minhash_neardup / neardup_groups / curate_docs /
-    # media_decode / kg_graph_nodes rotate to the tail this round —
-    # r03-green on code unchanged since — to keep the window at 50 with
-    # the six new ops in)
+    # media_decode / kg_graph_nodes / kg_graph_edges rotate to the tail
+    # this round — r03-green on code unchanged since — to keep the window
+    # at 50 with the seven new ops in)
 ]
 
 
@@ -619,6 +624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # propagation vs a UNION-FIND expected table (independent algorithm)
         "kg_wcc": _with_op_expected("kg_wcc", _kg_wcc),
         "kg_kcore": _kg_kcore,                               # SQL-checkable
+        "kg_node_similarity": _kg_node_similarity,           # SQL-checkable
         "pii_scrub": _pii_scrub,                             # SQL-checkable
         "source_keep_rates": _source_keep_rates,             # SQL-checkable
         "ann_lsh_topk": _with_op_expected(
@@ -1197,6 +1203,31 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
             FROM x GROUP BY node
         """,
         "kg_kcore": _kcore_sql(cd),
+        # neighborhood Jaccard in integer ppm; DuckDB's truncating // equals
+        # floor here (all terms positive). Top-100 is a total order: pair
+        # keys are unique, so (ppm DESC, node_a, node_b) has no ties.
+        "kg_node_similarity": f"""
+            WITH g AS ({_graph_edges_select(cd)}),
+                 E AS (SELECT DISTINCT LEAST(subj, obj) AS u,
+                              GREATEST(subj, obj) AS v
+                       FROM g WHERE subj <> obj),
+                 N AS (SELECT u AS node, v AS nbr FROM E
+                       UNION ALL SELECT v, u FROM E),
+                 d AS (SELECT node, COUNT(*) AS deg FROM N GROUP BY node),
+                 s AS (SELECT x.node AS na, y.node AS nb, COUNT(*) AS sh
+                       FROM N x JOIN N y
+                         ON y.nbr = x.nbr AND x.node < y.node
+                       GROUP BY x.node, y.node)
+            SELECT s.na AS node_a, s.nb AS node_b,
+                   CAST(s.sh AS BIGINT) AS shared,
+                   CAST(da.deg AS BIGINT) AS deg_a,
+                   CAST(db.deg AS BIGINT) AS deg_b,
+                   CAST((1000000 * s.sh) // (da.deg + db.deg - s.sh)
+                        AS BIGINT) AS jaccard_ppm
+            FROM s JOIN d da ON da.node = s.na JOIN d db ON db.node = s.nb
+            ORDER BY jaccard_ppm DESC, node_a, node_b
+            LIMIT 100
+        """,
         "kg_graph_nodes": f"""
             WITH t AS (SELECT * FROM {exp('expected_triples')}
                        WHERE pred <> '_FAILED'),

@@ -654,3 +654,197 @@ def kcore(edges: rd.Dataset | None = None, *, pairs: rd.Dataset | None = None,
                          "degree": b.column("deg")})
 
     return _uv_degrees(cur).map_batches(rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# node similarity (neighborhood Jaccard — the GDS nodeSimilarity analog)
+# ---------------------------------------------------------------------------
+
+_SIM_EMPTY = pa.schema([("a", pa.string()), ("b", pa.string()),
+                        ("c", pa.int64())])
+_SIM_OUT_COLS = ["node_a", "node_b", "shared", "deg_a", "deg_b",
+                 "jaccard_ppm"]
+
+
+def node_similarity(edges: rd.Dataset | None = None, *,
+                    pairs: rd.Dataset | None = None, top_k: int = 100,
+                    max_witness_degree: int | None = None) -> rd.Dataset:
+    """Neighborhood Jaccard over the undirected self-loop-free pair set —
+    what a reference user runs as ``gds.nodeSimilarity`` in Neo4j
+    (reference loads the graph for exactly this class of analytics;
+    cf. /root/reference/src README pipeline). For every unordered node
+    pair sharing >=1 neighbor: ``jaccard = |N(a) & N(b)| / |N(a) | N(b)|``,
+    reported in integer MICRO-units (``jaccard_ppm = (1_000_000*shared) //
+    (deg_a+deg_b-shared)``, floor — all terms positive so DuckDB's
+    truncating ``//`` agrees) so distributed results stay bit-exact under
+    the driver's hash gate (same rationale as pagerank's micro-units).
+    Output: global ``top_k`` rows by (jaccard_ppm desc, node_a, node_b) —
+    a total order, since pair keys are unique.
+
+    Scale shape: exact all-pairs similarity is inherently
+    Theta(sum_w deg(w)^2) over witnesses w — the same cost Neo4j GDS pays.
+    Candidate pairs are generated per WITNESS (one exchange on the witness
+    id; vectorized triu over its sorted neighbor array) with a per-(a, b)
+    partial combine inside the block before the pair exchange, then two
+    tag-union exchange hops attach the endpoint degrees (the triangle
+    pattern). Per-partition partial top-k bounds the merge input at
+    top_k x P rows regardless of graph size. ``max_witness_degree`` (the
+    GDS degreeCutoff analog) optionally skips super-hub witnesses — at
+    web scale a (doc)-[:mentions]->(entity) hub with 10^6 neighbors would
+    otherwise emit 10^12 candidate pairs; the check is FREE (the witness's
+    group size IS its degree). It changes reported shared counts, so the
+    query surface runs with it off and any oracle must mirror it when set.
+    """
+    pairs = (pairs if pairs is not None
+             else undirected_pairs(edges)).materialize()
+
+    deg = reduce_blocks(pairs.map_batches(_endpoint_counts_uv,
+                                          batch_format="pyarrow"),
+                        ["node"], _sum_c_per("node", "deg")).materialize()
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([("w", pa.string()),
+                              ("x", pa.string())]).empty_table()
+        return pa.table({
+            "w": pa.chunked_array([b.column("u"), b.column("v")]).combine_chunks(),
+            "x": pa.chunked_array([b.column("v"), b.column("u")]).combine_chunks()})
+
+    def witness_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """All unordered neighbor pairs of each witness, partial-combined
+        per (a, b) within the block (exchange skew discipline).
+
+        Strings are factorized ONCE per block with sort=True, so integer
+        code comparison == string comparison (the pair key (a < b) and the
+        final decode stay consistent with the oracle's string ordering);
+        the per-witness loop then touches only int32/int64 arrays and the
+        per-(a, b) combine is a single np.unique over encoded int64 keys —
+        no per-witness DataFrames, no object-dtype groupby."""
+        empty = pd.DataFrame({"a": pd.Series(dtype="object"),
+                              "b": pd.Series(dtype="object"),
+                              "c": pd.Series(dtype="int64")})
+        if df.empty:
+            return empty
+        xcodes, uniq = pd.factorize(df["x"], sort=True)
+        wcodes, _ = pd.factorize(df["w"], sort=False)
+        order = np.argsort(wcodes, kind="stable")
+        wc, xc = wcodes[order], xcodes[order]
+        starts = np.flatnonzero(np.r_[True, wc[1:] != wc[:-1]])
+        ends = np.r_[starts[1:], len(wc)]
+        a_parts, b_parts = [], []
+        for s0, e0 in zip(starts, ends):
+            m = e0 - s0
+            if m < 2 or (max_witness_degree is not None
+                         and m > max_witness_degree):
+                continue
+            nb = np.sort(xc[s0:e0])
+            iu, ju = np.triu_indices(m, 1)
+            a_parts.append(nb[iu])
+            b_parts.append(nb[ju])
+        if not a_parts:
+            return empty
+        n = len(uniq)
+        key = (np.concatenate(a_parts).astype(np.int64) * n
+               + np.concatenate(b_parts))
+        uk, counts = np.unique(key, return_counts=True)
+        ua = np.asarray(uniq)
+        return pd.DataFrame({"a": ua[uk // n], "b": ua[uk % n],
+                             "c": counts.astype(np.int64)})
+
+    def sum_shared(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"a": pd.Series(dtype="object"),
+                                 "b": pd.Series(dtype="object"),
+                                 "c": pd.Series(dtype="int64")})
+        return (df.groupby(["a", "b"], sort=False)["c"].sum()
+                .reset_index().astype({"c": "int64"}))
+
+    shared = reduce_blocks(
+        reduce_blocks(pairs.map_batches(both_dirs, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                      ["w"], witness_pairs, batch_format="pandas",
+                      coalesce_rows=None),
+        ["a", "b"], sum_shared, batch_format="pandas", coalesce_rows=None)
+
+    # ---- attach deg(a) then deg(b): tag-union exchange hops --------------
+    def deg_tag(b: pa.Table) -> pa.Table:
+        return pa.table({"k": b.column("node"),
+                         "other": pa.nulls(b.num_rows, pa.string()),
+                         "sh": pa.nulls(b.num_rows, pa.int64()),
+                         "da": pa.nulls(b.num_rows, pa.int64()),
+                         "d": b.column("deg"),
+                         "t": pa.array(np.ones(b.num_rows, np.int8))})
+
+    def pair_tag_a(b: pa.Table) -> pa.Table:
+        return pa.table({"k": b.column("a"), "other": b.column("b"),
+                         "sh": b.column("c"),
+                         "da": pa.nulls(b.num_rows, pa.int64()),
+                         "d": pa.nulls(b.num_rows, pa.int64()),
+                         "t": pa.array(np.zeros(b.num_rows, np.int8))})
+
+    def attach_a(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or not (df["t"] == 0).any():
+            return pd.DataFrame({"k": pd.Series(dtype="object"),
+                                 "other": pd.Series(dtype="object"),
+                                 "sh": pd.Series(dtype="int64"),
+                                 "da": pd.Series(dtype="int64")})
+        p = df[df["t"] == 0]
+        d = df[df["t"] == 1].set_index("k")["d"]
+        return pd.DataFrame({
+            # re-key on b for the second hop
+            "k": p["other"].to_numpy(),
+            "other": p["k"].to_numpy(),
+            "sh": p["sh"].to_numpy().astype(np.int64),
+            "da": d.reindex(p["k"]).to_numpy().astype(np.int64)})
+
+    hop1 = reduce_blocks(
+        shared.map_batches(pair_tag_a, batch_format="pyarrow").union(
+            deg.map_batches(deg_tag, batch_format="pyarrow")),
+        ["k"], attach_a, batch_format="pandas", coalesce_rows=None)
+
+    def hop1_tag(b: pa.Table) -> pa.Table:
+        return pa.table({"k": b.column("k"), "other": b.column("other"),
+                         "sh": b.column("sh"), "da": b.column("da"),
+                         "d": pa.nulls(b.num_rows, pa.int64()),
+                         "t": pa.array(np.zeros(b.num_rows, np.int8))})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        """Attach deg(b), compute integer-ppm Jaccard, and keep only this
+        partition's top_k (valid partial for a global top-k merge: each
+        (a, b) pair lives in exactly one partition of the k=b exchange)."""
+        empty = pd.DataFrame({c: pd.Series(dtype="object" if c.startswith("node")
+                                           else "int64")
+                              for c in _SIM_OUT_COLS})
+        if df.empty or not (df["t"] == 0).any():
+            return empty
+        p = df[df["t"] == 0]
+        d = df[df["t"] == 1].set_index("k")["d"]
+        sh = p["sh"].to_numpy().astype(np.int64)
+        da = p["da"].to_numpy().astype(np.int64)
+        db = d.reindex(p["k"]).to_numpy().astype(np.int64)
+        ppm = (1_000_000 * sh) // (da + db - sh)
+        out = pd.DataFrame({"node_a": p["other"].to_numpy(),
+                            "node_b": p["k"].to_numpy(),
+                            "shared": sh, "deg_a": da, "deg_b": db,
+                            "jaccard_ppm": ppm})
+        return (out.sort_values(["jaccard_ppm", "node_a", "node_b"],
+                                ascending=[False, True, True], kind="stable")
+                .head(top_k))
+
+    tops = reduce_blocks(
+        hop1.map_batches(hop1_tag, batch_format="pyarrow").union(
+            deg.map_batches(deg_tag, batch_format="pyarrow")),
+        ["k"], finish, batch_format="pandas", coalesce_rows=None)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({c: pd.Series(dtype="object" if c.startswith("node")
+                                              else "int64")
+                                 for c in _SIM_OUT_COLS})
+        return (df.sort_values(["jaccard_ppm", "node_a", "node_b"],
+                               ascending=[False, True, True], kind="stable")
+                .head(top_k).reset_index(drop=True))
+
+    # <= top_k x P rows by construction: a single-block merge is safe
+    return tops.repartition(1).map_batches(merge, batch_format="pandas",
+                                           batch_size=None)

@@ -181,3 +181,64 @@ def test_kcore(ray_session):
         got = {r["node_id"]: r["degree"]
                for r in kcore(_edges_ds(), k=k).take_all()}
         assert got == reference(EDGES, k), k
+
+
+def _undirected_adj():
+    """Distinct self-loop-free undirected adjacency of EDGES."""
+    pairs = {tuple(sorted((s, o))) for s, _, o in EDGES if s != o}
+    adj = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    return adj
+
+
+def test_node_similarity_matches_bruteforce(ray_session):
+    from neo4j_tkapi_ray.ops.graph import node_similarity
+
+    adj = _undirected_adj()
+    want = {}
+    for a, b in combinations(sorted(adj), 2):
+        shared = len(adj[a] & adj[b])
+        if shared == 0:
+            continue
+        union = len(adj[a]) + len(adj[b]) - shared
+        want[(a, b)] = (shared, len(adj[a]), len(adj[b]),
+                        (1_000_000 * shared) // union)
+
+    got = node_similarity(_edges_ds(), top_k=1000).to_pandas()
+    got_map = {(r.node_a, r.node_b): (r.shared, r.deg_a, r.deg_b,
+                                      r.jaccard_ppm)
+               for r in got.itertuples()}
+    assert got_map == want
+    # output ordering: (jaccard_ppm desc, node_a, node_b)
+    key = list(zip(-got["jaccard_ppm"], got["node_a"], got["node_b"]))
+    assert key == sorted(key)
+    # top_k cap + determinism of the cut
+    top3 = node_similarity(_edges_ds(), top_k=3).to_pandas()
+    assert len(top3) == 3
+    assert list(map(tuple, top3.values)) == list(map(tuple, got.head(3).values))
+
+
+def test_node_similarity_witness_degree_cutoff(ray_session):
+    """max_witness_degree excludes super-hub witnesses from pair
+    generation (the GDS degreeCutoff analog) — pairs witnessed ONLY by a
+    node of degree > cap disappear, shared counts through it drop by 1."""
+    from neo4j_tkapi_ray.ops.graph import node_similarity
+
+    adj = _undirected_adj()
+    cap = 4  # h has degree 5 -> excluded as a witness
+    want = {}
+    for a, b in combinations(sorted(adj), 2):
+        shared_w = [w for w in adj[a] & adj[b] if len(adj[w]) <= cap]
+        full_shared = len(adj[a] & adj[b])
+        if not shared_w:
+            continue
+        union = len(adj[a]) + len(adj[b]) - full_shared
+        # NOTE deg/union stay FULL — only witnessing is capped
+        want[(a, b)] = len(shared_w)
+
+    got = node_similarity(_edges_ds(), top_k=1000,
+                          max_witness_degree=cap).to_pandas()
+    got_sh = {(r.node_a, r.node_b): r.shared for r in got.itertuples()}
+    assert got_sh == want
