@@ -521,6 +521,7 @@ _SWEEP_FRONT = [
     "kg_wcc",                    # NEW in round 4 — never driver-checked
     "pack_sequences",            # NEW in round 4 — never driver-checked
     "pack_stats",                # NEW in round 4 — never driver-checked
+    "chunk_documents",           # NEW in round 4 — never driver-checked
     "embedding_kmeans",          # NEW in round 4 — never driver-checked
     "kg_kcore",                  # NEW in round 4 — never driver-checked
     "cluster_sample",            # NEW in round 4 — never driver-checked
@@ -554,8 +555,9 @@ _SWEEP_FRONT = [
     "global_length_rank",
     "top_tfidf_terms",
     # remaining slots — high-value r03-green flagship surfaces
+    # (kg_nodes rotated to the tail to admit chunk_documents; r03-green
+    # on code unchanged since)
     "kg_edges",
-    "kg_nodes",
     # (kg_docs_text / minhash_neardup / neardup_groups / curate_docs /
     # media_decode / kg_graph_nodes / kg_graph_edges rotate to the tail
     # this round — r03-green on code unchanged since — to keep the window
@@ -613,6 +615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ops/clustering.py)
         "pack_sequences": packing.pack_sequences,            # SQL-checkable
         "pack_stats": packing.pack_stats,                    # SQL-checkable
+        "chunk_documents": packing.chunk_documents,          # SQL-checkable
         "embedding_kmeans": clustering.embedding_kmeans,     # SQL-checkable
         "cluster_sample": clustering.cluster_sample,         # SQL-checkable
         # graph analytics over the constructed KG (round 3; ops/graph.py)
@@ -1740,6 +1743,11 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         # unrolled integer Lloyd's (ops/clustering contract)
         "pack_sequences": _pack_sql("pack_sequences"),
         "pack_stats": _pack_sql("pack_stats"),
+        # sliding token-window chunking: unnest chunk ordinals + 1-based
+        # inclusive list slice (ops/packing.chunk_documents contract)
+        "chunk_documents": __import__(
+            "neo4j_tkapi_ray.ops.packing",
+            fromlist=["x"]).chunk_documents_sql(),
         "embedding_kmeans": __import__(
             "neo4j_tkapi_ray.ops.clustering",
             fromlist=["x"]).embedding_kmeans_sql(),

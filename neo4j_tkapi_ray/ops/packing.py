@@ -171,3 +171,109 @@ def pack_stats_sql(window: int = DEFAULT_WINDOW,
                    AS fill_micro
         FROM packed GROUP BY shard_id, pack_id
     """
+
+
+DEFAULT_CHUNK_WINDOW = 32
+DEFAULT_CHUNK_STRIDE = 24
+
+_CHUNK_EMPTY = pa.schema([("doc_id", pa.int64()), ("chunk_id", pa.int64()),
+                          ("start_tok", pa.int64()),
+                          ("n_chunk_tokens", pa.int64()),
+                          ("chunk_text", pa.string())])
+
+
+def chunk_documents(sf_dir: str, window: int = DEFAULT_CHUNK_WINDOW,
+                    stride: int = DEFAULT_CHUNK_STRIDE) -> rd.Dataset:
+    """Sliding token-window chunking: split each document's whitespace
+    tokens into overlapping chunks of ``window`` tokens every ``stride``
+    tokens — the context-window chunking step of LLM training prep (long
+    documents become several training sequences with ``window - stride``
+    tokens of overlap).
+
+    Chunk ``k`` spans tokens ``[k*stride, k*stride + window)`` and exists
+    iff ``k*stride < n_tokens`` (so every token lands in >=1 chunk and no
+    empty chunks are emitted; empty documents produce no rows).
+    ``chunk_text`` re-joins the token slice with single spaces — both the
+    engine (``binary_join``) and the oracle (``array_to_string``) perform
+    the same join, so whitespace inside the original text never has to
+    round-trip.
+
+    Columns: ``doc_id, chunk_id, start_tok, n_chunk_tokens, chunk_text``.
+
+    Scale shape: map-only fan-out (no exchange); output rows ~= n_tokens /
+    stride per doc. The per-batch loop is over CHUNK ORDINALS (max
+    ceil(max_tokens/stride) iterations, each fully vectorized over every
+    doc long enough: mask -> filter -> ``list_slice`` -> ``binary_join``),
+    never over rows. The slice bounds are the same for all docs at a given
+    ordinal, which is what makes the scalar-bound ``list_slice`` kernel
+    usable — the classic loop-over-the-short-axis trick.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        trimmed = ws_strip(batch.column("text").combine_chunks())
+        toks = pc.split_pattern_regex(trimmed, _WS)
+        n = pc.list_value_length(toks).cast(pa.int64())
+        n = pc.if_else(pc.equal(pc.utf8_length(trimmed), 0),
+                       pa.scalar(0, pa.int64()), n)
+        n_np = n.to_numpy(zero_copy_only=False)
+        doc_id = batch.column("doc_id").combine_chunks()
+        out: list[pa.Table] = []
+        max_k = int(-(-n_np.max() // stride)) if len(n_np) else 0
+        for k in range(max_k):
+            start = k * stride
+            mask = n_np > start
+            if not mask.any():
+                break
+            pamask = pa.array(mask)
+            sub_toks = toks.filter(pamask)
+            sub_n = n_np[mask]
+            sliced = pc.list_slice(sub_toks, start, start + window)
+            m = int(mask.sum())
+            out.append(pa.table({
+                "doc_id": doc_id.filter(pamask),
+                "chunk_id": pa.array(np.full(m, k, np.int64)),
+                "start_tok": pa.array(np.full(m, start, np.int64)),
+                "n_chunk_tokens": pa.array(
+                    np.minimum(window, sub_n - start).astype(np.int64)),
+                "chunk_text": pc.binary_join(sliced, " "),
+            }))
+        if not out:
+            return _CHUNK_EMPTY.empty_table()
+        return pa.concat_tables(out)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chunk_documents_sql(window: int = DEFAULT_CHUNK_WINDOW,
+                        stride: int = DEFAULT_CHUNK_STRIDE) -> str:
+    """DuckDB oracle: unnest chunk ordinals per doc, 1-based inclusive list
+    slice + array_to_string — same join-with-space semantics as the engine
+    kernel. Reads the driver-registered ``documents`` view."""
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(
+                       regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                       '\\s+') AS toks,
+                   CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g')
+                             = '' THEN 0
+                        ELSE len(string_split_regex(
+                                 regexp_replace(text, '^\\s+|\\s+$', '',
+                                                'g'), '\\s+')) END AS n
+            FROM documents
+        ), k AS (
+            SELECT doc_id, toks, n,
+                   unnest(range(0, (n + {stride} - 1) // {stride}))
+                       AS chunk_id
+            FROM t WHERE n > 0
+        )
+        SELECT doc_id, chunk_id,
+               chunk_id * {stride} AS start_tok,
+               least({window}, n - chunk_id * {stride}) AS n_chunk_tokens,
+               array_to_string(
+                   toks[chunk_id * {stride} + 1 :
+                        chunk_id * {stride} + {window}], ' ') AS chunk_text
+        FROM k
+    """
