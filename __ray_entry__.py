@@ -527,6 +527,7 @@ _SWEEP_FRONT = [
     "cluster_sample",            # NEW in round 4 — never driver-checked
     "normalize_text",            # NEW in round 4 — never driver-checked
     "kg_node_similarity",        # NEW in round 4 — never driver-checked
+    "oov_rate",                  # NEW in round 4 — never driver-checked
     # group 2 — r02-green, missed r03's window
     "kg_interruption_types",
     "kg_interruption_topics",
@@ -554,10 +555,8 @@ _SWEEP_FRONT = [
     "length_quantiles",
     "global_length_rank",
     "top_tfidf_terms",
-    # remaining slots — high-value r03-green flagship surfaces
-    # (kg_nodes rotated to the tail to admit chunk_documents; r03-green
-    # on code unchanged since)
-    "kg_edges",
+    # (kg_nodes rotated to the tail to admit chunk_documents, kg_edges to
+    # admit oov_rate; both r03-green on code unchanged since)
     # (kg_docs_text / minhash_neardup / neardup_groups / curate_docs /
     # media_decode / kg_graph_nodes / kg_graph_edges rotate to the tail
     # this round — r03-green on code unchanged since — to keep the window
@@ -688,6 +687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": textstats.token_counts,              # SQL-checkable
         "bpe_token_counts": textstats.bpe_token_counts,      # SQL-checkable
         "normalize_text": textstats.normalize_text,          # SQL-checkable
+        "oov_rate": textstats.oov_rate,                      # SQL-checkable
         "ann_topk": lambda sf: ann.brute_force_topk(sf, n_queries=5, k=5),  # SQL-checkable
         # threshold 0.3: the synthetic embeddings are near-orthogonal (max
         # in-block cosine ~0.47), so a classic 0.9 near-dup threshold would
@@ -1535,6 +1535,30 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
                    length(text) AS n_chars,
                    length(norm_text) AS n_chars_norm
             FROM n
+        """,
+        # vocabulary = top-V tokens by total count (ties: token asc) —
+        # identical boundary rule on both sides; rate rounded half-away 5dp
+        "oov_rate": """
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS t
+                FROM documents),
+                 toks AS (
+                SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS token
+                FROM d WHERE t <> ''),
+                 gt AS (SELECT token, COUNT(*) AS ct FROM toks GROUP BY token),
+                 vocab AS (SELECT token FROM gt
+                           ORDER BY ct DESC, token LIMIT 20),
+                 per AS (
+                SELECT tk.doc_id, COUNT(*) AS n_tokens,
+                       SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                           AS n_oov
+                FROM toks tk LEFT JOIN vocab v USING (token)
+                GROUP BY tk.doc_id)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_oov AS BIGINT) AS n_oov,
+                   ROUND(n_oov / CAST(n_tokens AS DOUBLE), 5) AS oov_rate
+            FROM per
         """,
         "bpe_token_counts": """
             SELECT doc_id,

@@ -425,3 +425,121 @@ def normalize_text(sf_dir: str) -> rd.Dataset:
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def oov_rate(sf_dir: str, vocab_size: int = 20) -> rd.Dataset:
+    """Out-of-vocabulary rate per document against the corpus' own
+    top-``vocab_size`` token vocabulary — the tokenizer-coverage /
+    domain-shift signal a training-data pipeline computes before fixing a
+    tokenizer vocab (high OOV flags code, tables, non-target languages).
+
+    Tokenization is the module's shared kernel (RE2 ``\\s`` edge strip +
+    ``\\s+`` split, case-sensitive — same class/engine as the oracle's
+    ``string_split_regex``). Vocabulary = the ``vocab_size`` tokens with
+    the highest total occurrence count, ties broken token ASC, so the
+    boundary is deterministic on both sides. (Default 20: the synthetic
+    corpus has only 31 distinct tokens, so a realistic 10k-100k vocab
+    would be degenerate — 20 keeps the OOV selection path exercised, the
+    same calibration note as embedding_neardup's 0.3 threshold.)
+
+    Scale shape (nothing corpus-sized touches the driver):
+      pass 1  per-batch (token, c) Arrow group_by partials — one row per
+              distinct token per batch, never one per occurrence;
+      hop 1   exchange by token → per-partition global sum + partial
+              top-V (≤ V rows leave each partition; the global top-V is a
+              subset of the union of per-partition top-Vs because each
+              token's total is wholly within one partition);
+      merge   one tiny block picks the global top-V — the only
+              driver-held set, bounded at V rows regardless of corpus;
+      scan    vocab broadcast ONCE via ``ray.put`` (an Arrow string array,
+              zero-copy per task); one map_batches over documents runs a
+              vectorized ``pc.is_in`` membership scan per batch.
+
+    Output: (doc_id, n_tokens, n_oov, oov_rate) for docs with ≥1 token;
+    oov_rate rounded half-away at 5dp to match DuckDB ROUND.
+    """
+    import pandas as pd
+    import ray
+
+    from ..exchange import reduce_blocks
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    _empty = pa.table({"token": pa.array([], pa.string()),
+                       "c": pa.array([], pa.int64())})
+
+    def _tok(b: pa.Table):
+        """trim → mask whitespace-only docs → split; returns (list_array,
+        flat_tokens). A whitespace-only doc would split to [''] — the
+        nonempty mask nulls it out first (same rule as unigram_logprob)."""
+        trimmed = ws_strip(b.column("text").combine_chunks())
+        nonempty = pc.greater(pc.utf8_length(trimmed), 0)
+        toks = pc.split_pattern_regex(pc.if_else(nonempty, trimmed, None), _WS)
+        return toks, pc.list_flatten(toks)
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _empty
+        _, flat = _tok(b)
+        if len(flat) == 0:
+            return _empty
+        g = pa.table({"token": flat}).group_by("token").aggregate(
+            [([], "count_all")])
+        return pa.table({"token": g.column("token"),
+                         "c": g.column("count_all").cast(pa.int64())})
+
+    partials = docs.map_batches(partial_counts, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def partition_top(b: pa.Table) -> "pd.DataFrame":
+        empty = pd.DataFrame({"token": pd.Series(dtype="object"),
+                              "c": pd.Series(dtype="int64")})
+        if b.num_rows == 0:
+            return empty
+        agg = (b.group_by("token").aggregate([("c", "sum")]).to_pandas()
+               .rename(columns={"c_sum": "c"}))
+        return (agg.sort_values(["c", "token"], ascending=[False, True],
+                                kind="stable")
+                .head(vocab_size).astype({"c": "int64"}))
+
+    tops = reduce_blocks(partials, ["token"], partition_top,
+                         batch_format="pyarrow")
+    # ≤ V×P candidate rows by construction → a single-block merge is safe;
+    # the V vocab rows are the only data the driver ever holds
+    merged = (tops.repartition(1).to_pandas()
+              .sort_values(["c", "token"], ascending=[False, True],
+                           kind="stable").head(vocab_size))
+    vocab_ref = ray.put(pa.array(merged["token"].to_numpy(), pa.string()))
+
+    def scan(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "n_oov": pa.array([], pa.int64()),
+                          "oov_rate": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        toks, flat = _tok(b)
+        if len(flat) == 0:
+            return empty
+        in_vocab = pc.is_in(flat, value_set=ray.get(vocab_ref))
+        lens = np.diff(toks.offsets.to_numpy())
+        doc_idx = np.repeat(np.arange(b.num_rows), lens)
+        hits = np.bincount(
+            doc_idx, weights=in_vocab.to_numpy(zero_copy_only=False),
+            minlength=b.num_rows)
+        n_tok = np.bincount(doc_idx, minlength=b.num_rows)
+        keep = n_tok > 0
+        n_tok_k = n_tok[keep].astype(np.int64)
+        n_oov = n_tok_k - hits[keep].astype(np.int64)
+        rate = n_oov / n_tok_k
+        # half-away at 5dp (rate ≥ 0, so plain floor(x*1e5+0.5) suffices)
+        r5 = np.floor(rate * 1e5 + 0.5) / 1e5
+        return pa.table({
+            "doc_id": b.column("doc_id").to_numpy()[keep],
+            "n_tokens": pa.array(n_tok_k, pa.int64()),
+            "n_oov": pa.array(n_oov, pa.int64()),
+            "oov_rate": pa.array(r5, pa.float64()),
+        })
+
+    return docs.map_batches(scan, batch_format="pyarrow",
+                            zero_copy_batch=True)

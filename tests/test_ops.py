@@ -578,3 +578,29 @@ def test_normalize_text_planted_parity(ray_session, tmp_path):
     assert by[3] == ""
     assert by[5] == "\u00c5 vs \u00c5"
     assert ours.set_index("doc_id").loc[4, "changed"] == 0
+
+
+def test_oov_rate_planted(ray_session, tmp_path):
+    """OOV rate on a hand-built corpus with a TIE at the vocab boundary:
+    vocab_size=1 over counts {b:3, c:3, a:2} must pick {b} (count desc,
+    token asc — 'b' beats 'c' on the tie), so every 'a' and 'c' is OOV.
+    Whitespace-only docs are absent; rate is rounded half-away at 5dp."""
+    from neo4j_tkapi_ray.ops.textstats import oov_rate
+
+    rows = [
+        {"doc_id": 0, "text": "a b c"},        # 1/3 OOV
+        {"doc_id": 1, "text": " b  c "},       # 1/2 OOV (edge strip)
+        {"doc_id": 2, "text": "a b"},          # 0 OOV
+        {"doc_id": 3, "text": "c"},            # all OOV
+        {"doc_id": 4, "text": "  \t "},        # whitespace-only -> absent
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    out = (oov_rate(str(tmp_path), vocab_size=1).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert set(out.index) == {0, 1, 2, 3}
+    assert out["n_tokens"].tolist() == [3, 2, 2, 1]
+    assert out["n_oov"].tolist() == [2, 1, 1, 1]
+    assert out.loc[0, "oov_rate"] == 0.66667  # half-away 5dp of 2/3
+    assert out.loc[1, "oov_rate"] == 0.5
+    assert out.loc[2, "oov_rate"] == 0.5
+    assert out.loc[3, "oov_rate"] == 1.0
