@@ -528,6 +528,7 @@ _SWEEP_FRONT = [
     "normalize_text",            # NEW in round 4 — never driver-checked
     "kg_node_similarity",        # NEW in round 4 — never driver-checked
     "oov_rate",                  # NEW in round 4 — never driver-checked
+    "mixture_sample",            # NEW in round 4 — never driver-checked
     # group 2 — r02-green, missed r03's window
     "kg_interruption_types",
     "kg_interruption_topics",
@@ -554,7 +555,8 @@ _SWEEP_FRONT = [
     "token_doc_freq",
     "length_quantiles",
     "global_length_rank",
-    "top_tfidf_terms",
+    # (top_tfidf_terms rotated to the tail to admit mixture_sample;
+    # r02-green on code unchanged since)
     # (kg_nodes rotated to the tail to admit chunk_documents, kg_edges to
     # admit oov_rate; both r03-green on code unchanged since)
     # (kg_docs_text / minhash_neardup / neardup_groups / curate_docs /
@@ -688,6 +690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": textstats.bpe_token_counts,      # SQL-checkable
         "normalize_text": textstats.normalize_text,          # SQL-checkable
         "oov_rate": textstats.oov_rate,                      # SQL-checkable
+        "mixture_sample": sampling.mixture_sample,           # SQL-checkable
         "ann_topk": lambda sf: ann.brute_force_topk(sf, n_queries=5, k=5),  # SQL-checkable
         # threshold 0.3: the synthetic embeddings are near-orthogonal (max
         # in-block cosine ~0.47), so a classic 0.9 near-dup threshold would
@@ -1559,6 +1562,30 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
                    CAST(n_oov AS BIGINT) AS n_oov,
                    ROUND(n_oov / CAST(n_tokens AS DOUBLE), 5) AS oov_rate
             FROM per
+        """,
+        # per-source token-budget greedy prefix in Knuth-hash order; a doc
+        # is selected while the running total BEFORE it is under budget
+        "mixture_sample": """
+            WITH tok AS (
+                SELECT doc_id, source,
+                       CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g')
+                                 = '' THEN 0
+                            ELSE len(string_split_regex(
+                                regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                                '\\s+')) END AS n_tokens,
+                       (CAST(doc_id AS HUGEINT) * 2654435761)
+                           % 4294967296 AS key
+                FROM documents),
+                 w AS (
+                SELECT doc_id, source, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           PARTITION BY source ORDER BY key, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cum_before
+                FROM tok)
+            SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(cum_before + n_tokens AS BIGINT) AS cum_tokens
+            FROM w WHERE cum_before < 600
         """,
         "bpe_token_counts": """
             SELECT doc_id,

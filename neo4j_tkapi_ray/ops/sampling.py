@@ -474,3 +474,97 @@ def top_ngrams(sf_dir: str, top_k: int = 100) -> rd.Dataset:
     # <= top_k x P rows by construction: a single-block merge is safe
     return tops.repartition(1).map_batches(merge, batch_format="pandas",
                                            batch_size=None)
+
+
+def mixture_sample(sf_dir: str, budget_tokens: int = 600) -> rd.Dataset:
+    """Per-source token-budget selection — the data-MIXTURE construction
+    step of training-data prep: each source (domain/provenance bucket)
+    contributes documents in a deterministic pseudo-random order until its
+    token budget is filled (greedy prefix: a doc is selected while the
+    running total BEFORE it is under budget, so the boundary doc that
+    crosses the budget is included and every non-empty source contributes
+    at least one doc).
+
+    Order within a source is the Knuth multiplicative hash of doc_id
+    (``_sample_key`` — the module's oracle-computable shuffle), ties by
+    doc_id, so the "random" prefix is reproducible and SQL-checkable.
+
+    Scale shape — a distributed per-source PREFIX SUM, no global sort
+    (the two-phase histogram trick of ``global_length_rank`` generalized
+    to running totals):
+      pass 1  per-batch (source, bucket, sum_tokens) partials, where
+              bucket = key >> 24 (256 key-range buckets whose order is
+              prefix-compatible with the key order); the driver holds
+              only the #sources x 256 offset table and broadcasts the
+              per-(source,bucket) base offsets;
+      pass 2  exchange by (source, bucket) — each block holds every row
+              of its (source,bucket) cells, sorts by (key, doc_id),
+              cumsums, adds the broadcast base, filters. A hot source is
+              split 256 ways by the bucket (add key bits for finer
+              splits); rows cross the wire once.
+
+    Output: (doc_id, source, n_tokens, cum_tokens) for selected docs,
+    cum_tokens = inclusive running total in selection order.
+    """
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "text"])
+
+    def with_key(b: pa.Table) -> pa.Table:
+        n_tok = pc.count_substring_regex(b.column("text"),
+                                         r"\S+").cast(pa.int64())
+        key = _sample_key(b.column("doc_id"))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "source": b.column("source"),
+                         "n_tokens": n_tok,
+                         "key": pa.array(key.astype(np.int64), pa.int64()),
+                         "bucket": pa.array((key >> np.uint64(24))
+                                            .astype(np.int64), pa.int64())})
+
+    keyed = docs.map_batches(with_key, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def partial_sums(b: pa.Table) -> pa.Table:
+        g = b.select(["source", "bucket", "n_tokens"]).group_by(
+            ["source", "bucket"]).aggregate([("n_tokens", "sum")])
+        return pa.table({"source": g.column("source"),
+                         "bucket": g.column("bucket"),
+                         "s": g.column("n_tokens_sum").cast(pa.int64())})
+
+    # the offset table is #sources x 256 rows — the only driver-held object
+    hist = (keyed.map_batches(partial_sums, batch_format="pyarrow")
+            .to_pandas().groupby(["source", "bucket"], sort=True)["s"].sum()
+            .reset_index())
+    hist["base"] = (hist.groupby("source", sort=False)["s"].cumsum()
+                    - hist["s"])
+    base_ref = ray.put(dict(zip(zip(hist["source"], hist["bucket"]),
+                                hist["base"].astype(np.int64))))
+
+    def select_block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "source": pd.Series(dtype="object"),
+                              "n_tokens": pd.Series(dtype="int64"),
+                              "cum_tokens": pd.Series(dtype="int64")})
+        if df.empty:
+            return empty
+        base = ray.get(base_ref)
+        df = df.sort_values(["source", "bucket", "key", "doc_id"],
+                            kind="stable")
+        cum = df.groupby(["source", "bucket"], sort=False)["n_tokens"].cumsum()
+        before = (cum - df["n_tokens"]).to_numpy()
+        off = np.fromiter((base[k] for k in zip(df["source"], df["bucket"])),
+                          dtype=np.int64, count=len(df))
+        cum_before = before + off
+        keep = cum_before < budget_tokens
+        if not keep.any():
+            return empty
+        sel = df[keep]
+        return pd.DataFrame({
+            "doc_id": sel["doc_id"].astype("int64"),
+            "source": sel["source"],
+            "n_tokens": sel["n_tokens"].astype("int64"),
+            "cum_tokens": (cum_before[keep]
+                           + sel["n_tokens"].to_numpy()).astype("int64"),
+        })
+
+    return reduce_blocks(keyed, ["source", "bucket"], select_block,
+                         batch_format="pandas")

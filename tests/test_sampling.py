@@ -262,3 +262,31 @@ def test_top_ngrams_counts_and_ranks(ray_session):
         expected += sum(1 for i in range(len(toks) - 1)
                         if toks[i] == a and toks[i + 1] == b)
     assert int(out["n_occ"].iloc[0]) == expected
+
+
+def test_mixture_sample_greedy_prefix(ray_session, tmp_path):
+    """Token-budget mixture selection: Knuth-key order within source is
+    doc0 (key 0) -> doc2 -> doc4 -> doc1 -> doc3; with budget=4 the doc
+    that CROSSES the budget (cum_before < budget) is still selected, and
+    the second source fills independently."""
+    import pandas as pd
+
+    from neo4j_tkapi_ray.ops.sampling import mixture_sample
+
+    rows = [
+        {"doc_id": 0, "source": "a", "text": "t t t"},    # key order 1, 3 tok
+        {"doc_id": 1, "source": "a", "text": "t t t t"},  # key order 4
+        {"doc_id": 2, "source": "a", "text": "t t"},      # key order 2, 2 tok
+        {"doc_id": 3, "source": "a", "text": "t"},        # key order 5
+        {"doc_id": 4, "source": "a", "text": "t"},        # key order 3
+        {"doc_id": 5, "source": "b", "text": "x x x x x x x x x x"},  # 10 tok
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    out = (mixture_sample(str(tmp_path), budget_tokens=4).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # source a: doc0 (cum_before 0 < 4, cum 3), doc2 (cum_before 3 < 4,
+    # cum 5 — crosses budget, still in), doc4 (cum_before 5 — out)
+    # source b: doc5 (cum_before 0 < 4, cum 10)
+    assert out["doc_id"].tolist() == [0, 2, 5]
+    assert out["cum_tokens"].tolist() == [3, 5, 10]
+    assert out["n_tokens"].tolist() == [3, 2, 10]
