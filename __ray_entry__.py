@@ -426,6 +426,41 @@ def _kg_node_similarity(sf_dir: str):
     return node_similarity(_graph_edges_ds(sf_dir), top_k=100)
 
 
+def _kg_bfs_depth(sf_dir: str):
+    from neo4j_tkapi_ray.ops.graph import bfs_depth
+    return bfs_depth(_graph_edges_ds(sf_dir), seed_prefix="fr", max_rounds=8)
+
+
+def _bfs_sql(cd: str, rounds: int = 8) -> str:
+    """Unrolled multi-source BFS (ops/graph.bfs_depth contract): depth =
+    hops to the nearest 'fr'-prefixed node over the undirected
+    pred-collapsed graph; each round relaxes only from the FRONTIER
+    (depth == round-1), mirroring the engine. The engine's early exit on a
+    zero-new-nodes round is semantics-preserving (later rounds are
+    no-ops on both sides). Round CTEs are MATERIALIZED — see _kcore_sql."""
+    ctes = [
+        f"g AS ({_graph_edges_select(cd)})",
+        "adj AS MATERIALIZED ("
+        "SELECT DISTINCT subj AS node, obj AS peer FROM g "
+        "UNION SELECT DISTINCT obj, subj FROM g)",
+        "d0 AS MATERIALIZED ("
+        "SELECT node, 0 AS depth FROM (SELECT DISTINCT node FROM adj) "
+        "WHERE node LIKE 'fr%')",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"d{i} AS MATERIALIZED ("
+            f"SELECT node, MIN(depth) AS depth FROM ("
+            f"SELECT node, depth FROM d{i - 1} "
+            f"UNION ALL "
+            f"SELECT a.peer, f.depth + 1 FROM d{i - 1} f "
+            f"JOIN adj a ON a.node = f.node WHERE f.depth = {i - 1}) "
+            f"GROUP BY node)")
+    return ("WITH " + ",\n ".join(ctes)
+            + f" SELECT node AS node_id, CAST(depth AS BIGINT) AS depth "
+              f"FROM d{rounds}")
+
+
 def _kcore_sql(cd: str, k: int = 3, rounds: int = 12) -> str:
     """Unrolled k-core peel (ops/graph.kcore contract): ``rounds`` rounds of
     removing nodes with < k distinct neighbors from the undirected
@@ -529,6 +564,7 @@ _SWEEP_FRONT = [
     "kg_node_similarity",        # NEW in round 4 — never driver-checked
     "oov_rate",                  # NEW in round 4 — never driver-checked
     "mixture_sample",            # NEW in round 4 — never driver-checked
+    "kg_bfs_depth",              # NEW in round 4 — never driver-checked
     # group 2 — r02-green, missed r03's window
     "kg_interruption_types",
     "kg_interruption_topics",
@@ -554,7 +590,8 @@ _SWEEP_FRONT = [
     "stratified_sample",
     "token_doc_freq",
     "length_quantiles",
-    "global_length_rank",
+    # (global_length_rank rotated to the tail to admit kg_bfs_depth;
+    # r02-green on code unchanged since)
     # (top_tfidf_terms rotated to the tail to admit mixture_sample;
     # r02-green on code unchanged since)
     # (kg_nodes rotated to the tail to admit chunk_documents, kg_edges to
@@ -629,6 +666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_wcc": _with_op_expected("kg_wcc", _kg_wcc),
         "kg_kcore": _kg_kcore,                               # SQL-checkable
         "kg_node_similarity": _kg_node_similarity,           # SQL-checkable
+        "kg_bfs_depth": _kg_bfs_depth,                       # SQL-checkable
         "pii_scrub": _pii_scrub,                             # SQL-checkable
         "source_keep_rates": _source_keep_rates,             # SQL-checkable
         "ann_lsh_topk": _with_op_expected(
@@ -1209,6 +1247,7 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
             FROM x GROUP BY node
         """,
         "kg_kcore": _kcore_sql(cd),
+        "kg_bfs_depth": _bfs_sql(cd),
         # neighborhood Jaccard in integer ppm; DuckDB's truncating // equals
         # floor here (all terms positive). Top-100 is a total order: pair
         # keys are unique, so (ppm DESC, node_a, node_b) has no ties.

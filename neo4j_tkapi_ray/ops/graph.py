@@ -848,3 +848,124 @@ def node_similarity(edges: rd.Dataset | None = None, *,
     # <= top_k x P rows by construction: a single-block merge is safe
     return tops.repartition(1).map_batches(merge, batch_format="pandas",
                                            batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# multi-source BFS depth
+# ---------------------------------------------------------------------------
+
+def bfs_depth(edges: rd.Dataset, seed_prefix: str = "fr",
+              max_rounds: int = 8) -> rd.Dataset:
+    """(node_id, depth) over the undirected pred-collapsed graph: depth =
+    hops to the NEAREST seed node (ids starting with ``seed_prefix``),
+    seeds at depth 0 — the GDS ``bfs`` / Cypher
+    ``shortestPath((n)-[*]-(seed))`` distance a reference user runs on the
+    loaded Neo4j graph (e.g. "how far is every entity from a fractie").
+
+    Same two-exchanges-per-round discipline as ``connected_components``,
+    specialized to BFS: depths are int64 (hash-gate exact), a node's depth
+    is FINAL the round it first appears (the BFS invariant), so each round
+    proposes only from the FRONTIER (depth == round index) — per-round work
+    is bounded by frontier edges, not the whole graph. The early exit on a
+    zero-new-nodes round is semantics-preserving (later rounds are no-ops).
+    The driver reads ONE int per round (newly-reached count). Unreachable
+    nodes are absent from the output (their Cypher shortestPath is NULL).
+    """
+    def explode(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _CC_EMPTY.empty_table()
+        t = pa.table({
+            "node": pa.chunked_array([b.column("subj"),
+                                      b.column("obj")]).combine_chunks(),
+            "peer": pa.chunked_array([b.column("obj"),
+                                      b.column("subj")]).combine_chunks()})
+        return t.group_by(["node", "peer"]).aggregate([]).select(
+            ["node", "peer"])
+
+    adj = edges.map_batches(explode, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    out_schema = pa.table({"node_id": pa.array([], pa.string()),
+                           "depth": pa.array([], pa.int64())})
+    if adj.count() == 0:
+        return rd.from_arrow(out_schema)
+
+    def seed_rows(b: pa.Table) -> pa.Table:
+        nodes = b.column("node").combine_chunks()
+        mask = pc.starts_with(nodes, seed_prefix)
+        sel = pa.table({"node": nodes.filter(mask)}).group_by(
+            "node").aggregate([])
+        return pa.table({"node": sel.column("node"),
+                         "depth": pa.array(
+                             np.zeros(sel.num_rows, np.int64), pa.int64())})
+
+    # seeds may repeat across adjacency blocks — the round-1 min reduce
+    # dedups them (depth 0 everywhere), so no extra exchange here
+    labels = adj.map_batches(seed_rows, batch_format="pyarrow")
+
+    def as_label_row(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"),
+                         "peer": pa.nulls(b.num_rows, pa.string()),
+                         "depth": b.column("depth")})
+
+    def as_edge_row(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"), "peer": b.column("peer"),
+                         "depth": pa.nulls(b.num_rows, pa.int64())})
+
+    def make_propose(r: int):
+        def propose(df: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"node": pd.Series(dtype="object"),
+                                  "depth": pd.Series(dtype="int64"),
+                                  "is_old": pd.Series(dtype="int8")})
+            if df.empty:
+                return empty
+            settled = (df[df["peer"].isna()]
+                       .groupby("node", sort=False)["depth"].min())
+            if settled.empty:
+                return empty
+            keep = pd.DataFrame({"node": settled.index.to_numpy(),
+                                 "depth": settled.to_numpy().astype("int64"),
+                                 "is_old": np.ones(len(settled), np.int8)})
+            frontier = settled[settled == r]
+            if frontier.empty:
+                return keep
+            edges_df = df[df["peer"].notna()]
+            hot = edges_df[edges_df["node"].isin(frontier.index)]
+            if hot.empty:
+                return keep
+            out = pd.DataFrame({"node": hot["peer"].to_numpy(),
+                                "depth": np.full(len(hot), r + 1, np.int64),
+                                "is_old": np.zeros(len(hot), np.int8)})
+            return pd.concat([out, keep], ignore_index=True)
+        return propose
+
+    def min_with_new(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"node": pd.Series(dtype="object"),
+                                 "depth": pd.Series(dtype="int64"),
+                                 "new": pd.Series(dtype="int64")})
+        g = df.groupby("node", sort=False)
+        new_depth = g["depth"].min()
+        had_old = df[df["is_old"] == 1].groupby("node", sort=False).size()
+        is_new = (~new_depth.index.isin(had_old.index)).astype("int64")
+        return pd.DataFrame({"node": new_depth.index.to_numpy(),
+                             "depth": new_depth.to_numpy().astype("int64"),
+                             "new": is_new})
+
+    for r in range(max_rounds):
+        mixed = labels.map_batches(as_label_row, batch_format="pyarrow").union(
+            adj.map_batches(as_edge_row, batch_format="pyarrow"))
+        proposals = reduce_blocks(mixed, ["node"], make_propose(r),
+                                  batch_format="pandas", coalesce_rows=None)
+        labels = reduce_blocks(proposals, ["node"], min_with_new,
+                               batch_format="pandas",
+                               coalesce_rows=None).materialize()
+        if int(labels.sum("new") or 0) == 0:
+            break
+        labels = labels.drop_columns(["new"])
+
+    if "new" in labels.schema().names:
+        labels = labels.drop_columns(["new"])
+    return labels.map_batches(
+        lambda b: pa.table({"node_id": b.column("node"),
+                            "depth": b.column("depth").cast(pa.int64())}),
+        batch_format="pyarrow")

@@ -242,3 +242,24 @@ def test_node_similarity_witness_degree_cutoff(ray_session):
                           max_witness_degree=cap).to_pandas()
     got_sh = {(r.node_a, r.node_b): r.shared for r in got.itertuples()}
     assert got_sh == want
+
+
+def test_bfs_depth_planted(ray_session):
+    """Multi-source BFS on a hand-built graph: two seeds ('fr1', 'fr2'),
+    a path frA-a-b-c (depths 1,2,3 via fr1... prefix match), a node tied
+    to BOTH seeds takes the min, and a disconnected non-seed pair is
+    absent from the output."""
+    from neo4j_tkapi_ray.ops.graph import bfs_depth
+
+    edges = [
+        ("fr1", "P", "a"), ("a", "P", "b"), ("b", "P", "c"),
+        ("fr2", "P", "m"), ("m", "P", "a"),   # a: min(1 via fr1, 2 via fr2)
+        ("x", "P", "y"),                      # unreachable, absent
+    ]
+    t = pa.table({"subj": [e[0] for e in edges],
+                  "pred": [e[1] for e in edges],
+                  "obj": [e[2] for e in edges]})
+    got = {r["node_id"]: r["depth"]
+           for r in bfs_depth(rd.from_arrow(t).repartition(3),
+                              seed_prefix="fr").take_all()}
+    assert got == {"fr1": 0, "fr2": 0, "a": 1, "m": 1, "b": 2, "c": 3}
