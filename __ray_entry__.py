@@ -565,6 +565,7 @@ _SWEEP_FRONT = [
     "oov_rate",                  # NEW in round 4 — never driver-checked
     "mixture_sample",            # NEW in round 4 — never driver-checked
     "kg_bfs_depth",              # NEW in round 4 — never driver-checked
+    "neardup_best_pick",         # NEW in round 4 — never driver-checked
     # group 2 — r02-green, missed r03's window
     "kg_interruption_types",
     "kg_interruption_topics",
@@ -589,7 +590,8 @@ _SWEEP_FRONT = [
     "session_stats",
     "stratified_sample",
     "token_doc_freq",
-    "length_quantiles",
+    # (length_quantiles rotated to the tail to admit neardup_best_pick;
+    # r02-green on code unchanged since)
     # (global_length_rank rotated to the tail to admit kg_bfs_depth;
     # r02-green on code unchanged since)
     # (top_tfidf_terms rotated to the tail to admit mixture_sample;
@@ -632,6 +634,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     sf, pairs=_stage_cache(
                         sf, "minhash_pairs",
                         lambda: dedup.minhash_lsh_pairs(sf))))),
+        "neardup_best_pick": _with_op_expected(
+            "neardup_groups", _with_op_expected(
+                "quality_scores",
+                lambda sf: dedup.neardup_best_pick(sf))),  # SQL-checkable (derivational)
         "simhash_signatures": _with_op_expected(
             "simhash_signatures", dedup.simhash_signatures),
         "language_id": _with_op_expected("language_id", textstats.language_id),
@@ -1347,6 +1353,27 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         FROM documents d
         LEFT JOIN read_parquet('{od}/neardup_groups.parquet') g
           USING (doc_id)
+    """
+    # quality-aware canonical pick: best quality per cluster (ties doc_id
+    # asc), derivational over the union-find groups + quality expected
+    # tables (both independently driver-checked surfaces)
+    ops["neardup_best_pick"] = f"""
+        WITH j AS (
+            SELECT g.group_id, g.doc_id, q.quality
+            FROM read_parquet('{od}/neardup_groups.parquet') g
+            JOIN read_parquet('{od}/quality_scores.parquet') q
+              USING (doc_id)),
+             r AS (
+            SELECT group_id, doc_id, quality,
+                   ROW_NUMBER() OVER (PARTITION BY group_id
+                                      ORDER BY quality DESC, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY group_id) AS n_members
+            FROM j)
+        SELECT CAST(group_id AS BIGINT) AS group_id,
+               CAST(doc_id AS BIGINT) AS best_doc_id,
+               CAST(n_members AS BIGINT) AS n_members,
+               quality AS best_quality
+        FROM r WHERE rn = 1
     """
 
     return {

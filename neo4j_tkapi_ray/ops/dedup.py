@@ -1049,3 +1049,78 @@ def drop_dup_spans(sf_dir: str, k: int = 8) -> rd.Dataset:
                              "n_tokens_dropped": lens - kept_per_doc})
 
     return reduce_blocks(mixed, ["doc_id"], cut, batch_format="pandas")
+
+
+def neardup_best_pick(sf_dir: str, groups: rd.Dataset | None = None,
+                      quality: rd.Dataset | None = None) -> rd.Dataset:
+    """Quality-aware canonical selection per near-dup cluster — the "keep
+    the BEST copy, not the first" refinement of near-dup removal: for each
+    ``neardup_groups`` cluster, keep the member with the highest
+    ``quality_scores`` quality (ties: doc_id ASC, so the pick is
+    deterministic and SQL-checkable).
+
+    Scale shape: two exchange hops, no broadcast, nothing corpus-sized on
+    the driver — (1) groups ⋈ quality on doc_id as a tag-union exchange
+    join (the cluster table is duplicate-bounded, the quality table
+    corpus-sized; both stream); (2) exchange by group_id, one vectorized
+    per-block pass picks the argmax and counts members.
+
+    Output: (group_id, best_doc_id, n_members, best_quality).
+    """
+    if groups is None:
+        groups = neardup_groups(sf_dir)
+    if quality is None:
+        from .textstats import quality_scores
+        quality = quality_scores(sf_dir)
+
+    def tag_group(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "group_id": b.column("group_id"),
+                         "quality": pa.nulls(b.num_rows, pa.float64())})
+
+    def tag_quality(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "group_id": pa.nulls(b.num_rows, pa.int64()),
+                         "quality": b.column("quality")})
+
+    def join_block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"group_id": pd.Series(dtype="int64"),
+                              "doc_id": pd.Series(dtype="int64"),
+                              "quality": pd.Series(dtype="float64")})
+        if df.empty:
+            return empty
+        g = df[df["group_id"].notna()]
+        if g.empty:
+            return empty
+        q = (df[df["group_id"].isna()].set_index("doc_id")["quality"])
+        out = pd.DataFrame({"group_id": g["group_id"].astype("int64"),
+                            "doc_id": g["doc_id"].astype("int64"),
+                            "quality": q.reindex(g["doc_id"]).to_numpy()})
+        return out[out["quality"].notna()].reset_index(drop=True)
+
+    mixed = groups.map_batches(tag_group, batch_format="pyarrow").union(
+        quality.map_batches(tag_quality, batch_format="pyarrow"))
+    joined = reduce_blocks(mixed, ["doc_id"], join_block,
+                           batch_format="pandas")
+
+    def pick_block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"group_id": pd.Series(dtype="int64"),
+                              "best_doc_id": pd.Series(dtype="int64"),
+                              "n_members": pd.Series(dtype="int64"),
+                              "best_quality": pd.Series(dtype="float64")})
+        if df.empty:
+            return empty
+        df = df.sort_values(["group_id", "quality", "doc_id"],
+                            ascending=[True, False, True], kind="stable")
+        g = df.groupby("group_id", sort=False)
+        best = g.head(1)
+        n = g.size()
+        return pd.DataFrame({
+            "group_id": best["group_id"].astype("int64"),
+            "best_doc_id": best["doc_id"].astype("int64"),
+            "n_members": n.reindex(best["group_id"]).to_numpy().astype("int64"),
+            "best_quality": best["quality"].astype("float64"),
+        })
+
+    return reduce_blocks(joined, ["group_id"], pick_block,
+                         batch_format="pandas")

@@ -604,3 +604,27 @@ def test_oov_rate_planted(ray_session, tmp_path):
     assert out.loc[1, "oov_rate"] == 0.5
     assert out.loc[2, "oov_rate"] == 0.5
     assert out.loc[3, "oov_rate"] == 1.0
+
+
+def test_neardup_best_pick_planted(ray_session, tmp_path):
+    """Canonical pick takes the HIGHEST-quality member per cluster (not the
+    min doc_id the plain removal keeps), ties by doc_id asc."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from neo4j_tkapi_ray.ops.dedup import neardup_best_pick
+
+    groups = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 10, 11], pa.int64()),
+        "group_id": pa.array([0, 0, 0, 10, 10], pa.int64())}))
+    quality = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 10, 11], pa.int64()),
+        "quality": pa.array([0.4, 0.9, 0.9, 0.5, 0.5], pa.float64())}))
+    out = (neardup_best_pick(str(tmp_path), groups=groups, quality=quality)
+           .to_pandas().sort_values("group_id").reset_index(drop=True))
+    # cluster 0: quality tie 0.9 between docs 1 and 2 -> doc 1 (id asc),
+    # NOT doc 0 (min id, lower quality); cluster 10: tie -> doc 10
+    assert out["group_id"].tolist() == [0, 10]
+    assert out["best_doc_id"].tolist() == [1, 10]
+    assert out["n_members"].tolist() == [3, 2]
+    assert out["best_quality"].tolist() == [0.9, 0.5]
