@@ -431,6 +431,11 @@ def _kg_bfs_depth(sf_dir: str):
     return bfs_depth(_graph_edges_ds(sf_dir), seed_prefix="fr", max_rounds=8)
 
 
+def _kg_pred_transitions(sf_dir: str):
+    from neo4j_tkapi_ray.ops.graph import pred_transitions
+    return pred_transitions(_graph_edges_ds(sf_dir))
+
+
 def _bfs_sql(cd: str, rounds: int = 8) -> str:
     """Unrolled multi-source BFS (ops/graph.bfs_depth contract): depth =
     hops to the nearest 'fr'-prefixed node over the undirected
@@ -566,6 +571,7 @@ _SWEEP_FRONT = [
     "mixture_sample",            # NEW in round 4 — never driver-checked
     "kg_bfs_depth",              # NEW in round 4 — never driver-checked
     "neardup_best_pick",         # NEW in round 4 — never driver-checked
+    "kg_pred_transitions",       # NEW in round 4 — never driver-checked
     # group 2 — r02-green, missed r03's window
     "kg_interruption_types",
     "kg_interruption_topics",
@@ -589,7 +595,8 @@ _SWEEP_FRONT = [
     "user_sessions",
     "session_stats",
     "stratified_sample",
-    "token_doc_freq",
+    # (token_doc_freq rotated to the tail to admit kg_pred_transitions;
+    # r02-green on code unchanged since)
     # (length_quantiles rotated to the tail to admit neardup_best_pick;
     # r02-green on code unchanged since)
     # (global_length_rank rotated to the tail to admit kg_bfs_depth;
@@ -673,6 +680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": _kg_kcore,                               # SQL-checkable
         "kg_node_similarity": _kg_node_similarity,           # SQL-checkable
         "kg_bfs_depth": _kg_bfs_depth,                       # SQL-checkable
+        "kg_pred_transitions": _kg_pred_transitions,        # SQL-checkable
         "pii_scrub": _pii_scrub,                             # SQL-checkable
         "source_keep_rates": _source_keep_rates,             # SQL-checkable
         "ann_lsh_topk": _with_op_expected(
@@ -1254,6 +1262,19 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         """,
         "kg_kcore": _kcore_sql(cd),
         "kg_bfs_depth": _bfs_sql(cd),
+        # 2-hop predicate transitions; the NOT(...) term enforces Cypher
+        # relationship uniqueness (a self-loop row must not join itself —
+        # the edge table is distinct triples, so row identity == triple
+        # equality)
+        "kg_pred_transitions": f"""
+            WITH g AS ({_graph_edges_select(cd)})
+            SELECT a.pred AS pred_in, b.pred AS pred_out,
+                   CAST(COUNT(*) AS BIGINT) AS n_paths
+            FROM g a JOIN g b ON a.obj = b.subj
+            WHERE NOT (a.subj = a.obj AND b.subj = a.subj
+                       AND b.obj = a.obj AND b.pred = a.pred)
+            GROUP BY a.pred, b.pred
+        """,
         # neighborhood Jaccard in integer ppm; DuckDB's truncating // equals
         # floor here (all terms positive). Top-100 is a total order: pair
         # keys are unique, so (ppm DESC, node_a, node_b) has no ties.

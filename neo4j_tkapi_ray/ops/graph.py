@@ -969,3 +969,103 @@ def bfs_depth(edges: rd.Dataset, seed_prefix: str = "fr",
         lambda b: pa.table({"node_id": b.column("node"),
                             "depth": b.column("depth").cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# 2-hop predicate transition counts
+# ---------------------------------------------------------------------------
+
+def pred_transitions(edges: rd.Dataset) -> rd.Dataset:
+    """(pred_in, pred_out, n_paths) over all directed 2-hop paths
+    ``(a)-[pred_in]->(b)-[pred_out]->(c)`` — the Cypher
+    ``MATCH ()-[r1]->()-[r2]->() RETURN type(r1), type(r2), count(*)``
+    schema-profiling query a reference user runs to see how relation
+    types chain through the loaded graph.
+
+    Hub-safe by construction: paths are never materialized. Each edge
+    contributes one (node, pred, c) partial as an IN-edge of its obj and
+    one as an OUT-edge of its subj (combined per batch); after ONE
+    exchange on the middle node, each block multiplies its per-pred
+    in-counts by per-pred out-counts — a ≤|preds|² cross of COUNTS per
+    node, not a per-path expansion — and emits pre-aggregated
+    (pred_in, pred_out, partial) rows. A tiny second exchange on the pred
+    pair sums partials. A degree-D hub costs O(P²) rows, not O(D²).
+
+    Cypher-exact on self-loops: relationship uniqueness in a MATCH
+    pattern forbids r1 == r2, so a self-loop edge pairing with ITSELF is
+    subtracted (the edge table is distinct triples, so the correction is
+    one per self-loop per (node, pred) — tracked as a third partial kind).
+    """
+    def partials(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.string()),
+                             "pred": pa.array([], pa.string()),
+                             "dirn": pa.array([], pa.int8()),
+                             "c": pa.array([], pa.int64())})
+        loop_mask = pc.equal(b.column("subj"), b.column("obj"))
+        loops = b.filter(loop_mask)
+        t = pa.table({
+            "node": pa.chunked_array(
+                [b.column("obj"), b.column("subj"),
+                 loops.column("subj")]).combine_chunks(),
+            "pred": pa.chunked_array(
+                [b.column("pred"), b.column("pred"),
+                 loops.column("pred")]).combine_chunks(),
+            "dirn": pa.array(np.concatenate([
+                np.zeros(b.num_rows, np.int8),
+                np.ones(b.num_rows, np.int8),
+                np.full(loops.num_rows, 2, np.int8)]))})
+        g = t.group_by(["node", "pred", "dirn"]).aggregate([([], "count_all")])
+        return pa.table({"node": g.column("node"), "pred": g.column("pred"),
+                         "dirn": g.column("dirn"),
+                         "c": g.column("count_all").cast(pa.int64())})
+
+    counts = edges.map_batches(partials, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def cross_block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"pred_in": pd.Series(dtype="object"),
+                              "pred_out": pd.Series(dtype="object"),
+                              "n_paths": pd.Series(dtype="int64")})
+        if df.empty:
+            return empty
+        agg = (df.groupby(["node", "dirn", "pred"], sort=False)["c"].sum()
+               .reset_index())
+        ins = agg[agg["dirn"] == 0]
+        outs = agg[agg["dirn"] == 1]
+        if ins.empty or outs.empty:
+            return empty
+        m = ins.merge(outs, on="node", suffixes=("_in", "_out"))
+        if m.empty:
+            return empty
+        m["n_paths"] = m["c_in"].to_numpy() * m["c_out"].to_numpy()
+        out = (m.groupby(["pred_in", "pred_out"], sort=False)["n_paths"]
+               .sum().reset_index())
+        # Cypher r1 <> r2: remove each self-loop's pairing with itself
+        selfs = agg[agg["dirn"] == 2]
+        if not selfs.empty:
+            corr = (selfs.groupby("pred", sort=False)["c"].sum()
+                    .reset_index())
+            corr = pd.DataFrame({"pred_in": corr["pred"],
+                                 "pred_out": corr["pred"],
+                                 "n_paths": -corr["c"].to_numpy()})
+            out = (pd.concat([out, corr], ignore_index=True)
+                   .groupby(["pred_in", "pred_out"], sort=False)["n_paths"]
+                   .sum().reset_index())
+            out = out[out["n_paths"] != 0]
+        return out.astype({"n_paths": "int64"})
+
+    partial_paths = reduce_blocks(counts, ["node"], cross_block,
+                                  batch_format="pandas")
+
+    def final_sum(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"pred_in": pd.Series(dtype="object"),
+                                 "pred_out": pd.Series(dtype="object"),
+                                 "n_paths": pd.Series(dtype="int64")})
+        out = (df.groupby(["pred_in", "pred_out"], sort=True)["n_paths"]
+               .sum().reset_index())
+        return out.astype({"n_paths": "int64"})
+
+    return reduce_blocks(partial_paths, ["pred_in", "pred_out"], final_sum,
+                         batch_format="pandas")

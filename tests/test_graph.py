@@ -263,3 +263,26 @@ def test_bfs_depth_planted(ray_session):
            for r in bfs_depth(rd.from_arrow(t).repartition(3),
                               seed_prefix="fr").take_all()}
     assert got == {"fr1": 0, "fr2": 0, "a": 1, "m": 1, "b": 2, "c": 3}
+
+
+def test_pred_transitions_planted(ray_session):
+    """2-hop pred-pair counts on a hand graph incl. the Cypher r1<>r2
+    rule: a self-loop chains with OTHER edges through its node but never
+    with itself."""
+    from neo4j_tkapi_ray.ops.graph import pred_transitions
+
+    edges = [
+        ("a", "X", "b"), ("b", "Y", "c"), ("b", "Y", "d"),  # X->Y twice
+        ("c", "Z", "c"),                                    # self-loop
+    ]
+    t = pa.table({"subj": [e[0] for e in edges],
+                  "pred": [e[1] for e in edges],
+                  "obj": [e[2] for e in edges]})
+    got = {(r["pred_in"], r["pred_out"]): r["n_paths"]
+           for r in pred_transitions(
+               rd.from_arrow(t).repartition(3)).take_all()}
+    # through b: X->Y (2 paths); through c: Y->Z (b-Y-c then c-Z-c) and
+    # Z->Z would be the loop pairing with itself -> excluded; Z->... none
+    # besides the loop; loop as first hop then nothing out of c but the
+    # loop itself: c-Z-c then c-Z-c again is the SAME edge -> excluded
+    assert got == {("X", "Y"): 2, ("Y", "Z"): 1}
