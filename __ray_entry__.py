@@ -572,6 +572,7 @@ _SWEEP_FRONT = [
     "kg_bfs_depth",              # NEW in round 4 — never driver-checked
     "neardup_best_pick",         # NEW in round 4 — never driver-checked
     "kg_pred_transitions",       # NEW in round 4 — never driver-checked
+    "kmeans_outliers",           # NEW in round 4 — never driver-checked
     # group 2 — r02-green, missed r03's window
     "kg_interruption_types",
     "kg_interruption_topics",
@@ -594,7 +595,8 @@ _SWEEP_FRONT = [
     "embedding_neardup",
     "user_sessions",
     "session_stats",
-    "stratified_sample",
+    # (stratified_sample rotated to the tail to admit kmeans_outliers;
+    # r02-green on code unchanged since)
     # (token_doc_freq rotated to the tail to admit kg_pred_transitions;
     # r02-green on code unchanged since)
     # (length_quantiles rotated to the tail to admit neardup_best_pick;
@@ -669,6 +671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": packing.chunk_documents,          # SQL-checkable
         "embedding_kmeans": clustering.embedding_kmeans,     # SQL-checkable
         "cluster_sample": clustering.cluster_sample,         # SQL-checkable
+        "kmeans_outliers": clustering.kmeans_outliers,       # SQL-checkable
         # graph analytics over the constructed KG (round 3; ops/graph.py)
         "kg_degree_distribution": _kg_degree_distribution,   # SQL-checkable
         "kg_pagerank": _kg_pagerank,                         # SQL-checkable
@@ -1892,6 +1895,9 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         "cluster_sample": __import__(
             "neo4j_tkapi_ray.ops.clustering",
             fromlist=["x"]).cluster_sample_sql(),
+        "kmeans_outliers": __import__(
+            "neo4j_tkapi_ray.ops.clustering",
+            fromlist=["x"]).kmeans_outliers_sql(),
         # composed curation verdict: quality + repetition + exact-dup
         # survivorship + decontamination, first failing rule wins (order is
         # the ops/curation.RULES contract). Threshold comparisons are on raw

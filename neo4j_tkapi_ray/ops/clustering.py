@@ -85,10 +85,10 @@ def _assign(qmat: np.ndarray, cents: np.ndarray) -> np.ndarray:
     return np.argmin(scores, axis=1).astype(np.int64)  # first min wins
 
 
-def embedding_kmeans(sf_dir: str, k: int = DEFAULT_K,
-                     iters: int = DEFAULT_ITERS) -> rd.Dataset:
-    """(vec_id, cluster): assignment against the iteration-``iters``
-    centroids."""
+def _fit(sf_dir: str, k: int, iters: int):
+    """Run the Lloyd iterations; returns (quantized dataset, final
+    centroids). Shared by embedding_kmeans and kmeans_outliers so both
+    score against the IDENTICAL fixed point."""
     qds = _quantized(sf_dir).materialize()  # bounded: n x (d+1) ints
     cents = _init_centroids(qds, k)
     d = cents.shape[1]
@@ -123,6 +123,14 @@ def embedding_kmeans(sf_dir: str, k: int = DEFAULT_K,
         new_c[nonempty] = sums[nonempty] // cnt[nonempty, None]  # floor div
         cents = new_c
 
+    return qds, cents
+
+
+def embedding_kmeans(sf_dir: str, k: int = DEFAULT_K,
+                     iters: int = DEFAULT_ITERS) -> rd.Dataset:
+    """(vec_id, cluster): assignment against the iteration-``iters``
+    centroids."""
+    qds, cents = _fit(sf_dir, k, iters)
     ref = ray.put(cents)
 
     def final_assign(batch: pa.Table, _ref=ref) -> pa.Table:
@@ -134,12 +142,13 @@ def embedding_kmeans(sf_dir: str, k: int = DEFAULT_K,
     return qds.map_batches(final_assign, batch_format="pyarrow")
 
 
-def embedding_kmeans_sql(k: int = DEFAULT_K,
-                         iters: int = DEFAULT_ITERS) -> str:
-    """Unrolled Lloyd's in DuckDB (pagerank-style fixed-point unroll) over
-    the long-form (vec_id, dim, q) table. Floor division is spelled out
-    because DuckDB's ``//`` truncates toward zero while the engine floors.
-    Reads the driver-registered ``embeddings`` view."""
+def _kmeans_ctes(k: int, iters: int) -> list:
+    """The unrolled Lloyd's CTE chain (shared by embedding_kmeans_sql and
+    kmeans_outliers_sql): quantize -> K-smallest init -> ``iters`` rounds
+    of assign/recompute -> final per-(vec, cluster) score table ``df``.
+    Floor division is spelled out because DuckDB's ``//`` truncates toward
+    zero while the engine floors. Reads the driver-registered
+    ``embeddings`` view."""
     ctes = [
         """e AS (
             SELECT vec_id, unnest(embedding) AS x,
@@ -190,7 +199,12 @@ def embedding_kmeans_sql(k: int = DEFAULT_K,
                SUM({last}.c * {last}.c - 2 * q.q * {last}.c) AS score
         FROM q JOIN {last} USING (dim)
         GROUP BY q.vec_id, {last}.cluster)""")
-    return ("WITH " + ",\n".join(ctes) + """
+    return ctes
+
+
+def embedding_kmeans_sql(k: int = DEFAULT_K,
+                         iters: int = DEFAULT_ITERS) -> str:
+    return ("WITH " + ",\n".join(_kmeans_ctes(k, iters)) + """
         SELECT vec_id, cluster FROM df
         QUALIFY row_number() OVER (PARTITION BY vec_id
                                    ORDER BY score, cluster) = 1""")
@@ -239,3 +253,93 @@ def cluster_sample_sql(n_per_cluster: int = 10,
         FROM km
         QUALIFY rank <= {n_per_cluster}
     """
+
+
+def kmeans_outliers(sf_dir: str, n_per_cluster: int = 5, k: int = DEFAULT_K,
+                    iters: int = DEFAULT_ITERS) -> rd.Dataset:
+    """Centroid-distance outliers — the embedding-space pruning signal of
+    semantic curation: the ``n_per_cluster`` vectors FARTHEST from their
+    assigned k-means centroid per cluster (the candidates a cleaning pass
+    inspects or drops). dist2 is the exact int64 squared L2 in quantized
+    micro-units, so the ranking is bit-stable; ties break vec_id ASC.
+
+    Scale shape: centroids broadcast once via ``ray.put``; one
+    map_batches scores AND prunes to a per-batch top-n per cluster
+    (≤ n·k rows leave each batch), then one exchange by cluster ranks the
+    bounded survivors per block. Nothing corpus-sized moves or lands on
+    the driver.
+
+    Output: (cluster, rank, vec_id, dist2), rank 1-based by dist2 DESC.
+    """
+    from ..exchange import reduce_blocks
+
+    qds, cents = _fit(sf_dir, k, iters)
+    ref = ray.put(cents)
+
+    def score_prune(batch: pa.Table, _ref=ref) -> pa.Table:
+        empty = pa.schema([("vec_id", pa.int64()), ("cluster", pa.int64()),
+                           ("dist2", pa.int64())]).empty_table()
+        if batch.num_rows == 0:
+            return empty
+        c = ray.get(_ref)
+        q = emb_matrix(batch.column("q")).astype(np.int64)
+        lab = _assign(q, c)
+        diff = q - c[lab]
+        dist2 = np.einsum("nd,nd->n", diff, diff)
+        df = pd.DataFrame({
+            "vec_id": batch.column("vec_id").to_numpy(zero_copy_only=False),
+            "cluster": lab, "dist2": dist2})
+        df = (df.sort_values(["cluster", "dist2", "vec_id"],
+                             ascending=[True, False, True], kind="stable")
+              .groupby("cluster", sort=False).head(n_per_cluster))
+        return pa.table({"vec_id": df["vec_id"].to_numpy(np.int64),
+                         "cluster": df["cluster"].to_numpy(np.int64),
+                         "dist2": df["dist2"].to_numpy(np.int64)})
+
+    pruned = qds.map_batches(score_prune, batch_format="pyarrow")
+
+    def rank_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([("cluster", pa.int64()), ("rank", pa.int64()),
+                              ("vec_id", pa.int64()),
+                              ("dist2", pa.int64())]).empty_table()
+        df = b.to_pandas().sort_values(["cluster", "dist2", "vec_id"],
+                                       ascending=[True, False, True],
+                                       kind="stable")
+        rank = df.groupby("cluster", sort=False).cumcount().to_numpy() + 1
+        df = df.assign(rank=rank)
+        df = df[df["rank"] <= n_per_cluster]
+        return pa.table({"cluster": df["cluster"].to_numpy(np.int64),
+                         "rank": df["rank"].to_numpy(np.int64),
+                         "vec_id": df["vec_id"].to_numpy(np.int64),
+                         "dist2": df["dist2"].to_numpy(np.int64)})
+
+    return reduce_blocks(pruned, ["cluster"], rank_block)
+
+
+def kmeans_outliers_sql(n_per_cluster: int = 5, k: int = DEFAULT_K,
+                        iters: int = DEFAULT_ITERS) -> str:
+    """Full-distance ranking against the unrolled Lloyd's fixed point:
+    embedding_kmeans_sql's CTE chain extended with the exact int64
+    ||q - c||^2 per (vec, assigned centroid); same DESC/vec_id tie rule
+    as the engine."""
+    ctes = _kmeans_ctes(k, iters)
+    ctes.append("""asg AS (
+        SELECT vec_id, cluster FROM df
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY score, cluster) = 1)""")
+    ctes.append(f"""dist AS (
+        SELECT a.vec_id, a.cluster,
+               SUM((q.q - c.c) * (q.q - c.c)) AS dist2
+        FROM asg a
+        JOIN q USING (vec_id)
+        JOIN c{iters} c ON c.cluster = a.cluster AND c.dim = q.dim
+        GROUP BY a.vec_id, a.cluster)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+        SELECT cluster,
+               CAST(row_number() OVER (PARTITION BY cluster
+                                       ORDER BY dist2 DESC, vec_id)
+                    AS BIGINT) AS rank,
+               vec_id, CAST(dist2 AS BIGINT) AS dist2
+        FROM dist
+        QUALIFY rank <= {n_per_cluster}""")

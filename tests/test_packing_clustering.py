@@ -99,3 +99,29 @@ def test_kmeans_quantizer_matches_duckdb_round_on_ties():
         "SELECT list_transform(?::DOUBLE[], x -> "
         "CAST(round(x * 1000000) AS BIGINT))", [list(xs)]).fetchone()[0]
     assert engine.tolist() == list(duck)
+
+
+def test_kmeans_outliers_farthest_and_ties(ray_session, tmp_path):
+    """Outliers = farthest from the assigned centroid, rank by dist2 DESC
+    with vec_id ASC ties, capped per cluster. Built on a 1-D embedding
+    set where distances are hand-checkable."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from neo4j_tkapi_ray.ops.clustering import kmeans_outliers
+
+    # k=2, iters=1: init centroids = vecs 0 (0.0) and 1 (1.0).
+    # assignment: {0: cluster0}, {1, 0.9, 1.1: cluster1};
+    # recompute (micro-units, floor): c0 = 0; c1 = (1e6+9e5+11e5)//3 = 1e6
+    # final: dist2 from c1: vec1=0, vec2=(1e5)^2, vec3=(1e5)^2 (tie ->
+    # vec 2 first)
+    emb = [[0.0], [1.0], [0.9], [1.1]]
+    pd.DataFrame({"vec_id": [0, 1, 2, 3],
+                  "embedding": emb}).to_parquet(tmp_path / "embeddings.parquet")
+    out = (kmeans_outliers(str(tmp_path), n_per_cluster=2, k=2, iters=1)
+           .to_pandas().sort_values(["cluster", "rank"]).reset_index(drop=True))
+    c1 = out[out["cluster"] == 1]
+    assert c1["vec_id"].tolist() == [2, 3]          # tie on dist2 -> id asc
+    assert c1["dist2"].tolist() == [10**10, 10**10]
+    c0 = out[out["cluster"] == 0]
+    assert c0["vec_id"].tolist() == [0] and c0["dist2"].tolist() == [0]
