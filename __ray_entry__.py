@@ -522,6 +522,12 @@ def _media_resize(_sf_dir: str):
                            {"payload": "payload_hex"})
 
 
+def _media_audio_windows(_sf_dir: str):
+    from neo4j_tkapi_ray.ops.multimodal import (audio_windows,
+                                                synth_media_dataset)
+    return audio_windows(synth_media_dataset(n=48))
+
+
 def _media_frames(_sf_dir: str):
     from neo4j_tkapi_ray.ops.multimodal import (frame_sample, hex_binary_view,
                                                 synth_media_dataset)
@@ -573,6 +579,7 @@ _SWEEP_FRONT = [
     "neardup_best_pick",         # NEW in round 4 — never driver-checked
     "kg_pred_transitions",       # NEW in round 4 — never driver-checked
     "kmeans_outliers",           # NEW in round 4 — never driver-checked
+    "media_audio_windows",       # NEW in round 4 — never driver-checked
     # group 2 — r02-green, missed r03's window
     "kg_interruption_types",
     "kg_interruption_topics",
@@ -594,7 +601,8 @@ _SWEEP_FRONT = [
     "ann_topk",
     "embedding_neardup",
     "user_sessions",
-    "session_stats",
+    # (session_stats rotated to the tail to admit media_audio_windows;
+    # r02-green on code unchanged since)
     # (stratified_sample rotated to the tail to admit kmeans_outliers;
     # r02-green on code unchanged since)
     # (token_doc_freq rotated to the tail to admit kg_pred_transitions;
@@ -694,6 +702,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": _with_op_expected("media_decode", _media_decode),
         "media_frames": _with_op_expected("media_frames", _media_frames),
         "media_resize": _with_op_expected("media_resize", _media_resize),
+        "media_audio_windows": _with_op_expected(
+            "media_audio_windows", _media_audio_windows),
         # --- the rest of the KG family
         "kg_triples_embedding": _kg_triples_embedding,
         "kg_edges": _kg_edges,

@@ -535,6 +535,16 @@ def _media_decode_sp(n=48) -> pd.DataFrame:
     return pd.DataFrame(rows).astype({"width": "int32", "height": "int32"})
 
 
+def _media_audio_sp(n=48, window=1024) -> pd.DataFrame:
+    from .ops.multimodal import audio_window_rows, synth_media_rows
+    rows = []
+    for r in synth_media_rows(n=n):
+        rows.extend(audio_window_rows(r["media_id"], r["kind"],
+                                      r["payload"], window))
+    return pd.DataFrame(rows, columns=["media_id", "window_idx",
+                                       "n_samples", "energy", "peak"])
+
+
 def _media_resize_sp(n=48, target=16) -> pd.DataFrame:
     # query surface carries lowercase hex, not raw bytes (driver canon
     # cannot sort bytearray cells) — mirrors __ray_entry__._media_resize
@@ -608,6 +618,7 @@ _OP_EXPECTED = {
     "media_decode": lambda sf: _media_decode_sp(),
     "media_frames": lambda sf: _media_frames_sp(),
     "media_resize": lambda sf: _media_resize_sp(),
+    "media_audio_windows": lambda sf: _media_audio_sp(),
     "kg_wcc": lambda sf: _kg_wcc_sp(sf),
 }
 

@@ -424,3 +424,77 @@ def resize_images(ds: rd.Dataset, target: int = 16, batch_size: int = 16,
         concurrency=concurrency,
         num_cpus=0.5,
     )
+
+
+# ---------------------------------------------------------------------------
+# audio window energy (feature extraction over WAV payloads)
+# ---------------------------------------------------------------------------
+
+def _wav_samples(payload: bytes) -> Tuple[int, np.ndarray]:
+    """Parse canonical RIFF PCM16 mono; returns (sample_rate, int64
+    samples). Same chunk walk as decode_wav, exposing the raw samples."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    sample_rate, data = None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            _fmt, _ch, sample_rate = struct.unpack_from("<HHI", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if sample_rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return int(sample_rate), np.frombuffer(data, dtype="<i2").astype(np.int64)
+
+
+def audio_window_rows(mid: str, kind: str, payload: bytes,
+                      window: int = 1024) -> List[dict]:
+    """Per-row windowed audio-energy kernel (shared with the expected-table
+    oracle, like frame_sample_rows): PCM16 samples in fixed windows of
+    ``window`` samples (last window ragged); per window the EXACT int64
+    energy (sum of squares — max |s|=32768 ⇒ safe past 8e9 samples per
+    window) and peak |amplitude|. The VAD/loudness-segmentation feature
+    pass of an audio training-data pipeline, integer-exact for the hash
+    gate."""
+    if kind != "audio":
+        return []
+    try:
+        _rate, samples = _wav_samples(payload)
+    except (ValueError, struct.error):
+        return []
+    out = []
+    for w, s in enumerate(range(0, len(samples), window)):
+        chunk = samples[s:s + window]
+        out.append({"media_id": mid, "window_idx": w,
+                    "n_samples": int(len(chunk)),
+                    "energy": int((chunk * chunk).sum()),
+                    "peak": int(np.abs(chunk).max()) if len(chunk) else 0})
+    return out
+
+
+def audio_windows(ds: rd.Dataset, window: int = 1024) -> rd.Dataset:
+    """Windowed audio energy over the media table: explodes each WAV row
+    into per-window feature rows (flat-map-shaped map_batches; the
+    per-row Python IS the codec walk, the window math is numpy). Small
+    batch_size — media rows are payload-wide, same sizing note as
+    decode_media."""
+    def fn(batch: pa.Table) -> pa.Table:
+        rows = []
+        for mid, kind, payload in zip(batch.column("media_id").to_pylist(),
+                                      batch.column("kind").to_pylist(),
+                                      batch.column("payload").to_pylist()):
+            rows.extend(audio_window_rows(mid, kind, payload, window))
+        schema = pa.schema([("media_id", pa.string()),
+                            ("window_idx", pa.int64()),
+                            ("n_samples", pa.int64()),
+                            ("energy", pa.int64()),
+                            ("peak", pa.int64())])
+        if not rows:
+            return schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=schema)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=16)

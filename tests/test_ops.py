@@ -628,3 +628,27 @@ def test_neardup_best_pick_planted(ray_session, tmp_path):
     assert out["best_doc_id"].tolist() == [1, 10]
     assert out["n_members"].tolist() == [3, 2]
     assert out["best_quality"].tolist() == [0.9, 0.5]
+
+
+def test_audio_windows_integer_exact(ray_session):
+    """Windowed WAV energy: hand-checked against a synthesized tone; the
+    last ragged window keeps its true sample count; non-audio rows vanish."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from neo4j_tkapi_ray.ops.multimodal import (_wav_samples, audio_windows,
+                                                encode_bmp, encode_wav)
+
+    wav = encode_wav(2500, 8000, 240.0)
+    rate, samples = _wav_samples(wav)
+    ds = rd.from_arrow(pa.table({
+        "media_id": ["a1", "i1"], "kind": ["audio", "image"],
+        "payload": [wav, encode_bmp(4, 4, 7)]}))
+    out = (audio_windows(ds, window=1024).to_pandas()
+           .sort_values("window_idx").reset_index(drop=True))
+    assert out["media_id"].tolist() == ["a1", "a1", "a1"]
+    assert out["n_samples"].tolist() == [1024, 1024, 452]
+    for i, row in out.iterrows():
+        chunk = samples[i * 1024:(i + 1) * 1024]
+        assert row["energy"] == int((chunk * chunk).sum())
+        assert row["peak"] == int(abs(chunk).max())
