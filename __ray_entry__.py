@@ -379,6 +379,14 @@ def _snapshot_changes(sf_dir: str):
     return _epochify(snapshot_changes(c["pages"]))
 
 
+def _crawl_dir_stats(sf_dir: str):
+    from neo4j_tkapi_ray.sources.pages import crawl_dir_stats
+    c = _kg_corpus(sf_dir)
+    ds = crawl_dir_stats(c["pages"])
+    return _epochify(_epochify(ds, "ts_min", "ts_min_epoch"),
+                     "ts_max", "ts_max_epoch")
+
+
 def _graph_edges_ds(sf_dir: str):
     """Canonical full-graph edge table, stage-cached: the graph-analytics
     queries consume the SAME edge set kg_graph_edges checks, without
@@ -580,6 +588,7 @@ _SWEEP_FRONT = [
     "kg_pred_transitions",       # NEW in round 4 — never driver-checked
     "kmeans_outliers",           # NEW in round 4 — never driver-checked
     "media_audio_windows",       # NEW in round 4 — never driver-checked
+    "crawl_dir_stats",           # NEW in round 4 — never driver-checked
     # group 2 — r02-green, missed r03's window
     "kg_interruption_types",
     "kg_interruption_topics",
@@ -600,7 +609,8 @@ _SWEEP_FRONT = [
     "bpe_token_counts",
     "ann_topk",
     "embedding_neardup",
-    "user_sessions",
+    # (user_sessions rotated to the tail to admit crawl_dir_stats;
+    # r02-green on code unchanged since)
     # (session_stats rotated to the tail to admit media_audio_windows;
     # r02-green on code unchanged since)
     # (stratified_sample rotated to the tail to admit kmeans_outliers;
@@ -670,6 +680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drop_dup_spans": lambda sf: dedup.drop_dup_spans(sf),  # SQL-checkable
         "unigram_logprob": textstats.unigram_logprob,        # SQL-checkable
         "snapshot_changes": _snapshot_changes,               # SQL-checkable
+        "crawl_dir_stats": _crawl_dir_stats,                 # SQL-checkable
         "top_ngrams": lambda sf: sampling.top_ngrams(sf),    # SQL-checkable
         "event_props_rollup": events.event_props_rollup,     # SQL-checkable
         # sequence packing + deterministic k-means (round 4; ops/packing.py,
@@ -984,6 +995,20 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         # per-URL re-crawl change detection: LAG over snapshots of one url,
         # first snapshot counts as changed (engine hashes text; the 128-bit
         # blake2b stands in for string equality, same budget as dedup_exact)
+        # URL-prefix bucket rollup: same RE2 prefix + '' no-match value on
+        # both sides; epoch conversion identical to kg_latest_snapshot
+        "crawl_dir_stats": f"""
+            SELECT regexp_extract(url, '^https?://[^/]+(/[^/]+/[^/]+)', 1)
+                       AS prefix,
+                   CAST(COUNT(*) AS BIGINT) AS n_pages,
+                   CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+                   CAST(epoch_us(MIN(warc_ts)) // 1000000 AS BIGINT)
+                       AS ts_min_epoch,
+                   CAST(epoch_us(MAX(warc_ts)) // 1000000 AS BIGINT)
+                       AS ts_max_epoch
+            FROM read_parquet('{cd}/pages/*.parquet')
+            GROUP BY prefix
+        """,
         "snapshot_changes": f"""
             SELECT url,
                    CAST(epoch_us(warc_ts) // 1000000 AS BIGINT) AS ts_epoch,

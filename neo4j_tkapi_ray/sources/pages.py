@@ -146,3 +146,55 @@ def read_registry_tables(registry_dir: str) -> Dict[str, list]:
         path = f"{registry_dir}/{name}.parquet"
         out[name] = pq.read_table(path).to_pylist() if os.path.exists(path) else []
     return out
+
+
+def crawl_dir_stats(paths: Union[str, List[str]]) -> rd.Dataset:
+    """URL-prefix bucket rollup — the per-directory crawl table web
+    curation builds to spot over-crawled sections and dead zones: for each
+    first-two-segment URL prefix (e.g. ``/session/s00042``), the page
+    count, distinct-URL count and snapshot time span.
+
+    Prefix extraction is RE2 on both sides (Arrow ``extract_regex`` here,
+    DuckDB ``regexp_extract`` in the oracle); a non-matching url gets ''
+    — DuckDB's no-match value (its regexp_extract never returns NULL), so
+    the group keys agree on every input.
+
+    Scale shape: only (url, warc_ts) leave the scan; per-batch partials
+    collapse to one row per (prefix, url) per batch BEFORE the prefix
+    exchange, so the shuffle is bounded by distinct urls, not snapshots;
+    the block reduce computes the distinct-url count where the exchange
+    contract guarantees all rows of a prefix are present.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..exchange import reduce_blocks
+
+    ds = rd.read_parquet(paths, columns=["url", "warc_ts"])
+    pat = r"^https?://[^/]+(?P<prefix>/[^/]+/[^/]+)"
+
+    def partial(batch: "pa.Table") -> "pa.Table":
+        ext = pc.extract_regex(batch.column("url"), pat)
+        prefix = pc.fill_null(pc.struct_field(ext, "prefix"), "")
+        t = pa.table({"prefix": prefix, "url": batch.column("url"),
+                      "warc_ts": batch.column("warc_ts")})
+        g = t.group_by(["prefix", "url"]).aggregate(
+            [("warc_ts", "min"), ("warc_ts", "max"), ("warc_ts", "count")])
+        return pa.table({"prefix": g.column("prefix"), "url": g.column("url"),
+                         "ts_min": g.column("warc_ts_min"),
+                         "ts_max": g.column("warc_ts_max"),
+                         "n": g.column("warc_ts_count").cast(pa.int64())})
+
+    def final(block: "pa.Table") -> "pa.Table":
+        g = block.group_by(["prefix"]).aggregate(
+            [("n", "sum"), ("url", "count_distinct"),
+             ("ts_min", "min"), ("ts_max", "max")])
+        return pa.table({"prefix": g.column("prefix"),
+                         "n_pages": g.column("n_sum").cast(pa.int64()),
+                         "n_urls": g.column("url_count_distinct").cast(pa.int64()),
+                         "ts_min": g.column("ts_min_min"),
+                         "ts_max": g.column("ts_max_max")})
+
+    return reduce_blocks(ds.map_batches(partial, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                         ["prefix"], final)

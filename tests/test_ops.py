@@ -652,3 +652,30 @@ def test_audio_windows_integer_exact(ray_session):
         chunk = samples[i * 1024:(i + 1) * 1024]
         assert row["energy"] == int((chunk * chunk).sum())
         assert row["peak"] == int(abs(chunk).max())
+
+
+def test_crawl_dir_stats_planted(ray_session, tmp_path):
+    """URL-prefix rollup: two-segment prefix buckets, distinct-url vs
+    snapshot counts, and the DuckDB ''-on-no-match convention for a url
+    too shallow to have two segments."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neo4j_tkapi_ray.sources.pages import crawl_dir_stats
+
+    ts = [1_700_000_000 + i for i in range(5)]
+    t = pa.table({
+        "url": ["https://h/a/x/p1", "https://h/a/x/p1", "https://h/a/x/p2",
+                "https://h/b/y/p1", "https://h/shallow"],
+        "warc_ts": pa.array([ts[0], ts[1], ts[2], ts[3], ts[4]],
+                            pa.timestamp("us"))})
+    pq.write_table(t, tmp_path / "pages.parquet")
+    out = (crawl_dir_stats(str(tmp_path / "pages.parquet")).to_pandas()
+           .set_index("prefix").sort_index())
+    assert out.loc["/a/x", "n_pages"] == 3      # 3 snapshots...
+    assert out.loc["/a/x", "n_urls"] == 2       # ...of 2 urls
+    assert out.loc["/b/y", "n_pages"] == 1
+    assert out.loc["", "n_pages"] == 1          # no-match bucket is ''
+    # pa.timestamp("us") integers -> pandas ns Timestamps (x1000)
+    assert out.loc["/a/x", "ts_min"].value == ts[0] * 1000
+    assert out.loc["/a/x", "ts_max"].value == ts[2] * 1000
