@@ -434,6 +434,11 @@ def _kg_node_similarity(sf_dir: str):
     return node_similarity(_graph_edges_ds(sf_dir), top_k=100)
 
 
+def _kg_component_sizes(sf_dir: str):
+    from neo4j_tkapi_ray.ops.graph import component_sizes, connected_components
+    return component_sizes(connected_components(_graph_edges_ds(sf_dir)))
+
+
 def _kg_bfs_depth(sf_dir: str):
     from neo4j_tkapi_ray.ops.graph import bfs_depth
     return bfs_depth(_graph_edges_ds(sf_dir), seed_prefix="fr", max_rounds=8)
@@ -589,6 +594,7 @@ _SWEEP_FRONT = [
     "kmeans_outliers",           # NEW in round 4 — never driver-checked
     "media_audio_windows",       # NEW in round 4 — never driver-checked
     "crawl_dir_stats",           # NEW in round 4 — never driver-checked
+    "kg_component_sizes",        # NEW in round 4 — never driver-checked
     # group 2 — r02-green, missed r03's window
     "kg_interruption_types",
     "kg_interruption_topics",
@@ -608,7 +614,8 @@ _SWEEP_FRONT = [
     "token_counts",
     "bpe_token_counts",
     "ann_topk",
-    "embedding_neardup",
+    # (embedding_neardup rotated to the tail to admit kg_component_sizes;
+    # r02-green on code unchanged since)
     # (user_sessions rotated to the tail to admit crawl_dir_stats;
     # r02-green on code unchanged since)
     # (session_stats rotated to the tail to admit media_audio_windows;
@@ -699,6 +706,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # GDS wcc over the constructed KG (round 4): distributed min-label
         # propagation vs a UNION-FIND expected table (independent algorithm)
         "kg_wcc": _with_op_expected("kg_wcc", _kg_wcc),
+        "kg_component_sizes": _with_op_expected(
+            "kg_wcc", _kg_component_sizes),  # SQL-checkable (derivational)
         "kg_kcore": _kg_kcore,                               # SQL-checkable
         "kg_node_similarity": _kg_node_similarity,           # SQL-checkable
         "kg_bfs_depth": _kg_bfs_depth,                       # SQL-checkable
@@ -1412,6 +1421,16 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         FROM documents d
         LEFT JOIN read_parquet('{od}/neardup_groups.parquet') g
           USING (doc_id)
+    """
+    # component-size distribution, derivational over the union-find WCC
+    # expected table (independent algorithm from the engine's label prop)
+    ops["kg_component_sizes"] = f"""
+        WITH cc AS (SELECT component_id, COUNT(*) AS size
+                    FROM read_parquet('{od}/kg_wcc.parquet')
+                    GROUP BY component_id)
+        SELECT CAST(size AS BIGINT) AS size,
+               CAST(COUNT(*) AS BIGINT) AS n_components
+        FROM cc GROUP BY size
     """
     # quality-aware canonical pick: best quality per cluster (ties doc_id
     # asc), derivational over the union-find groups + quality expected

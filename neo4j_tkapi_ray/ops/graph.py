@@ -1069,3 +1069,31 @@ def pred_transitions(edges: rd.Dataset) -> rd.Dataset:
 
     return reduce_blocks(partial_paths, ["pred_in", "pred_out"], final_sum,
                          batch_format="pandas")
+
+
+def component_sizes(components: rd.Dataset) -> rd.Dataset:
+    """(size, n_components) — the component-size distribution over a
+    (node_id, component_id) table, the fragmentation report a reference
+    user derives from GDS wcc results (giant-component check, isolate
+    count). Two bounded exchanges: per-batch partial counts by component,
+    exchange+sum (one row per component), then per-batch partial counts
+    by size, exchange+sum (≤ distinct sizes rows — O(√nodes) by the
+    partition-count bound, driver-safe)."""
+    def partial_comp(b: pa.Table) -> pa.Table:
+        g = b.group_by("component_id").aggregate([([], "count_all")])
+        return pa.table({"component_id": g.column("component_id"),
+                         "c": g.column("count_all").cast(pa.int64())})
+
+    comp_counts = reduce_blocks(
+        components.map_batches(partial_comp, batch_format="pyarrow",
+                               zero_copy_batch=True),
+        ["component_id"], _sum_c_per("component_id", "size"))
+
+    def partial_size(b: pa.Table) -> pa.Table:
+        g = b.group_by("size").aggregate([([], "count_all")])
+        return pa.table({"size": g.column("size").cast(pa.int64()),
+                         "c": g.column("count_all").cast(pa.int64())})
+
+    return reduce_blocks(
+        comp_counts.map_batches(partial_size, batch_format="pyarrow"),
+        ["size"], _sum_c_per("size", "n_components"))

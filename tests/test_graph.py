@@ -286,3 +286,15 @@ def test_pred_transitions_planted(ray_session):
     # besides the loop; loop as first hop then nothing out of c but the
     # loop itself: c-Z-c then c-Z-c again is the SAME edge -> excluded
     assert got == {("X", "Y"): 2, ("Y", "Z"): 1}
+
+
+def test_component_sizes_planted(ray_session):
+    """Size histogram over a hand-built component table: two singletons,
+    one pair, one triple."""
+    from neo4j_tkapi_ray.ops.graph import component_sizes
+
+    t = pa.table({"node_id": ["a", "b", "c", "d", "e", "f", "g"],
+                  "component_id": ["a", "b", "c", "c", "e", "e", "e"]})
+    got = {r["size"]: r["n_components"]
+           for r in component_sizes(rd.from_arrow(t).repartition(3)).take_all()}
+    assert got == {1: 2, 2: 1, 3: 1}
