@@ -595,6 +595,7 @@ _SWEEP_FRONT = [
     "media_audio_windows",       # NEW in round 4 — never driver-checked
     "crawl_dir_stats",           # NEW in round 4 — never driver-checked
     "kg_component_sizes",        # NEW in round 4 — never driver-checked
+    "source_bigram_overlap",     # NEW in round 4 — never driver-checked
     # group 2 — r02-green, missed r03's window
     "kg_interruption_types",
     "kg_interruption_topics",
@@ -613,7 +614,8 @@ _SWEEP_FRONT = [
     "dedup_exact",
     "token_counts",
     "bpe_token_counts",
-    "ann_topk",
+    # (ann_topk rotated to the tail to admit source_bigram_overlap;
+    # r02-green on code unchanged since)
     # (embedding_neardup rotated to the tail to admit kg_component_sizes;
     # r02-green on code unchanged since)
     # (user_sessions rotated to the tail to admit crawl_dir_stats;
@@ -689,6 +691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_changes": _snapshot_changes,               # SQL-checkable
         "crawl_dir_stats": _crawl_dir_stats,                 # SQL-checkable
         "top_ngrams": lambda sf: sampling.top_ngrams(sf),    # SQL-checkable
+        "source_bigram_overlap": sampling.source_bigram_overlap,  # SQL-checkable
         "event_props_rollup": events.event_props_rollup,     # SQL-checkable
         # sequence packing + deterministic k-means (round 4; ops/packing.py,
         # ops/clustering.py)
@@ -1894,6 +1897,38 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         # split kernel as token_doc_freq; bigrams are adjacent positions
         # within one document (the pos self-join mirrors the engine's
         # same-doc adjacency mask)
+        # exact cross-source bigram Jaccard: same lowercase/strip/split +
+        # adjacency kernel as top_ngrams; DISTINCT per-source gram sets
+        "source_bigram_overlap": """
+            WITH d AS (
+                SELECT doc_id, source,
+                       regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g')
+                           AS t
+                FROM documents),
+                 toks AS (
+                SELECT doc_id, source,
+                       unnest(string_split_regex(t, '\\s+')) AS token,
+                       generate_subscripts(string_split_regex(t, '\\s+'), 1)
+                           AS pos
+                FROM d WHERE t <> ''),
+                 grams AS (
+                SELECT DISTINCT a.source, a.token || ' ' || b.token AS g
+                FROM toks a JOIN toks b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+                 cnt AS (SELECT source, COUNT(*) AS n FROM grams
+                         GROUP BY source),
+                 p AS (
+                SELECT x.source AS sa, y.source AS sb, COUNT(*) AS c
+                FROM grams x JOIN grams y USING (g)
+                WHERE x.source < y.source GROUP BY 1, 2)
+            SELECT p.sa AS source_a, p.sb AS source_b,
+                   CAST(p.c AS BIGINT) AS n_common,
+                   CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+                   ROUND(p.c / CAST(ca.n + cb.n - p.c AS DOUBLE), 5)
+                       AS jaccard
+            FROM p JOIN cnt ca ON ca.source = p.sa
+                   JOIN cnt cb ON cb.source = p.sb
+        """,
         "top_ngrams": """
             WITH d AS (
                 SELECT doc_id,

@@ -568,3 +568,100 @@ def mixture_sample(sf_dir: str, budget_tokens: int = 600) -> rd.Dataset:
 
     return reduce_blocks(keyed, ["source", "bucket"], select_block,
                          batch_format="pandas")
+
+
+def source_bigram_overlap(sf_dir: str) -> rd.Dataset:
+    """Cross-source contamination matrix — EXACT pairwise Jaccard between
+    each source's distinct token-BIGRAM set (the "how much does corpus A
+    overlap corpus B" audit run before mixing sources; bigrams rather
+    than tokens so the synthetic corpus' tiny unigram vocabulary doesn't
+    saturate the measure). Tokenization is the module's shared lowercase
+    kernel (``_doc_tokens``), bigrams adjacent-within-doc like
+    ``top_ngrams``.
+
+    Scale shape: per-batch DISTINCT (source, gram) partials → ONE gram
+    exchange; each gram lives in exactly one partition, so per-source
+    distinct counts and per-pair co-occurrence counts are both exact from
+    per-block passes (pre-aggregated: a block emits ≤ S² pair rows + S
+    count rows no matter its gram count). The final merge sees
+    ≤ (S² + S) × P rows — source-count-bounded, never corpus-bounded.
+
+    Output: (source_a, source_b, n_common, n_a, n_b, jaccard) for
+    source_a < source_b, jaccard rounded half-away at 5dp.
+    """
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "text"])
+    _empty = pa.table({"source": pa.array([], pa.string()),
+                       "gram": pa.array([], pa.string())})
+
+    def partial_grams(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _empty
+        doc_idx, flat = _doc_tokens(b)
+        if flat is None or len(flat) < 2:
+            return _empty
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        grams = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1, len(flat) - 1), " ")
+        same_doc = doc_idx[:-1] == doc_idx[1:]
+        grams = grams.filter(pa.array(same_doc))
+        src = b.column("source").take(pa.array(doc_idx[:-1][same_doc]))
+        if len(grams) == 0:
+            return _empty
+        return (pa.table({"source": src, "gram": grams})
+                .group_by(["source", "gram"]).aggregate([]))
+
+    partials = docs.map_batches(partial_grams, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def per_gram_block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"sa": pd.Series(dtype="object"),
+                              "sb": pd.Series(dtype="object"),
+                              "c": pd.Series(dtype="int64")})
+        if df.empty:
+            return empty
+        st = df.drop_duplicates(["source", "gram"])
+        # per-source distinct-gram partial (sb = NULL sentinel rows)
+        ns = st.groupby("source", sort=False).size().reset_index(name="c")
+        counts = pd.DataFrame({"sa": ns["source"], "sb": None,
+                               "c": ns["c"].astype("int64")})
+        m = st.merge(st, on="gram")
+        m = m[m["source_x"] < m["source_y"]]
+        if m.empty:
+            return pd.concat([counts], ignore_index=True)
+        pairs = (m.groupby(["source_x", "source_y"], sort=False).size()
+                 .reset_index(name="c"))
+        pairs = pd.DataFrame({"sa": pairs["source_x"],
+                              "sb": pairs["source_y"],
+                              "c": pairs["c"].astype("int64")})
+        return pd.concat([pairs, counts], ignore_index=True)
+
+    tagged = reduce_blocks(partials, ["gram"], per_gram_block,
+                           batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"source_a": pd.Series(dtype="object"),
+                              "source_b": pd.Series(dtype="object"),
+                              "n_common": pd.Series(dtype="int64"),
+                              "n_a": pd.Series(dtype="int64"),
+                              "n_b": pd.Series(dtype="int64"),
+                              "jaccard": pd.Series(dtype="float64")})
+        if df.empty:
+            return empty
+        ns = (df[df["sb"].isna()].groupby("sa", sort=False)["c"].sum())
+        pairs = (df[df["sb"].notna()].groupby(["sa", "sb"], sort=True)["c"]
+                 .sum().reset_index())
+        if pairs.empty:
+            return empty
+        na = ns.reindex(pairs["sa"]).to_numpy(dtype=np.int64)
+        nb = ns.reindex(pairs["sb"]).to_numpy(dtype=np.int64)
+        c = pairs["c"].to_numpy(dtype=np.int64)
+        j = c / (na + nb - c)
+        j5 = np.floor(j * 1e5 + 0.5) / 1e5
+        return pd.DataFrame({"source_a": pairs["sa"], "source_b": pairs["sb"],
+                             "n_common": c, "n_a": na, "n_b": nb,
+                             "jaccard": j5})
+
+    # ≤ (S² + S) × P rows by construction: single-block merge is safe
+    return tagged.repartition(1).map_batches(merge, batch_format="pandas",
+                                             batch_size=None)

@@ -290,3 +290,26 @@ def test_mixture_sample_greedy_prefix(ray_session, tmp_path):
     assert out["doc_id"].tolist() == [0, 2, 5]
     assert out["cum_tokens"].tolist() == [3, 5, 10]
     assert out["n_tokens"].tolist() == [3, 2, 10]
+
+
+def test_source_bigram_overlap_exact(ray_session, tmp_path):
+    """Exact pairwise source Jaccard on hand-built bigram sets: A={ab,bc},
+    B={ab,bx}, C disjoint; within-doc adjacency only (no cross-doc grams),
+    duplicate grams in a source count once."""
+    import pandas as pd
+
+    from neo4j_tkapi_ray.ops.sampling import source_bigram_overlap
+
+    rows = [
+        {"doc_id": 0, "source": "A", "text": "a b c"},   # {a b, b c}
+        {"doc_id": 1, "source": "A", "text": "a b"},     # dup gram, no-op
+        {"doc_id": 2, "source": "B", "text": "a b x"},   # {a b, b x}
+        {"doc_id": 3, "source": "C", "text": "q r"},     # {q r}
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    out = (source_bigram_overlap(str(tmp_path)).to_pandas()
+           .set_index(["source_a", "source_b"]).sort_index())
+    ab = out.loc[("A", "B")]
+    assert (ab["n_common"], ab["n_a"], ab["n_b"]) == (1, 2, 2)
+    assert ab["jaccard"] == 0.33333               # 1/(2+2-1), half-away 5dp
+    assert ("A", "C") not in out.index            # disjoint pairs absent
