@@ -596,6 +596,7 @@ _SWEEP_FRONT = [
     "crawl_dir_stats",           # NEW in round 4 — never driver-checked
     "kg_component_sizes",        # NEW in round 4 — never driver-checked
     "source_bigram_overlap",     # NEW in round 4 — never driver-checked
+    "funnel_stages",             # NEW in round 4 — never driver-checked
     # group 2 — r02-green, missed r03's window
     "kg_interruption_types",
     "kg_interruption_topics",
@@ -613,7 +614,8 @@ _SWEEP_FRONT = [
     "trailing_window_counts",
     "dedup_exact",
     "token_counts",
-    "bpe_token_counts",
+    # (bpe_token_counts rotated to the tail to admit funnel_stages;
+    # r02-green on code unchanged since)
     # (ann_topk rotated to the tail to admit source_bigram_overlap;
     # r02-green on code unchanged since)
     # (embedding_neardup rotated to the tail to admit kg_component_sizes;
@@ -693,6 +695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams": lambda sf: sampling.top_ngrams(sf),    # SQL-checkable
         "source_bigram_overlap": sampling.source_bigram_overlap,  # SQL-checkable
         "event_props_rollup": events.event_props_rollup,     # SQL-checkable
+        "funnel_stages": events.funnel_stages,               # SQL-checkable
         # sequence packing + deterministic k-means (round 4; ops/packing.py,
         # ops/clustering.py)
         "pack_sequences": packing.pack_sequences,            # SQL-checkable
@@ -1956,6 +1959,30 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         # sidecar-field extraction + rollup: identical RE2 pattern on both
         # sides; NULLIF handles the no-match case the way extract_regex's
         # null does (SUM skips both)
+        # ordered funnel: first view -> first click strictly after ->
+        # first purchase strictly after; -1 sentinel for unreached stages
+        "funnel_stages": """
+            WITH e AS (SELECT user_id, event_type,
+                              CAST(epoch_us(ts) AS BIGINT) AS us
+                       FROM events),
+                 v AS (SELECT user_id, MIN(us) AS tv FROM e
+                       WHERE event_type = 'view' GROUP BY user_id),
+                 c AS (SELECT e.user_id, MIN(e.us) AS tc
+                       FROM e JOIN v USING (user_id)
+                       WHERE e.event_type = 'click' AND e.us > v.tv
+                       GROUP BY e.user_id),
+                 p AS (SELECT e.user_id, MIN(e.us) AS tp
+                       FROM e JOIN c USING (user_id)
+                       WHERE e.event_type = 'purchase' AND e.us > c.tc
+                       GROUP BY e.user_id)
+            SELECT v.user_id, v.tv AS view_us,
+                   COALESCE(c.tc, -1) AS click_us,
+                   COALESCE(p.tp, -1) AS purchase_us,
+                   CAST(1 + CASE WHEN c.tc IS NULL THEN 0 ELSE 1 END
+                          + CASE WHEN p.tp IS NULL THEN 0 ELSE 1 END
+                        AS BIGINT) AS stage
+            FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        """,
         "event_props_rollup": """
             WITH x AS (
                 SELECT event_type,

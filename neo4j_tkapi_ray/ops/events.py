@@ -168,3 +168,81 @@ def event_props_rollup(sf_dir: str) -> rd.Dataset:
                          "n_events": n, "sum_k": s, "avg_k": avg})
 
     return reduce_blocks(partials, ["event_type"], final)
+
+
+def funnel_stages(sf_dir: str,
+                  steps: tuple = ("view", "click", "purchase")) -> rd.Dataset:
+    """Ordered conversion funnel per user — the product-analytics sibling
+    of sessionization: the earliest ``steps[0]``, then the earliest
+    ``steps[1]`` STRICTLY AFTER it, then the earliest ``steps[2]``
+    strictly after that. Users with no ``steps[0]`` event are absent;
+    unreached stages carry the -1 sentinel (hash-stable; NULLs as NaN
+    floats would wobble the driver canon).
+
+    Scale shape: column-pruned scan (user_id, event_type, ts only); the
+    per-batch partial drops non-funnel event types and collapses the
+    FIRST step to one min-ts row per (user, batch) — later steps keep
+    their events (the "earliest AFTER x" minimum cannot be pruned without
+    the global x), so the user exchange moves funnel-step events only.
+    One vectorized per-block chain of filtered minima finishes it.
+
+    Output: (user_id, view_us, click_us, purchase_us, stage) with
+    timestamps as int64 epoch-microseconds and stage in 1..len(steps).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..exchange import reduce_blocks
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        mask = pc.is_in(b.column("event_type"),
+                        value_set=pa.array(list(steps), pa.string()))
+        t = b.filter(mask)
+        typed = pa.table({"user_id": t.column("user_id"),
+                          "event_type": t.column("event_type"),
+                          "ts": t.column("ts").cast(pa.int64())})
+        first_mask = pc.equal(typed.column("event_type"), steps[0])
+        g0 = (typed.filter(first_mask).group_by(["user_id", "event_type"])
+              .aggregate([("ts", "min")]))
+        firsts = pa.table({"user_id": g0.column("user_id"),
+                           "event_type": g0.column("event_type"),
+                           "ts": g0.column("ts_min")})
+        later = typed.filter(pc.invert(first_mask))
+        return pa.concat_tables([firsts, later])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def chain_block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                              "view_us": pd.Series(dtype="int64"),
+                              "click_us": pd.Series(dtype="int64"),
+                              "purchase_us": pd.Series(dtype="int64"),
+                              "stage": pd.Series(dtype="int64")})
+        if df.empty:
+            return empty
+        t0 = (df[df["event_type"] == steps[0]]
+              .groupby("user_id", sort=True)["ts"].min())
+        if t0.empty:
+            return empty
+        s1 = df[df["event_type"] == steps[1]].copy()
+        s1["prev"] = s1["user_id"].map(t0)
+        t1 = (s1[s1["prev"].notna() & (s1["ts"] > s1["prev"])]
+              .groupby("user_id", sort=True)["ts"].min())
+        s2 = df[df["event_type"] == steps[2]].copy()
+        s2["prev"] = s2["user_id"].map(t1)
+        t2 = (s2[s2["prev"].notna() & (s2["ts"] > s2["prev"])]
+              .groupby("user_id", sort=True)["ts"].min())
+        out = pd.DataFrame({"user_id": t0.index.to_numpy()})
+        out["view_us"] = t0.to_numpy()
+        out["click_us"] = t1.reindex(t0.index).fillna(-1).to_numpy(np.int64)
+        out["purchase_us"] = t2.reindex(t0.index).fillna(-1).to_numpy(np.int64)
+        out["stage"] = (1 + (out["click_us"] >= 0).astype(int)
+                        + (out["purchase_us"] >= 0).astype(int)).astype("int64")
+        return out.astype({"user_id": "int64", "view_us": "int64"})
+
+    return reduce_blocks(partials, ["user_id"], chain_block,
+                         batch_format="pandas")

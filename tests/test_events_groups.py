@@ -119,3 +119,36 @@ def test_event_props_rollup_matches_scalar(ray_session):
         assert int(row["n_events"]) == n
         assert int(row["sum_k"]) == s
         assert abs(float(row["avg_k"]) - s / n) < 1e-9
+
+
+def test_funnel_stages_strict_order(ray_session, tmp_path):
+    """Funnel chain is strictly ordered: a click BEFORE the first view and
+    a purchase BEFORE the qualifying click don't count; users without a
+    view are absent; sentinel -1 marks unreached stages."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neo4j_tkapi_ray.ops.events import funnel_stages
+
+    US = 1_000_000
+    rows = [  # (user, type, us)
+        (1, "click", 5), (1, "view", 10), (1, "click", 20), (1, "purchase", 15),
+        (1, "purchase", 30),          # full chain: view@10 -> click@20 -> 30
+        (2, "view", 10), (2, "purchase", 20),   # no click -> stage 1
+        (3, "click", 10), (3, "purchase", 20),  # no view -> absent
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "ts": pa.array([r[2] * US for r in rows], pa.timestamp("us")),
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "value": pa.array([0.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = (funnel_stages(str(tmp_path)).to_pandas()
+           .set_index("user_id").sort_index())
+    assert set(out.index) == {1, 2}
+    assert out.loc[1].tolist() == [10 * US, 20 * US, 30 * US, 3]
+    assert out.loc[2].tolist() == [10 * US, -1, -1, 1]
