@@ -597,6 +597,7 @@ _SWEEP_FRONT = [
     "kg_component_sizes",        # NEW in round 4 — never driver-checked
     "source_bigram_overlap",     # NEW in round 4 — never driver-checked
     "funnel_stages",             # NEW in round 4 — never driver-checked
+    "quality_weighted_sample",   # NEW in round 4 — never driver-checked
     # group 2 — r02-green, missed r03's window
     "kg_interruption_types",
     "kg_interruption_topics",
@@ -613,7 +614,8 @@ _SWEEP_FRONT = [
     "top_orders_per_customer",
     "trailing_window_counts",
     "dedup_exact",
-    "token_counts",
+    # (token_counts rotated to the tail to admit quality_weighted_sample;
+    # r02-green on code unchanged since)
     # (bpe_token_counts rotated to the tail to admit funnel_stages;
     # r02-green on code unchanged since)
     # (ann_topk rotated to the tail to admit source_bigram_overlap;
@@ -681,6 +683,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": _with_op_expected("language_id", textstats.language_id),
         "quality_scores": _with_op_expected("quality_scores",
                                             textstats.quality_scores),
+        "quality_weighted_sample": _with_op_expected(
+            "quality_scores",
+            sampling.quality_weighted_sample),  # SQL-checkable (derivational)
         "fingerprints": _with_op_expected("fingerprints", textstats.fingerprints),
         # new in round 3 and never driver-checked, so these ride in the early
         # block (a budget-limited sweep stops around entry 50 — see above)
@@ -1427,6 +1432,15 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         FROM documents d
         LEFT JOIN read_parquet('{od}/neardup_groups.parquet') g
           USING (doc_id)
+    """
+    # soft quality filter: keep iff knuth(doc_id)/2^32 < quality — the
+    # identical IEEE double compare on both sides, over the quality
+    # expected table
+    ops["quality_weighted_sample"] = f"""
+        SELECT doc_id, quality
+        FROM read_parquet('{od}/quality_scores.parquet')
+        WHERE CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+                   AS DOUBLE) < quality * 4294967296
     """
     # component-size distribution, derivational over the union-find WCC
     # expected table (independent algorithm from the engine's label prop)

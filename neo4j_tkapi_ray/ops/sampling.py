@@ -665,3 +665,35 @@ def source_bigram_overlap(sf_dir: str) -> rd.Dataset:
     # ≤ (S² + S) × P rows by construction: single-block merge is safe
     return tagged.repartition(1).map_batches(merge, batch_format="pandas",
                                              batch_size=None)
+
+
+def quality_weighted_sample(sf_dir: str) -> rd.Dataset:
+    """Soft quality filtering (importance sampling): keep each document
+    with probability equal to its quality score — the stochastic
+    alternative to a hard quality threshold used by modern curation
+    recipes (low-quality docs survive occasionally instead of a cliff).
+    Deterministic: the "coin" is the Knuth multiplicative hash of doc_id
+    scaled to [0, 1), so the kept set is reproducible and SQL-checkable
+    (keep iff key/2^32 < quality, evaluated as the identical IEEE double
+    compare on both sides).
+
+    Scale shape: map-only over the quality stream (itself one pass +
+    bounded combiners) — no exchange, no driver contact.
+
+    Output: (doc_id, quality) for kept docs.
+    """
+    from .textstats import quality_scores
+
+    q = quality_scores(sf_dir)
+
+    def keep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "quality": pa.array([], pa.float64())})
+        key = _sample_key(b.column("doc_id")).astype(np.float64)
+        qual = b.column("quality").to_numpy(zero_copy_only=False)
+        mask = key < qual * 4294967296.0
+        return pa.table({"doc_id": b.column("doc_id").filter(pa.array(mask)),
+                         "quality": b.column("quality").filter(pa.array(mask))})
+
+    return q.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

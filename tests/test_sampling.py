@@ -313,3 +313,30 @@ def test_source_bigram_overlap_exact(ray_session, tmp_path):
     assert (ab["n_common"], ab["n_a"], ab["n_b"]) == (1, 2, 2)
     assert ab["jaccard"] == 0.33333               # 1/(2+2-1), half-away 5dp
     assert ("A", "C") not in out.index            # disjoint pairs absent
+
+
+def test_quality_weighted_sample_threshold(ray_session, tmp_path):
+    """Soft filter keeps doc iff knuth(doc_id)/2^32 < quality: quality 1.0
+    always kept, 0.0 never; a mid-quality doc follows its hash coin."""
+    import pandas as pd
+    import numpy as np
+
+    from neo4j_tkapi_ray.ops.sampling import _KNUTH, _MOD32, quality_weighted_sample
+
+    # build texts whose quality_scores are deterministic: the op composes
+    # quality_scores, so plant texts and check against the rule directly
+    rows = [
+        {"doc_id": i, "text": " ".join(["data of the table row"] * 6),
+         "lang": "en", "source": "t", "n_chars": 0}
+        for i in range(50)
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    from neo4j_tkapi_ray.ops.textstats import quality_scores
+    q = quality_scores(str(tmp_path)).to_pandas().set_index("doc_id")
+    kept = (quality_weighted_sample(str(tmp_path)).to_pandas()
+            .sort_values("doc_id"))
+    key = (np.arange(50, dtype=np.uint64) * _KNUTH) % _MOD32
+    expect = [i for i in range(50)
+              if float(key[i]) < q.loc[i, "quality"] * 4294967296.0]
+    assert kept["doc_id"].tolist() == expect
+    assert 0 < len(kept) < 50 or q["quality"].nunique() == 1
