@@ -515,6 +515,11 @@ def _pii_scrub(sf_dir: str):
     return pii_scrub(sf_dir)
 
 
+def _pii_type_counts(sf_dir: str):
+    from neo4j_tkapi_ray.ops.pii import pii_type_counts
+    return pii_type_counts(sf_dir)
+
+
 def _source_keep_rates(sf_dir: str):
     from neo4j_tkapi_ray.ops.curation import source_keep_rates
     return source_keep_rates(sf_dir)
@@ -598,6 +603,7 @@ _SWEEP_FRONT = [
     "source_bigram_overlap",     # NEW in round 4 — never driver-checked
     "funnel_stages",             # NEW in round 4 — never driver-checked
     "quality_weighted_sample",   # NEW in round 4 — never driver-checked
+    "pii_type_counts",           # NEW in round 4 — never driver-checked
     # group 2 — r02-green, missed r03's window
     "kg_interruption_types",
     "kg_interruption_topics",
@@ -611,7 +617,8 @@ _SWEEP_FRONT = [
     "distinct_users_per_event_type",
     "asof_order_events",
     "customers_without_f_orders",
-    "top_orders_per_customer",
+    # (top_orders_per_customer rotated to the tail to admit
+    # pii_type_counts; r02-green on code unchanged since)
     "trailing_window_counts",
     "dedup_exact",
     # (token_counts rotated to the tail to admit quality_weighted_sample;
@@ -724,6 +731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bfs_depth": _kg_bfs_depth,                       # SQL-checkable
         "kg_pred_transitions": _kg_pred_transitions,        # SQL-checkable
         "pii_scrub": _pii_scrub,                             # SQL-checkable
+        "pii_type_counts": _pii_type_counts,                # SQL-checkable
         "source_keep_rates": _source_keep_rates,             # SQL-checkable
         "ann_lsh_topk": _with_op_expected(
             "ann_lsh_topk", lambda sf: ann.lsh_bucketed_topk(sf, n_queries=5, k=5)),
@@ -2047,6 +2055,9 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         # PII scrub: oracle rendered from the engine's own pattern tuples
         # (both sides RE2, same order, stepwise counts)
         "pii_scrub": _pii_oracle_sql(),
+        "pii_type_counts": __import__(
+            "neo4j_tkapi_ray.ops.pii",
+            fromlist=["x"]).pii_type_counts_sql(),
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
                        FROM embeddings ORDER BY vec_id LIMIT 5),

@@ -70,3 +70,34 @@ def test_pattern_table_is_the_single_source():
     sql = pii_sql()
     for pat, repl in PII_PATTERNS:
         assert repl in sql
+
+
+def test_pii_type_counts_planted_vs_duckdb(ray_session, tmp_path):
+    """Per-type rollup on planted PII, engine vs the rendered DuckDB SQL:
+    stepwise semantics — the phone digits inside an already-redacted email
+    must not double-count."""
+    import duckdb
+    import pandas as pd
+
+    from neo4j_tkapi_ray.ops.pii import pii_type_counts, pii_type_counts_sql
+
+    rows = [
+        {"doc_id": 0, "text": "mail me at bob12345678@ex.com ok"},  # email only
+        {"doc_id": 1, "text": "ip 10.0.0.1 and ip 10.0.0.2"},       # 2 ip hits
+        {"doc_id": 2, "text": "call +31 6 1234 5678 now"},          # phone
+        {"doc_id": 3, "text": "word soup only"},
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    ours = (pii_type_counts(str(tmp_path)).to_pandas()
+            .set_index("pii_type").sort_index())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    theirs = (con.execute(pii_type_counts_sql()).df()
+              .set_index("pii_type").sort_index())
+    assert ours.equals(theirs.astype(ours.dtypes.to_dict())), (ours, theirs)
+    assert ours.loc["EMAIL", "n_docs"] == 1
+    assert ours.loc["IP"].tolist() == [1, 2]
+    # doc 0's in-address digit run was consumed by <EMAIL>: phone counts
+    # only doc 2
+    assert ours.loc["PHONE", "n_docs"] == 1
