@@ -604,6 +604,7 @@ _SWEEP_FRONT = [
     "funnel_stages",             # NEW in round 4 — never driver-checked
     "quality_weighted_sample",   # NEW in round 4 — never driver-checked
     "pii_type_counts",           # NEW in round 4 — never driver-checked
+    "doc_novelty",               # NEW in round 4 — never driver-checked
     # group 2 — r02-green, missed r03's window
     "kg_interruption_types",
     "kg_interruption_topics",
@@ -616,7 +617,9 @@ _SWEEP_FRONT = [
     "supplier_balance_by_region",
     "distinct_users_per_event_type",
     "asof_order_events",
-    "customers_without_f_orders",
+    # (customers_without_f_orders rotated to the tail to admit
+    # doc_novelty; r02-green on joins.py code unchanged since 2026-08-17,
+    # before the r02 gate)
     # (top_orders_per_customer rotated to the tail to admit
     # pii_type_counts; r02-green on code unchanged since)
     "trailing_window_counts",
@@ -706,6 +709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_dir_stats": _crawl_dir_stats,                 # SQL-checkable
         "top_ngrams": lambda sf: sampling.top_ngrams(sf),    # SQL-checkable
         "source_bigram_overlap": sampling.source_bigram_overlap,  # SQL-checkable
+        "doc_novelty": sampling.doc_novelty,                 # SQL-checkable
         "event_props_rollup": events.event_props_rollup,     # SQL-checkable
         "funnel_stages": events.funnel_stages,               # SQL-checkable
         # sequence packing + deterministic k-means (round 4; ops/packing.py,
@@ -1953,6 +1957,35 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
                        AS jaccard
             FROM p JOIN cnt ca ON ca.source = p.sa
                    JOIN cnt cb ON cb.source = p.sb
+        """,
+        # per-doc bigram novelty: DISTINCT within-doc grams, df == 1 means
+        # corpus-unique; same lowercase/ws-strip tokenizer and half-away
+        # 5dp rounding as the engine kernel (shared with the overlap op)
+        "doc_novelty": """
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g')
+                           AS t
+                FROM documents),
+                 toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(t, '\\s+')) AS token,
+                       generate_subscripts(string_split_regex(t, '\\s+'), 1)
+                           AS pos
+                FROM d WHERE t <> ''),
+                 grams AS (
+                SELECT DISTINCT a.doc_id, a.token || ' ' || b.token AS g
+                FROM toks a JOIN toks b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+                 dfreq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g)
+            SELECT grams.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel,
+                   ROUND(SUM(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END)
+                         / CAST(COUNT(*) AS DOUBLE), 5) AS novelty
+            FROM grams JOIN dfreq USING (g)
+            GROUP BY grams.doc_id
         """,
         "top_ngrams": """
             WITH d AS (

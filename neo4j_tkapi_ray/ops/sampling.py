@@ -667,6 +667,94 @@ def source_bigram_overlap(sf_dir: str) -> rd.Dataset:
                                              batch_size=None)
 
 
+def doc_novelty(sf_dir: str) -> rd.Dataset:
+    """Per-document n-gram novelty — the fraction of a document's DISTINCT
+    token bigrams that appear in NO other document corpus-wide (df == 1).
+    The standard "uniqueness" signal of curation recipes: near-duplicate
+    and template-heavy documents score near 0, genuinely novel text near
+    1 — used both to up-weight rare content and to spot boilerplate the
+    near-dup pass missed. Tokenization/bigram construction is the module's
+    shared kernel (``_doc_tokens``), adjacent-within-doc like
+    ``source_bigram_overlap``.
+
+    Scale shape: per-batch DISTINCT (doc_id, gram) partials (each doc
+    lives in exactly one input row, so the per-batch distinct is already
+    globally distinct) → ONE gram exchange where df is an exact per-block
+    row count and each doc's (n, novel) contribution is pre-grouped per
+    block → ONE doc_id exchange summing the bounded partials. Per-gram
+    fan-in is bounded by the upstream batch count, per-doc fan-in by the
+    gram partition count; nothing touches the driver.
+
+    Output: (doc_id, n_bigrams, n_novel, novelty) for every doc with >= 1
+    bigram (single-token and empty docs emit no row, mirroring the
+    oracle's inner joins); novelty rounded half-away at 5dp.
+    """
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    _empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                       "gram": pa.array([], pa.string())})
+
+    def partial_grams(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _empty
+        doc_idx, flat = _doc_tokens(b)
+        if flat is None or len(flat) < 2:
+            return _empty
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        grams = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1, len(flat) - 1), " ")
+        same_doc = doc_idx[:-1] == doc_idx[1:]
+        grams = grams.filter(pa.array(same_doc))
+        if len(grams) == 0:
+            return _empty
+        doc = b.column("doc_id").take(pa.array(doc_idx[:-1][same_doc]))
+        return (pa.table({"doc_id": pc.cast(doc, pa.int64()), "gram": grams})
+                .group_by(["doc_id", "gram"]).aggregate([]))
+
+    partials = docs.map_batches(partial_grams, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def per_gram_block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "n": pd.Series(dtype="int64"),
+                              "novel": pd.Series(dtype="int64")})
+        if df.empty:
+            return empty
+        # rows are (doc_id, gram)-distinct globally, so the per-gram row
+        # count IS its document frequency
+        df_per_gram = df.groupby("gram", sort=False)["gram"].transform("size")
+        out = (df.assign(novel=(df_per_gram == 1).astype("int64"))
+               .groupby("doc_id", sort=False)
+               .agg(n=("gram", "size"), novel=("novel", "sum"))
+               .reset_index())
+        return pd.DataFrame({"doc_id": out["doc_id"].astype("int64"),
+                             "n": out["n"].astype("int64"),
+                             "novel": out["novel"].astype("int64")})
+
+    tagged = reduce_blocks(partials, ["gram"], per_gram_block,
+                           batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "n_bigrams": pd.Series(dtype="int64"),
+                              "n_novel": pd.Series(dtype="int64"),
+                              "novelty": pd.Series(dtype="float64")})
+        if df.empty:
+            return empty
+        g = (df.groupby("doc_id", sort=False)[["n", "novel"]].sum()
+             .reset_index())
+        n = g["n"].to_numpy(dtype=np.int64)
+        novel = g["novel"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "n_bigrams": n,
+            "n_novel": novel,
+            "novelty": np.floor((novel / n) * 1e5 + 0.5) / 1e5,
+        })
+
+    return reduce_blocks(tagged, ["doc_id"], merge, batch_format="pandas")
+
+
 def quality_weighted_sample(sf_dir: str) -> rd.Dataset:
     """Soft quality filtering (importance sampling): keep each document
     with probability equal to its quality score — the stochastic

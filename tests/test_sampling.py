@@ -315,6 +315,33 @@ def test_source_bigram_overlap_exact(ray_session, tmp_path):
     assert ("A", "C") not in out.index            # disjoint pairs absent
 
 
+def test_doc_novelty_planted(ray_session, tmp_path):
+    """Hand-built corpus: doc0 "a b c" grams {a b, b c}; doc1 "a b" gram
+    {a b}; doc2 "x y" gram {x y}. df(a b)=2 so it is shared; b c / x y are
+    corpus-unique. doc0: 1/2 novel; doc1: 0/1; doc2: 1/1. A single-token
+    doc emits no row (no bigram), and a within-doc repeated gram counts
+    once (doc4: "z w z w" emits "z w" twice but its distinct gram set is
+    {z w, w z} — both corpus-unique, n_bigrams == 2)."""
+    import pandas as pd
+
+    from neo4j_tkapi_ray.ops.sampling import doc_novelty
+
+    rows = [
+        {"doc_id": 0, "source": "s", "text": "a b c"},
+        {"doc_id": 1, "source": "s", "text": "a b"},
+        {"doc_id": 2, "source": "s", "text": "x y"},
+        {"doc_id": 3, "source": "s", "text": "only"},
+        {"doc_id": 4, "source": "s", "text": "z w z w"},
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    out = (doc_novelty(str(tmp_path)).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert out.index.tolist() == [0, 1, 2, 4]
+    assert out["n_bigrams"].tolist() == [2, 1, 1, 2]
+    assert out["n_novel"].tolist() == [1, 0, 1, 2]
+    assert out["novelty"].tolist() == [0.5, 0.0, 1.0, 1.0]
+
+
 def test_quality_weighted_sample_threshold(ray_session, tmp_path):
     """Soft filter keeps doc iff knuth(doc_id)/2^32 < quality: quality 1.0
     always kept, 0.0 never; a mid-quality doc follows its hash coin."""
