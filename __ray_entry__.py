@@ -605,6 +605,7 @@ _SWEEP_FRONT = [
     "quality_weighted_sample",   # NEW in round 4 — never driver-checked
     "pii_type_counts",           # NEW in round 4 — never driver-checked
     "doc_novelty",               # NEW in round 4 — never driver-checked
+    "event_type_transitions",    # NEW in round 4 — never driver-checked
     # group 2 — r02-green, missed r03's window
     "kg_interruption_types",
     "kg_interruption_topics",
@@ -615,7 +616,9 @@ _SWEEP_FRONT = [
     "events_hourly",
     "user_activity",
     "supplier_balance_by_region",
-    "distinct_users_per_event_type",
+    # (distinct_users_per_event_type rotated to the tail to admit
+    # event_type_transitions; r02-green on relational.py code unchanged
+    # since 2026-08-17, before the r02 gate)
     "asof_order_events",
     # (customers_without_f_orders rotated to the tail to admit
     # doc_novelty; r02-green on joins.py code unchanged since 2026-08-17,
@@ -712,6 +715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_novelty": sampling.doc_novelty,                 # SQL-checkable
         "event_props_rollup": events.event_props_rollup,     # SQL-checkable
         "funnel_stages": events.funnel_stages,               # SQL-checkable
+        "event_type_transitions": events.event_type_transitions,  # SQL-checkable
         # sequence packing + deterministic k-means (round 4; ops/packing.py,
         # ops/clustering.py)
         "pack_sequences": packing.pack_sequences,            # SQL-checkable
@@ -2037,6 +2041,20 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
                           + CASE WHEN p.tp IS NULL THEN 0 ELSE 1 END
                         AS BIGINT) AS stage
             FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        """,
+        # first-order Markov transition table: LAG over the same (ts,
+        # event_id) per-user total order the engine block sorts by
+        "event_type_transitions": """
+            WITH o AS (
+                SELECT user_id, event_type,
+                       LAG(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)
+                           AS prev_type
+                FROM events)
+            SELECT prev_type, event_type AS next_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM o WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
         """,
         "event_props_rollup": """
             WITH x AS (

@@ -13,7 +13,7 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-from ..exchange import grouped_apply
+from ..exchange import grouped_apply, reduce_blocks
 
 
 def user_sessions(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
@@ -114,6 +114,62 @@ def trailing_window_counts(sf_dir: str, window_minutes: int = 60) -> rd.Dataset:
 
     from ..exchange import reduce_blocks
     return reduce_blocks(ds, ["user_id"], window_block, batch_format="pandas")
+
+
+def event_type_transitions(sf_dir: str) -> rd.Dataset:
+    """First-order Markov transition table over the activity log: for every
+    pair of CONSECUTIVE same-user events (ordered by the module's (ts,
+    event_id) total order), count (prev_type, next_type) occurrences
+    corpus-wide — the "what do users do next" table behind funnel design
+    and next-event prediction baselines.
+
+    Plan: exchange by user (each user's full sequence lands in one block),
+    then per partition ONE vectorized pass — sort the block, shift the
+    type column, mask same-user adjacency, group-count the pairs. The
+    per-block output is bounded by T² distinct type pairs (T = event-type
+    vocabulary), so the final merge is a single type-pair-bounded block —
+    never corpus-bounded (same bound argument as source_bigram_overlap's
+    merge).
+
+    Output: (prev_type, next_type, n); users with a single event
+    contribute nothing.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts", "event_type"])
+    _empty = pd.DataFrame({"prev_type": pd.Series(dtype="object"),
+                           "next_type": pd.Series(dtype="object"),
+                           "n": pd.Series(dtype="int64")})
+
+    def trans_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return _empty.copy()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        users = df["user_id"].to_numpy()
+        types = df["event_type"].to_numpy()
+        same = users[1:] == users[:-1]
+        if not same.any():
+            return _empty.copy()
+        pairs = pd.DataFrame({"prev_type": types[:-1][same],
+                              "next_type": types[1:][same]})
+        out = (pairs.groupby(["prev_type", "next_type"], sort=False)
+               .size().reset_index(name="n"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = reduce_blocks(ds, ["user_id"], trans_block,
+                             batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _empty.copy()
+        out = (df.groupby(["prev_type", "next_type"], sort=True)["n"].sum()
+               .reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    # ≤ T² rows per upstream partition by construction: single-block merge
+    return partials.repartition(1).map_batches(merge, batch_format="pandas",
+                                               batch_size=None)
 
 
 def event_props_rollup(sf_dir: str) -> rd.Dataset:

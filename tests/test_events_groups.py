@@ -152,3 +152,36 @@ def test_funnel_stages_strict_order(ray_session, tmp_path):
     assert set(out.index) == {1, 2}
     assert out.loc[1].tolist() == [10 * US, 20 * US, 30 * US, 3]
     assert out.loc[2].tolist() == [10 * US, -1, -1, 1]
+
+
+def test_event_type_transitions_planted(ray_session, tmp_path):
+    """Transitions are within-user and consecutive-only: user1
+    view->click->view yields (view,click) and (click,view); user2's single
+    event contributes nothing; interleaved timestamps across users never
+    produce cross-user pairs; same-pair occurrences sum."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neo4j_tkapi_ray.ops.events import event_type_transitions
+
+    US = 1_000_000
+    rows = [  # (user, type, us) — user 3 interleaves with user 1
+        (1, "view", 10), (3, "view", 15), (1, "click", 20),
+        (3, "click", 25), (1, "view", 30), (2, "purchase", 12),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "ts": pa.array([r[2] * US for r in rows], pa.timestamp("us")),
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "value": pa.array([0.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = (event_type_transitions(str(tmp_path)).to_pandas()
+           .set_index(["prev_type", "next_type"]).sort_index())
+    # user1: (view,click) + (click,view); user3: (view,click) -> summed
+    assert out.loc[("view", "click"), "n"] == 2
+    assert out.loc[("click", "view"), "n"] == 1
+    assert len(out) == 2
