@@ -606,6 +606,7 @@ _SWEEP_FRONT = [
     "pii_type_counts",           # NEW in round 4 — never driver-checked
     "doc_novelty",               # NEW in round 4 — never driver-checked
     "event_type_transitions",    # NEW in round 4 — never driver-checked
+    "bigram_pmi",                # NEW in round 4 — never driver-checked
     # group 2 — r02-green, missed r03's window
     "kg_interruption_types",
     "kg_interruption_topics",
@@ -615,7 +616,9 @@ _SWEEP_FRONT = [
     "top_customers",
     "events_hourly",
     "user_activity",
-    "supplier_balance_by_region",
+    # (supplier_balance_by_region rotated to the tail to admit bigram_pmi;
+    # r02-green on relational.py code unchanged since 2026-08-17, before
+    # the r02 gate)
     # (distinct_users_per_event_type rotated to the tail to admit
     # event_type_transitions; r02-green on relational.py code unchanged
     # since 2026-08-17, before the r02 gate)
@@ -713,6 +716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams": lambda sf: sampling.top_ngrams(sf),    # SQL-checkable
         "source_bigram_overlap": sampling.source_bigram_overlap,  # SQL-checkable
         "doc_novelty": sampling.doc_novelty,                 # SQL-checkable
+        "bigram_pmi": lambda sf: sampling.bigram_pmi(sf),    # SQL-checkable
         "event_props_rollup": events.event_props_rollup,     # SQL-checkable
         "funnel_stages": events.funnel_stages,               # SQL-checkable
         "event_type_transitions": events.event_type_transitions,  # SQL-checkable
@@ -1990,6 +1994,43 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
                          / CAST(COUNT(*) AS DOUBLE), 5) AS novelty
             FROM grams JOIN dfreq USING (g)
             GROUP BY grams.doc_id
+        """,
+        # PMI collocations: ln over the identical (c*N)/(cl*cr) DOUBLE
+        # expression, half-away 5dp on both sides, rank by rounded pmi
+        # then (x, y) so ties are deterministic
+        "bigram_pmi": """
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g')
+                           AS t
+                FROM documents),
+                 toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(t, '\\s+')) AS token,
+                       generate_subscripts(string_split_regex(t, '\\s+'), 1)
+                           AS pos
+                FROM d WHERE t <> ''),
+                 grams AS (
+                SELECT a.token AS x, b.token AS y
+                FROM toks a JOIN toks b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+                 cxy AS (SELECT x, y, COUNT(*) AS c FROM grams
+                         GROUP BY x, y),
+                 cl AS (SELECT x, SUM(c) AS cl FROM cxy GROUP BY x),
+                 cr AS (SELECT y, SUM(c) AS cr FROM cxy GROUP BY y),
+                 n AS (SELECT SUM(c) AS n FROM cxy),
+                 scored AS (
+                SELECT cxy.x, cxy.y, cxy.c,
+                       ROUND(ln(CAST(cxy.c AS DOUBLE) * CAST(n.n AS DOUBLE)
+                                / (CAST(cl.cl AS DOUBLE)
+                                   * CAST(cr.cr AS DOUBLE))), 5) AS pmi
+                FROM cxy JOIN cl USING (x) JOIN cr USING (y) CROSS JOIN n
+                WHERE cxy.c >= 5)
+            SELECT * FROM (
+                SELECT CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, x, y)
+                            AS BIGINT) AS rank,
+                       x, y, CAST(c AS BIGINT) AS c, pmi
+                FROM scored) WHERE rank <= 100
         """,
         "top_ngrams": """
             WITH d AS (

@@ -755,6 +755,135 @@ def doc_novelty(sf_dir: str) -> rd.Dataset:
     return reduce_blocks(tagged, ["doc_id"], merge, batch_format="pandas")
 
 
+def bigram_pmi(sf_dir: str, top_k: int = 100,
+               min_count: int = 5) -> rd.Dataset:
+    """Collocation extraction — top-k token bigrams by pointwise mutual
+    information, PMI(x, y) = ln(c_xy · N / (cl_x · cr_y)) over bigram
+    OCCURRENCES (c_xy = count of adjacent pair, cl_x / cr_y = the left /
+    right positional marginals, N = total bigram count). The classic
+    collocation miner (Church & Hanks 1990): high-PMI pairs co-occur far
+    more than their token frequencies predict. ``min_count`` drops the
+    unstable low-count tail, standard practice.
+
+    Scale shape: per-batch (x, y, c) partial counts → exchange by x (every
+    (x, ·) row in one block, so BOTH c_xy and the left marginal cl_x are
+    exact per block) → exchange by y (right marginal cr_y exact, PMI
+    computed per row) → per-block top-k partials → one k·P-bounded merge.
+    N is the only driver scalar (a cheap separate \\S+ count pass, the
+    unigram_logprob pattern). Both sides round PMI half-away at 5dp and
+    rank by (rounded pmi DESC, x, y) so ties are deterministic.
+
+    The c·N product is computed in DOUBLE (exact below 2^53); at
+    100-TB corpus scale switch to the log-sum form ln c + ln N - ln cl -
+    ln cr (documented deviation: different float path than the oracle).
+
+    Output: (rank, x, y, c, pmi), rank 1..top_k.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    _empty = pa.table({"x": pa.array([], pa.string()),
+                       "y": pa.array([], pa.string()),
+                       "c": pa.array([], pa.int64())})
+
+    def partial_pairs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _empty
+        doc_idx, flat = _doc_tokens(b)
+        if flat is None or len(flat) < 2:
+            return _empty
+        toks = flat.to_numpy(zero_copy_only=False)
+        same = doc_idx[:-1] == doc_idx[1:]
+        if not same.any():
+            return _empty
+        g = (pd.DataFrame({"x": toks[:-1][same], "y": toks[1:][same]})
+             .groupby(["x", "y"], sort=False).size().reset_index(name="c"))
+        return pa.table({"x": pa.array(g["x"], pa.string()),
+                         "y": pa.array(g["y"], pa.string()),
+                         "c": pa.array(g["c"].to_numpy(), pa.int64())})
+
+    partials = ds.map_batches(partial_pairs, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    # ONE driver scalar: total bigram occurrences = sum over docs of
+    # (n_tokens - 1 if n_tokens >= 1 else 0) — cheap \S+ run count, no
+    # token lists built, stream consumed once (unigram_logprob pattern)
+    def count_bigrams(b: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(b.column("text"), r"\S+")\
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"nb": pa.array(np.maximum(n - 1, 0))})
+
+    total = ds.map_batches(count_bigrams, batch_format="pyarrow",
+                           zero_copy_batch=True).sum("nb")
+    n_total = float(total if total is not None else 0)
+
+    def left_block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"x": pd.Series(dtype="object"),
+                              "y": pd.Series(dtype="object"),
+                              "c": pd.Series(dtype="int64"),
+                              "cl": pd.Series(dtype="int64")})
+        if df.empty:
+            return empty
+        g = df.groupby(["x", "y"], sort=False)["c"].sum().reset_index()
+        cl = g.groupby("x", sort=False)["c"].transform("sum")
+        return pd.DataFrame({"x": g["x"], "y": g["y"],
+                             "c": g["c"].astype("int64"),
+                             "cl": cl.astype("int64")})
+
+    lefts = reduce_blocks(partials, ["x"], left_block, batch_format="pandas")
+
+    def right_block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"x": pd.Series(dtype="object"),
+                              "y": pd.Series(dtype="object"),
+                              "c": pd.Series(dtype="int64"),
+                              "pmi": pd.Series(dtype="float64")})
+        if df.empty:
+            return empty
+        cr = df.groupby("y", sort=False)["c"].transform("sum")\
+               .to_numpy(dtype=np.float64)
+        keep = df["c"].to_numpy(dtype=np.int64) >= min_count
+        if not keep.any():
+            return empty
+        c = df["c"].to_numpy(dtype=np.float64)
+        cl = df["cl"].to_numpy(dtype=np.float64)
+        pmi = np.log((c * n_total) / (cl * cr))
+        # PMI can be NEGATIVE: half-away rounding must be trunc+copysign
+        # (floor(x+0.5) would round -x.5 the wrong way vs DuckDB ROUND)
+        scaled = pmi * 1e5
+        pmi = np.trunc(scaled + np.copysign(0.5, scaled)) / 1e5
+        out = pd.DataFrame({"x": df["x"].to_numpy()[keep],
+                            "y": df["y"].to_numpy()[keep],
+                            "c": df["c"].to_numpy(dtype=np.int64)[keep],
+                            "pmi": pmi[keep]})
+        # per-block top-k partial: the global top-k is a subset of the
+        # union of per-block top-ks under the same total order
+        out = out.sort_values(["pmi", "x", "y"],
+                              ascending=[False, True, True], kind="stable")
+        return out.head(top_k)
+
+    tagged = reduce_blocks(lefts, ["y"], right_block, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"rank": pd.Series(dtype="int64"),
+                              "x": pd.Series(dtype="object"),
+                              "y": pd.Series(dtype="object"),
+                              "c": pd.Series(dtype="int64"),
+                              "pmi": pd.Series(dtype="float64")})
+        if df.empty:
+            return empty
+        df = df.sort_values(["pmi", "x", "y"],
+                            ascending=[False, True, True],
+                            kind="stable").head(top_k)
+        return pd.DataFrame({
+            "rank": np.arange(1, len(df) + 1, dtype=np.int64),
+            "x": df["x"].to_numpy(), "y": df["y"].to_numpy(),
+            "c": df["c"].astype("int64").to_numpy(),
+            "pmi": df["pmi"].to_numpy()})
+
+    # ≤ top_k rows per upstream partition: single-block merge is bounded
+    return tagged.repartition(1).map_batches(merge, batch_format="pandas",
+                                             batch_size=None)
+
+
 def quality_weighted_sample(sf_dir: str) -> rd.Dataset:
     """Soft quality filtering (importance sampling): keep each document
     with probability equal to its quality score — the stochastic

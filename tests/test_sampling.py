@@ -367,3 +367,27 @@ def test_quality_weighted_sample_threshold(ray_session, tmp_path):
               if float(key[i]) < q.loc[i, "quality"] * 4294967296.0]
     assert kept["doc_id"].tolist() == expect
     assert 0 < len(kept) < 50 or q["quality"].nunique() == 1
+
+
+def test_bigram_pmi_planted(ray_session, tmp_path):
+    """Hand-computed PMI over a 3-doc corpus (min_count lowered to 1):
+    grams (a,b):3 (b,a):1 (b,c):1 (c,c):1, N=6; cl a:3 b:2 c:1;
+    cr b:3 a:1 c:2. PMI(a,b)=ln2, PMI(b,a)=PMI(c,c)=ln3 (tie broken by
+    x asc), PMI(b,c)=ln1.5 — ranks follow rounded-PMI desc then (x,y)."""
+    import pandas as pd
+
+    from neo4j_tkapi_ray.ops.sampling import bigram_pmi
+
+    rows = [
+        {"doc_id": 0, "source": "s", "text": "a b a b"},
+        {"doc_id": 1, "source": "s", "text": "a b c"},
+        {"doc_id": 2, "source": "s", "text": "c c"},
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    out = (bigram_pmi(str(tmp_path), top_k=10, min_count=1)
+           .to_pandas().sort_values("rank").reset_index(drop=True))
+    assert out["rank"].tolist() == [1, 2, 3, 4]
+    assert list(zip(out["x"], out["y"])) == [
+        ("b", "a"), ("c", "c"), ("a", "b"), ("b", "c")]
+    assert out["c"].tolist() == [1, 1, 3, 1]
+    assert out["pmi"].tolist() == [1.09861, 1.09861, 0.69315, 0.40547]
