@@ -434,6 +434,11 @@ def _kg_node_similarity(sf_dir: str):
     return node_similarity(_graph_edges_ds(sf_dir), top_k=100)
 
 
+def _kg_adamic_adar(sf_dir: str):
+    from neo4j_tkapi_ray.ops.graph import adamic_adar
+    return adamic_adar(_graph_edges_ds(sf_dir), top_k=100)
+
+
 def _kg_component_sizes(sf_dir: str):
     from neo4j_tkapi_ray.ops.graph import component_sizes, connected_components
     return component_sizes(connected_components(_graph_edges_ds(sf_dir)))
@@ -591,6 +596,7 @@ _SWEEP_FRONT = [
     "cluster_sample",            # NEW in round 4 — never driver-checked
     "normalize_text",            # NEW in round 4 — never driver-checked
     "kg_node_similarity",        # NEW in round 4 — never driver-checked
+    "kg_adamic_adar",            # NEW in round 4 — never driver-checked
     "oov_rate",                  # NEW in round 4 — never driver-checked
     "mixture_sample",            # NEW in round 4 — never driver-checked
     "kg_bfs_depth",              # NEW in round 4 — never driver-checked
@@ -740,6 +746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_wcc", _kg_component_sizes),  # SQL-checkable (derivational)
         "kg_kcore": _kg_kcore,                               # SQL-checkable
         "kg_node_similarity": _kg_node_similarity,           # SQL-checkable
+        "kg_adamic_adar": _kg_adamic_adar,                   # SQL-checkable
         "kg_bfs_depth": _kg_bfs_depth,                       # SQL-checkable
         "kg_pred_transitions": _kg_pred_transitions,        # SQL-checkable
         "pii_scrub": _pii_scrub,                             # SQL-checkable
@@ -1376,6 +1383,36 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
                         AS BIGINT) AS jaccard_ppm
             FROM s JOIN d da ON da.node = s.na JOIN d db ON db.node = s.nb
             ORDER BY jaccard_ppm DESC, node_a, node_b
+            LIMIT 100
+        """,
+        # Adamic-Adar in integer NANO-units: per-witness weight
+        # floor(1e9/ln(deg)) computed identically on both sides (IEEE
+        # double ln over small integer degrees), then an exact BIGINT sum
+        # per pair — order-independent, so distributed summation can't
+        # flake the hash gate. deg >= 2 filter mirrors the engine's m >= 2
+        # skip (a degree-1 node can't be a shared neighbor anyway).
+        "kg_adamic_adar": f"""
+            WITH g AS ({_graph_edges_select(cd)}),
+                 E AS (SELECT DISTINCT LEAST(subj, obj) AS u,
+                              GREATEST(subj, obj) AS v
+                       FROM g WHERE subj <> obj),
+                 N AS (SELECT u AS node, v AS nbr FROM E
+                       UNION ALL SELECT v, u FROM E),
+                 d AS (SELECT node, COUNT(*) AS deg,
+                              CAST(FLOOR(1000000000.0 / ln(COUNT(*)))
+                                   AS BIGINT) AS w
+                       FROM N GROUP BY node HAVING COUNT(*) >= 2),
+                 s AS (SELECT x.node AS na, y.node AS nb,
+                              COUNT(*) AS sh, SUM(d.w) AS aa
+                       FROM N x JOIN N y
+                         ON y.nbr = x.nbr AND x.node < y.node
+                       JOIN d ON d.node = x.nbr
+                       GROUP BY x.node, y.node)
+            SELECT na AS node_a, nb AS node_b,
+                   CAST(sh AS BIGINT) AS shared,
+                   CAST(aa AS BIGINT) AS aa_nano
+            FROM s
+            ORDER BY aa_nano DESC, node_a, node_b
             LIMIT 100
         """,
         "kg_graph_nodes": f"""

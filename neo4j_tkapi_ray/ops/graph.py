@@ -851,6 +851,146 @@ def node_similarity(edges: rd.Dataset | None = None, *,
 
 
 # ---------------------------------------------------------------------------
+# Adamic-Adar link prediction
+# ---------------------------------------------------------------------------
+
+_AA_OUT_COLS = ["node_a", "node_b", "shared", "aa_nano"]
+
+# per-witness weight in NANO-units: floor(1e9 / ln(deg)). deg >= 2 always
+# (a degree-1 witness has no neighbor pair), so ln > 0. Integer weights make
+# the distributed per-pair SUM associative and bit-exact under the driver's
+# hash gate (same rationale as pagerank's micro-units); the only float op is
+# ln(deg) over SMALL INTEGER degrees, evaluated identically (IEEE double) by
+# numpy and DuckDB, and the floor lands on the same integer on both sides
+# unless 1e9/ln(d) is within one ulp of an integer — not the case for any
+# d < 2^20 (checked by test_graph's weight-table cross-check).
+AA_SCALE = 1_000_000_000
+
+
+def adamic_adar(edges: rd.Dataset | None = None, *,
+                pairs: rd.Dataset | None = None, top_k: int = 100,
+                max_witness_degree: int | None = None) -> rd.Dataset:
+    """Adamic-Adar link prediction over the undirected self-loop-free
+    pred-collapsed pair set — what a reference user runs as
+    ``gds.alpha.linkprediction.adamicAdar`` on the loaded Neo4j graph
+    (reference materializes the graph for exactly this class of analytics).
+    For every unordered node pair (a, b) sharing >= 1 neighbor:
+    ``AA(a, b) = sum over shared neighbors w of 1 / ln(deg(w))`` — common
+    neighbors weighted inversely by how promiscuous they are, the classic
+    "which entities should be linked next" signal over a KG.
+
+    Reported in integer NANO-units (``aa_nano = sum(floor(1e9 /
+    ln(deg(w))))``) so the distributed sum is order-independent and
+    bit-exact vs the SQL oracle (see ``AA_SCALE``). Output: global
+    ``top_k`` rows by (aa_nano desc, node_a, node_b) — a total order.
+
+    Scale shape: simpler than ``node_similarity`` — the witness's degree
+    IS its group size after the witness exchange (each neighbor appears
+    exactly once in the exploded pair set), so no degree table and no
+    endpoint-attach hops are needed at all: ONE witness exchange emits
+    per-(a, b) weight partials (combined within the block — exchange skew
+    discipline), ONE pair exchange sums them, per-partition partial top-k
+    bounds the merge at top_k x P rows. ``max_witness_degree`` is the GDS
+    degreeCutoff analog for super-hub witnesses (free check: group size is
+    the degree); it changes scores, so the query surface runs with it off.
+    """
+    pairs = (pairs if pairs is not None
+             else undirected_pairs(edges)).materialize()
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([("w", pa.string()),
+                              ("x", pa.string())]).empty_table()
+        return pa.table({
+            "w": pa.chunked_array([b.column("u"),
+                                   b.column("v")]).combine_chunks(),
+            "x": pa.chunked_array([b.column("v"),
+                                   b.column("u")]).combine_chunks()})
+
+    def witness_weights(df: pd.DataFrame) -> pd.DataFrame:
+        """Per witness: emit every unordered neighbor pair weighted by
+        floor(AA_SCALE / ln(deg)); per-(a, b) combine (sum of weights +
+        shared count) inside the block via one np.unique over encoded
+        int64 keys — same factorize-once discipline as node_similarity."""
+        empty = pd.DataFrame({"a": pd.Series(dtype="object"),
+                              "b": pd.Series(dtype="object"),
+                              "aa": pd.Series(dtype="int64"),
+                              "sh": pd.Series(dtype="int64")})
+        if df.empty:
+            return empty
+        xcodes, uniq = pd.factorize(df["x"], sort=True)
+        wcodes, _ = pd.factorize(df["w"], sort=False)
+        order = np.argsort(wcodes, kind="stable")
+        wc, xc = wcodes[order], xcodes[order]
+        starts = np.flatnonzero(np.r_[True, wc[1:] != wc[:-1]])
+        ends = np.r_[starts[1:], len(wc)]
+        a_parts, b_parts, w_parts = [], [], []
+        for s0, e0 in zip(starts, ends):
+            m = e0 - s0
+            if m < 2 or (max_witness_degree is not None
+                         and m > max_witness_degree):
+                continue
+            weight = int(AA_SCALE / np.log(m))     # floor: both positive
+            nb = np.sort(xc[s0:e0])
+            iu, ju = np.triu_indices(m, 1)
+            a_parts.append(nb[iu])
+            b_parts.append(nb[ju])
+            w_parts.append(np.full(len(iu), weight, dtype=np.int64))
+        if not a_parts:
+            return empty
+        n = len(uniq)
+        key = (np.concatenate(a_parts).astype(np.int64) * n
+               + np.concatenate(b_parts))
+        w = np.concatenate(w_parts)
+        uk, inv, counts = np.unique(key, return_inverse=True,
+                                    return_counts=True)
+        aa = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(aa, inv, w)
+        ua = np.asarray(uniq)
+        return pd.DataFrame({"a": ua[uk // n], "b": ua[uk % n],
+                             "aa": aa, "sh": counts.astype(np.int64)})
+
+    partials = reduce_blocks(
+        pairs.map_batches(both_dirs, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["w"], witness_weights, batch_format="pandas", coalesce_rows=None)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        """Sum partials per pair and keep this partition's top_k (valid
+        partial for the global merge: each (a, b) lives in exactly one
+        partition of the pair exchange)."""
+        empty = pd.DataFrame({c: pd.Series(
+            dtype="object" if c.startswith("node") else "int64")
+            for c in _AA_OUT_COLS})
+        if df.empty:
+            return empty
+        g = (df.groupby(["a", "b"], sort=False)[["aa", "sh"]].sum()
+             .reset_index())
+        out = pd.DataFrame({"node_a": g["a"], "node_b": g["b"],
+                            "shared": g["sh"].astype("int64"),
+                            "aa_nano": g["aa"].astype("int64")})
+        return (out.sort_values(["aa_nano", "node_a", "node_b"],
+                                ascending=[False, True, True], kind="stable")
+                .head(top_k))
+
+    tops = reduce_blocks(partials, ["a", "b"], finish,
+                         batch_format="pandas", coalesce_rows=None)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({c: pd.Series(
+                dtype="object" if c.startswith("node") else "int64")
+                for c in _AA_OUT_COLS})
+        return (df.sort_values(["aa_nano", "node_a", "node_b"],
+                               ascending=[False, True, True], kind="stable")
+                .head(top_k).reset_index(drop=True))
+
+    # <= top_k x P rows by construction: a single-block merge is safe
+    return tops.repartition(1).map_batches(merge, batch_format="pandas",
+                                           batch_size=None)
+
+
+# ---------------------------------------------------------------------------
 # multi-source BFS depth
 # ---------------------------------------------------------------------------
 

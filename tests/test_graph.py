@@ -298,3 +298,64 @@ def test_component_sizes_planted(ray_session):
     got = {r["size"]: r["n_components"]
            for r in component_sizes(rd.from_arrow(t).repartition(3)).take_all()}
     assert got == {1: 2, 2: 1, 3: 1}
+
+
+def test_adamic_adar_matches_bruteforce(ray_session):
+    """AA in nano-units vs a brute-force reference over the adversarial
+    graph; also pins the ordering, the top_k cut, and (via DuckDB) that
+    floor(1e9/ln(deg)) lands on the same integer in numpy and DuckDB for
+    every degree the graph exhibits (the docstring's weight-table claim)."""
+    import duckdb
+
+    from neo4j_tkapi_ray.ops.graph import AA_SCALE, adamic_adar
+
+    adj = _undirected_adj()
+    w = {n: int(AA_SCALE / np.log(len(adj[n])))
+         for n in adj if len(adj[n]) >= 2}
+    want = {}
+    for a, b in combinations(sorted(adj), 2):
+        shared = adj[a] & adj[b]
+        if not shared:
+            continue
+        want[(a, b)] = (len(shared), sum(w[x] for x in shared))
+
+    got = adamic_adar(_edges_ds(), top_k=1000).to_pandas()
+    got_map = {(r.node_a, r.node_b): (r.shared, r.aa_nano)
+               for r in got.itertuples()}
+    assert got_map == want
+    # output ordering: (aa_nano desc, node_a, node_b)
+    key = list(zip(-got["aa_nano"], got["node_a"], got["node_b"]))
+    assert key == sorted(key)
+    # top_k cap + determinism of the cut
+    top3 = adamic_adar(_edges_ds(), top_k=3).to_pandas()
+    assert list(map(tuple, top3.values)) == list(map(tuple, got.head(3).values))
+    # DuckDB's FLOOR(1e9/ln(d)) agrees with numpy's int(1e9/np.log(d))
+    # for every witness degree in the graph (both IEEE double ln)
+    degs = sorted({len(adj[n]) for n in adj if len(adj[n]) >= 2})
+    duck = duckdb.sql(
+        "SELECT CAST(FLOOR(1000000000.0 / ln(d)) AS BIGINT) FROM "
+        f"(VALUES {','.join(f'({d})' for d in degs)}) t(d)").fetchall()
+    assert [int(AA_SCALE / np.log(d)) for d in degs] == [r[0] for r in duck]
+
+
+def test_adamic_adar_witness_degree_cutoff(ray_session):
+    """max_witness_degree drops super-hub witnesses from both the shared
+    count and the weight sum (the GDS degreeCutoff analog)."""
+    from neo4j_tkapi_ray.ops.graph import AA_SCALE, adamic_adar
+
+    adj = _undirected_adj()
+    cap = 4  # h has degree 5 -> excluded as a witness
+    want = {}
+    for a, b in combinations(sorted(adj), 2):
+        shared = [x for x in adj[a] & adj[b] if 2 <= len(adj[x]) <= cap]
+        if not shared:
+            continue
+        want[(a, b)] = (len(shared),
+                        sum(int(AA_SCALE / np.log(len(adj[x])))
+                            for x in shared))
+
+    got = adamic_adar(_edges_ds(), top_k=1000,
+                      max_witness_degree=cap).to_pandas()
+    got_map = {(r.node_a, r.node_b): (r.shared, r.aa_nano)
+               for r in got.itertuples()}
+    assert got_map == want
