@@ -439,6 +439,11 @@ def _kg_adamic_adar(sf_dir: str):
     return adamic_adar(_graph_edges_ds(sf_dir), top_k=100)
 
 
+def _kg_label_propagation(sf_dir: str):
+    from neo4j_tkapi_ray.ops.graph import label_propagation
+    return label_propagation(_graph_edges_ds(sf_dir), rounds=4)
+
+
 def _kg_component_sizes(sf_dir: str):
     from neo4j_tkapi_ray.ops.graph import component_sizes, connected_components
     return component_sizes(connected_components(_graph_edges_ds(sf_dir)))
@@ -513,6 +518,33 @@ def _kcore_sql(cd: str, k: int = 3, rounds: int = 12) -> str:
             + f" SELECT node AS node_id, CAST(COUNT(*) AS BIGINT) AS degree "
               f"FROM (SELECT u AS node FROM p{rounds} "
               f"UNION ALL SELECT v FROM p{rounds}) GROUP BY node")
+
+
+def _lpa_sql(cd: str, rounds: int = 4) -> str:
+    """Unrolled synchronous label propagation (ops/graph.label_propagation
+    contract): every node simultaneously adopts the most frequent neighbor
+    label, ties to the smallest label; labels init to the node's own id;
+    self-loops excluded. The engine's early exit on a zero-change round is
+    semantics-preserving (a fixed point stays fixed). Round CTEs are
+    MATERIALIZED — see _kcore_sql."""
+    ctes = [
+        f"g AS ({_graph_edges_select(cd)})",
+        "N AS MATERIALIZED ("
+        "SELECT DISTINCT subj AS node, obj AS nbr FROM g WHERE subj <> obj "
+        "UNION SELECT DISTINCT obj, subj FROM g WHERE subj <> obj)",
+        "lab0 AS MATERIALIZED ("
+        "SELECT DISTINCT node, node AS lab FROM N)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"lab{i} AS MATERIALIZED (SELECT node, lab FROM ("
+            f"SELECT x.node, l.lab, "
+            f"ROW_NUMBER() OVER (PARTITION BY x.node "
+            f"ORDER BY COUNT(*) DESC, l.lab) AS rn "
+            f"FROM N x JOIN lab{i - 1} l ON l.node = x.nbr "
+            f"GROUP BY x.node, l.lab) WHERE rn = 1)")
+    return ("WITH " + ",\n ".join(ctes)
+            + f" SELECT node AS node_id, lab AS label FROM lab{rounds}")
 
 
 def _pii_scrub(sf_dir: str):
@@ -597,6 +629,7 @@ _SWEEP_FRONT = [
     "normalize_text",            # NEW in round 4 — never driver-checked
     "kg_node_similarity",        # NEW in round 4 — never driver-checked
     "kg_adamic_adar",            # NEW in round 4 — never driver-checked
+    "kg_label_propagation",      # NEW in round 4 — never driver-checked
     "oov_rate",                  # NEW in round 4 — never driver-checked
     "mixture_sample",            # NEW in round 4 — never driver-checked
     "kg_bfs_depth",              # NEW in round 4 — never driver-checked
@@ -634,8 +667,10 @@ _SWEEP_FRONT = [
     # before the r02 gate)
     # (top_orders_per_customer rotated to the tail to admit
     # pii_type_counts; r02-green on code unchanged since)
-    "trailing_window_counts",
-    "dedup_exact",
+    # (trailing_window_counts rotated to the tail to admit kg_adamic_adar,
+    # dedup_exact to admit kg_label_propagation; both r02-green on code
+    # unchanged since, and both are TIMED in bench.py every round so a
+    # crash regression would still surface)
     # (token_counts rotated to the tail to admit quality_weighted_sample;
     # r02-green on code unchanged since)
     # (bpe_token_counts rotated to the tail to admit funnel_stages;
@@ -745,6 +780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_component_sizes": _with_op_expected(
             "kg_wcc", _kg_component_sizes),  # SQL-checkable (derivational)
         "kg_kcore": _kg_kcore,                               # SQL-checkable
+        "kg_label_propagation": _kg_label_propagation,       # SQL-checkable
         "kg_node_similarity": _kg_node_similarity,           # SQL-checkable
         "kg_adamic_adar": _kg_adamic_adar,                   # SQL-checkable
         "kg_bfs_depth": _kg_bfs_depth,                       # SQL-checkable
@@ -1346,6 +1382,7 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
             FROM x GROUP BY node
         """,
         "kg_kcore": _kcore_sql(cd),
+        "kg_label_propagation": _lpa_sql(cd),
         "kg_bfs_depth": _bfs_sql(cd),
         # 2-hop predicate transitions; the NOT(...) term enforces Cypher
         # relationship uniqueness (a self-loop row must not join itself —

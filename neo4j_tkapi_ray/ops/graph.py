@@ -515,6 +515,134 @@ def connected_components(edges: rd.Dataset, max_rounds: int = 25) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# label propagation (community detection)
+# ---------------------------------------------------------------------------
+
+def label_propagation(edges: rd.Dataset, rounds: int = 4) -> rd.Dataset:
+    """(node_id, label) after ``rounds`` SYNCHRONOUS label-propagation
+    updates over the undirected self-loop-free pred-collapsed pair set —
+    the GDS ``labelPropagation`` community detector a reference user runs
+    on the loaded Neo4j graph, made deterministic: every node
+    simultaneously adopts the label most frequent among its neighbors,
+    ties broken by the lexicographically SMALLEST label (GDS breaks them
+    randomly, which no exact oracle can check). Labels initialize to the
+    node's own id; self-loops are excluded (a self-loop would let a node
+    vote for itself — documented deviation, mirroring ``undirected_pairs``).
+
+    Synchronous LPA on bipartite-ish structures can oscillate, so the
+    contract is "the label state after exactly ``rounds`` updates" (the
+    oracle unrolls the same number); early exit on a zero-change round is
+    semantics-preserving (the update is a deterministic function of the
+    label state, so a fixed point stays fixed).
+
+    Scale shape: identical to ``connected_components`` — 2 exchanges per
+    round (votes pre-combined per (node, label) within each block before
+    the node exchange; argmax per node is vectorized), convergence flag
+    computed in-stream, the driver reads ONE int per round.
+
+    Adjacency note: unlike wcc's per-batch dedup (min-label is idempotent,
+    so cross-batch duplicate (node, peer) rows are harmless there), LPA
+    COUNTS votes — a parallel-pred pair split across two input batches
+    would vote twice. The adjacency therefore comes from
+    ``undirected_pairs`` (globally distinct via its own exchange), exploded
+    both directions — each (node, peer) appears exactly once corpus-wide.
+    """
+    def explode(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _CC_EMPTY.empty_table()
+        return pa.table({
+            "node": pa.chunked_array([b.column("u"),
+                                      b.column("v")]).combine_chunks(),
+            "peer": pa.chunked_array([b.column("v"),
+                                      b.column("u")]).combine_chunks()})
+
+    adj = undirected_pairs(edges).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    if adj.count() == 0:
+        return rd.from_arrow(pa.table({"node_id": pa.array([], pa.string()),
+                                       "label": pa.array([], pa.string())}))
+
+    def as_label_row(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"),
+                         "peer": pa.nulls(b.num_rows, pa.string()),
+                         "label": b.column("label")})
+
+    def as_edge_row(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"), "peer": b.column("peer"),
+                         "label": pa.nulls(b.num_rows, pa.string())})
+
+    def vote(df: pd.DataFrame) -> pd.DataFrame:
+        """Per node in this block: its current label (own id in round 1)
+        votes once per incident edge; votes pre-combined per (peer, label)
+        — exchange skew discipline — plus one is_old row carrying the
+        node's current label for the convergence check."""
+        empty = pd.DataFrame({"node": pd.Series(dtype="object"),
+                              "label": pd.Series(dtype="object"),
+                              "c": pd.Series(dtype="int64"),
+                              "is_old": pd.Series(dtype="int8")})
+        if df.empty:
+            return empty
+        edges_df = df[df["peer"].notna()]
+        lab = df[df["peer"].isna()].groupby("node")["label"].min()
+        nodes = pd.Index(edges_df["node"].unique())
+        lab = lab.reindex(nodes.union(lab.index))
+        own = pd.Series(lab.index.to_numpy(), index=lab.index, dtype="object")
+        lab = lab.fillna(own)
+        my_label = lab.reindex(edges_df["node"]).to_numpy()
+        votes = (pd.DataFrame({"node": edges_df["peer"].to_numpy(),
+                               "label": my_label})
+                 .groupby(["node", "label"], sort=False).size()
+                 .rename("c").reset_index())
+        votes["is_old"] = np.int8(0)
+        keep = pd.DataFrame({"node": lab.index.to_numpy(),
+                             "label": lab.to_numpy(),
+                             "c": np.zeros(len(lab), dtype=np.int64),
+                             "is_old": np.ones(len(lab), np.int8)})
+        return pd.concat([votes, keep], ignore_index=True)
+
+    def argmax_with_convergence(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"node": pd.Series(dtype="object"),
+                              "label": pd.Series(dtype="object"),
+                              "changed": pd.Series(dtype="int64")})
+        if df.empty:
+            return empty
+        v = df[df["is_old"] == 0]
+        v = (v.groupby(["node", "label"], sort=False)["c"].sum()
+             .reset_index()
+             .sort_values(["node", "c", "label"],
+                          ascending=[True, False, True], kind="mergesort"))
+        new = v.drop_duplicates("node").set_index("node")["label"]
+        old = df[df["is_old"] == 1].groupby("node", sort=False)["label"].min()
+        # every node here has >= 1 incident edge, so new covers old's index
+        changed = (old.reindex(new.index) != new).astype("int64")
+        return pd.DataFrame({"node": new.index.to_numpy(),
+                             "label": new.to_numpy(),
+                             "changed": changed.to_numpy()})
+
+    labels = None
+    for _ in range(rounds):
+        mixed = adj.map_batches(as_edge_row, batch_format="pyarrow")
+        if labels is not None:
+            mixed = labels.map_batches(as_label_row,
+                                       batch_format="pyarrow").union(mixed)
+        proposals = reduce_blocks(mixed, ["node"], vote,
+                                  batch_format="pandas", coalesce_rows=None)
+        labels = reduce_blocks(proposals, ["node"], argmax_with_convergence,
+                               batch_format="pandas",
+                               coalesce_rows=None).materialize()
+        if int(labels.sum("changed") or 0) == 0:
+            break
+        labels = labels.drop_columns(["changed"])
+
+    if "changed" in labels.schema().names:
+        labels = labels.drop_columns(["changed"])
+    return labels.map_batches(
+        lambda b: pa.table({"node_id": b.column("node"),
+                            "label": b.column("label")}),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # local clustering coefficient
 # ---------------------------------------------------------------------------
 

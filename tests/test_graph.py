@@ -359,3 +359,38 @@ def test_adamic_adar_witness_degree_cutoff(ray_session):
     got_map = {(r.node_a, r.node_b): (r.shared, r.aa_nano)
                for r in got.itertuples()}
     assert got_map == want
+
+
+def test_label_propagation_matches_bruteforce(ray_session):
+    """Synchronous LPA with min-tie-break vs a direct single-process
+    simulation, at several round counts (including the converged tail)."""
+    from neo4j_tkapi_ray.ops.graph import label_propagation
+
+    adj = _undirected_adj()
+
+    def simulate(rounds):
+        lab = {n: n for n in adj}
+        for _ in range(rounds):
+            nxt = {}
+            for n in adj:
+                counts = {}
+                for p in adj[n]:
+                    counts[lab[p]] = counts.get(lab[p], 0) + 1
+                best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+                nxt[n] = best[0][0]
+            if nxt == lab:
+                break
+            lab = nxt
+        return lab
+
+    # one row per block: parallel preds (a-R1-b / a-R2-b) are guaranteed to
+    # land in different batches, pinning the global (node, peer) dedup —
+    # a per-batch-only dedup would double a-b's vote (the sf0.01 bug class)
+    shredded = _edges_ds().repartition(len(EDGES))
+    for rounds in (1, 2, 8):
+        got = {r["node_id"]: r["label"]
+               for r in label_propagation(shredded, rounds=rounds).take_all()}
+        assert got == simulate(rounds), f"rounds={rounds}"
+    # self-loop node g is isolated in the self-loop-free pair set: absent
+    assert "g" not in {r["node_id"] for r in
+                       label_propagation(_edges_ds(), rounds=2).take_all()}
