@@ -630,6 +630,7 @@ _SWEEP_FRONT = [
     "kg_node_similarity",        # NEW in round 4 — never driver-checked
     "kg_adamic_adar",            # NEW in round 4 — never driver-checked
     "kg_label_propagation",      # NEW in round 4 — never driver-checked
+    "source_vocab_stats",        # NEW in round 4 — never driver-checked
     "oov_rate",                  # NEW in round 4 — never driver-checked
     "mixture_sample",            # NEW in round 4 — never driver-checked
     "kg_bfs_depth",              # NEW in round 4 — never driver-checked
@@ -661,7 +662,9 @@ _SWEEP_FRONT = [
     # (distinct_users_per_event_type rotated to the tail to admit
     # event_type_transitions; r02-green on relational.py code unchanged
     # since 2026-08-17, before the r02 gate)
-    "asof_order_events",
+    # (asof_order_events rotated to the tail to admit source_vocab_stats;
+    # r02-green on joins.py code unchanged since, and timed in bench.py
+    # every round)
     # (customers_without_f_orders rotated to the tail to admit
     # doc_novelty; r02-green on joins.py code unchanged since 2026-08-17,
     # before the r02 gate)
@@ -757,6 +760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams": lambda sf: sampling.top_ngrams(sf),    # SQL-checkable
         "source_bigram_overlap": sampling.source_bigram_overlap,  # SQL-checkable
         "doc_novelty": sampling.doc_novelty,                 # SQL-checkable
+        "source_vocab_stats": sampling.source_vocab_stats,   # SQL-checkable
         "bigram_pmi": lambda sf: sampling.bigram_pmi(sf),    # SQL-checkable
         "event_props_rollup": events.event_props_rollup,     # SQL-checkable
         "funnel_stages": events.funnel_stages,               # SQL-checkable
@@ -2072,6 +2076,29 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         # PMI collocations: ln over the identical (c*N)/(cl*cr) DOUBLE
         # expression, half-away 5dp on both sides, rank by rounded pmi
         # then (x, y) so ties are deterministic
+        # per-source lexical audit over the shared tokenizer: hapax =
+        # (source, token) pairs with corpus count exactly 1; TTR rounded
+        # half-away 5dp on both sides
+        "source_vocab_stats": """
+            WITH d AS (
+                SELECT source,
+                       regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g')
+                           AS t
+                FROM documents),
+                 toks AS (
+                SELECT source,
+                       unnest(string_split_regex(t, '\\s+')) AS token
+                FROM d WHERE t <> ''),
+                 st AS (SELECT source, token, COUNT(*) AS c
+                        FROM toks GROUP BY source, token)
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hapax,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 5) AS ttr
+            FROM st GROUP BY source
+        """,
         "bigram_pmi": """
             WITH d AS (
                 SELECT doc_id,

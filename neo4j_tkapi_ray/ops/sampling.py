@@ -914,3 +914,82 @@ def quality_weighted_sample(sf_dir: str) -> rd.Dataset:
                          "quality": b.column("quality").filter(pa.array(mask))})
 
     return q.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def source_vocab_stats(sf_dir: str) -> rd.Dataset:
+    """Per-source lexical audit: vocabulary size (distinct tokens), hapax
+    count (tokens occurring exactly once in that source), total token count
+    and type-token ratio — the corpus-health table a mixing recipe reads
+    before setting source weights (a source whose TTR collapses is
+    template/boilerplate-heavy; a hapax-rich one is noisy OCR or genuinely
+    diverse). Tokenization is the module's shared ``_doc_tokens`` kernel.
+
+    Scale shape: per-batch (source, token, c) partials (one Arrow group_by
+    per batch) → ONE token exchange — each token lives in one partition,
+    so per-(source, token) totals are exact per block and fold immediately
+    into per-source (types, hapax, tokens) contributions (<= #sources rows
+    per block) → one tiny source exchange sums them. Vocabulary exists
+    only sharded; the driver sees #sources rows.
+
+    Output: (source, n_types, n_hapax, n_tokens, ttr) with
+    ttr = round(n_types / n_tokens, 5) half-away like the oracle's ROUND.
+    """
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text", "source"])
+    _empty = pa.table({"source": pa.array([], pa.string()),
+                       "token": pa.array([], pa.string()),
+                       "c": pa.array([], pa.int64())})
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _empty
+        doc_idx, flat = _doc_tokens(b)
+        if flat is None:
+            return _empty
+        src = b.column("source").take(pa.array(doc_idx))
+        return (pa.table({"source": src, "token": flat})
+                .group_by(["source", "token"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["source", "token", "c"]))
+
+    partials = docs.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def per_token_block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"source": pd.Series(dtype="object"),
+                              "types": pd.Series(dtype="int64"),
+                              "hapax": pd.Series(dtype="int64"),
+                              "toks": pd.Series(dtype="int64")})
+        if df.empty:
+            return empty
+        st = (df.groupby(["source", "token"], sort=False)["c"].sum()
+              .reset_index())
+        st["hapax"] = (st["c"] == 1).astype("int64")
+        out = (st.groupby("source", sort=False)
+               .agg(types=("token", "size"), hapax=("hapax", "sum"),
+                    toks=("c", "sum")).reset_index())
+        return out.astype({"types": "int64", "hapax": "int64",
+                           "toks": "int64"})
+
+    tagged = reduce_blocks(partials, ["token"], per_token_block,
+                           batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"source": pd.Series(dtype="object"),
+                              "n_types": pd.Series(dtype="int64"),
+                              "n_hapax": pd.Series(dtype="int64"),
+                              "n_tokens": pd.Series(dtype="int64"),
+                              "ttr": pd.Series(dtype="float64")})
+        if df.empty:
+            return empty
+        g = (df.groupby("source", sort=False)[["types", "hapax", "toks"]]
+             .sum().reset_index())
+        ttr = g["types"].to_numpy() / g["toks"].to_numpy()
+        return pd.DataFrame({"source": g["source"],
+                             "n_types": g["types"].astype("int64"),
+                             "n_hapax": g["hapax"].astype("int64"),
+                             "n_tokens": g["toks"].astype("int64"),
+                             "ttr": np.floor(ttr * 1e5 + 0.5) / 1e5})
+
+    return reduce_blocks(tagged, ["source"], merge, batch_format="pandas",
+                         coalesce_rows=None)

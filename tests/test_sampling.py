@@ -391,3 +391,25 @@ def test_bigram_pmi_planted(ray_session, tmp_path):
         ("b", "a"), ("c", "c"), ("a", "b"), ("b", "c")]
     assert out["c"].tolist() == [1, 1, 3, 1]
     assert out["pmi"].tolist() == [1.09861, 1.09861, 0.69315, 0.40547]
+
+
+def test_source_vocab_stats_planted(ray_session, tmp_path):
+    """Source A: "a b a", "b c" -> types {a,b,c}=3, counts a:2 b:2 c:1 ->
+    hapax {c}=1, tokens=5, ttr=3/5. Source B: "z" -> 1/1/1, ttr=1.0.
+    Multi-block input pins the cross-batch (source, token) count merge."""
+    import pandas as pd
+
+    from neo4j_tkapi_ray.ops.sampling import source_vocab_stats
+
+    rows = [
+        {"doc_id": 0, "source": "A", "text": "a b a"},
+        {"doc_id": 1, "source": "A", "text": "b c"},
+        {"doc_id": 2, "source": "B", "text": "z"},
+        {"doc_id": 3, "source": "A", "text": ""},   # empty doc: no tokens
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    out = (source_vocab_stats(str(tmp_path)).to_pandas()
+           .set_index("source").sort_index())
+    assert out.index.tolist() == ["A", "B"]
+    assert out.loc["A"].tolist() == [3, 1, 5, 0.6]
+    assert out.loc["B"].tolist() == [1, 1, 1, 1.0]
