@@ -444,6 +444,11 @@ def _kg_label_propagation(sf_dir: str):
     return label_propagation(_graph_edges_ds(sf_dir), rounds=4)
 
 
+def _kg_fastrp(sf_dir: str):
+    from neo4j_tkapi_ray.ops.graph import fastrp_embeddings
+    return fastrp_embeddings(_graph_edges_ds(sf_dir), dim=8, rounds=2)
+
+
 def _kg_component_sizes(sf_dir: str):
     from neo4j_tkapi_ray.ops.graph import component_sizes, connected_components
     return component_sizes(connected_components(_graph_edges_ds(sf_dir)))
@@ -547,6 +552,42 @@ def _lpa_sql(cd: str, rounds: int = 4) -> str:
             + f" SELECT node AS node_id, lab AS label FROM lab{rounds}")
 
 
+def _fastrp_sql(cd: str, dim: int = 8, rounds: int = 2) -> str:
+    """Unrolled integer FastRP (ops/graph.fastrp_embeddings contract):
+    hash-sign sparse projection init (first md5 hex digit: 0-3 -> +1,
+    4-7 -> -1, else 0; DuckDB strpos is 1-based, hence the -1), ``rounds``
+    neighbor-sum hops over the distinct undirected adjacency, additive
+    combine with unit weights. All-integer, so the distributed sums are
+    bit-exact. Round CTEs are MATERIALIZED — see _kcore_sql."""
+    ctes = [
+        f"g AS ({_graph_edges_select(cd)})",
+        "N AS MATERIALIZED ("
+        "SELECT DISTINCT subj AS node, obj AS nbr FROM g WHERE subj <> obj "
+        "UNION SELECT DISTINCT obj, subj FROM g WHERE subj <> obj)",
+        f"dims AS (SELECT CAST(range AS BIGINT) AS dim FROM range({dim}))",
+        "e0 AS MATERIALIZED ("
+        "SELECT node, dim, CAST(CASE WHEN h <= 3 THEN 1 "
+        "WHEN h <= 7 THEN -1 ELSE 0 END AS BIGINT) AS val "
+        "FROM (SELECT node, dim, strpos('0123456789abcdef', "
+        "substr(md5(node || ':' || CAST(dim AS VARCHAR)), 1, 1)) - 1 AS h "
+        "FROM (SELECT DISTINCT node FROM N) CROSS JOIN dims))",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT x.node, e.dim, "
+            f"CAST(SUM(e.val) AS BIGINT) AS val "
+            f"FROM N x JOIN e{i - 1} e ON e.node = x.nbr "
+            f"GROUP BY x.node, e.dim)")
+    total = " + ".join(f"e1.val" if i == 1 else f"e{i}.val"
+                       for i in range(1, rounds + 1))
+    joins = " ".join(f"JOIN e{i} ON e{i}.node = e1.node "
+                     f"AND e{i}.dim = e1.dim"
+                     for i in range(2, rounds + 1))
+    return ("WITH " + ",\n ".join(ctes)
+            + f" SELECT e1.node AS node_id, e1.dim AS dim, "
+              f"CAST({total} AS BIGINT) AS val FROM e1 {joins}")
+
+
 def _pii_scrub(sf_dir: str):
     from neo4j_tkapi_ray.ops.pii import pii_scrub
     return pii_scrub(sf_dir)
@@ -631,6 +672,7 @@ _SWEEP_FRONT = [
     "kg_adamic_adar",            # NEW in round 4 — never driver-checked
     "kg_label_propagation",      # NEW in round 4 — never driver-checked
     "source_vocab_stats",        # NEW in round 4 — never driver-checked
+    "kg_fastrp",                 # NEW in round 4 — never driver-checked
     "oov_rate",                  # NEW in round 4 — never driver-checked
     "mixture_sample",            # NEW in round 4 — never driver-checked
     "kg_bfs_depth",              # NEW in round 4 — never driver-checked
@@ -655,7 +697,8 @@ _SWEEP_FRONT = [
     "revenue_by_nation",
     "top_customers",
     "events_hourly",
-    "user_activity",
+    # (user_activity rotated to the tail to admit kg_fastrp; r02-green on
+    # relational.py code unchanged since)
     # (supplier_balance_by_region rotated to the tail to admit bigram_pmi;
     # r02-green on relational.py code unchanged since 2026-08-17, before
     # the r02 gate)
@@ -785,6 +828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_wcc", _kg_component_sizes),  # SQL-checkable (derivational)
         "kg_kcore": _kg_kcore,                               # SQL-checkable
         "kg_label_propagation": _kg_label_propagation,       # SQL-checkable
+        "kg_fastrp": _kg_fastrp,                             # SQL-checkable
         "kg_node_similarity": _kg_node_similarity,           # SQL-checkable
         "kg_adamic_adar": _kg_adamic_adar,                   # SQL-checkable
         "kg_bfs_depth": _kg_bfs_depth,                       # SQL-checkable
@@ -1387,6 +1431,7 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         """,
         "kg_kcore": _kcore_sql(cd),
         "kg_label_propagation": _lpa_sql(cd),
+        "kg_fastrp": _fastrp_sql(cd),
         "kg_bfs_depth": _bfs_sql(cd),
         # 2-hop predicate transitions; the NOT(...) term enforces Cypher
         # relationship uniqueness (a self-loop row must not join itself —

@@ -643,6 +643,142 @@ def label_propagation(edges: rd.Dataset, rounds: int = 4) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# FastRP-style graph embeddings
+# ---------------------------------------------------------------------------
+
+def fastrp_embeddings(edges: rd.Dataset, dim: int = 8,
+                      rounds: int = 2) -> rd.Dataset:
+    """Deterministic FastRP-style node embeddings over the undirected
+    self-loop-free pred-collapsed pair set — the GDS ``fastRP`` analog
+    (Chen et al. 2019, "Fast and Accurate Network Embeddings via Very
+    Sparse Random Projection"): a very-sparse random projection per node,
+    propagated ``rounds`` hops by neighbor summation, iteration outputs
+    combined additively.
+
+    Deviations for hash-gate exactness (documented, mirrored by the
+    oracle): (1) the random projection is HASH-derived, not random —
+    entry (node, j) is +1 / -1 / 0 with probability 1/4 / 1/4 / 1/2 from
+    the first hex digit of ``md5("{node}:{j}")`` (md5 exists verbatim in
+    DuckDB; FastRP's s=2 sparse projection has the same support); (2) NO
+    per-iteration L2 normalization — sums stay int64 and the distributed
+    reduction is order-independent and bit-exact (GDS normalizes in
+    float32; any float variant would flake an exact value-hash gate).
+    Magnitudes grow as deg^rounds, so int64 is safe while
+    ``max_deg^rounds * dim`` << 2^63 — at the default 2 rounds that is any
+    graph with hub degree below ~10^9. Iteration weights are (1, 1, ...).
+
+    Output: LONG form (node_id, dim, val) — nodes x dim rows; isolated
+    nodes are absent (no neighbors to sum).
+
+    Scale shape: init is one map over the node set (O(nodes x dim) md5s,
+    once); each round is the LPA tag-union pattern — vectors meet
+    adjacency on one node exchange (contributions pre-combined per
+    (peer, dim) in-block via a pandas merge + groupby), a second exchange
+    sums per (node, dim) — then one final exchange adds the per-round
+    outputs. Nothing corpus-sized touches the driver.
+    """
+    import hashlib
+
+    def explode(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _CC_EMPTY.empty_table()
+        return pa.table({
+            "node": pa.chunked_array([b.column("u"),
+                                      b.column("v")]).combine_chunks(),
+            "peer": pa.chunked_array([b.column("v"),
+                                      b.column("u")]).combine_chunks()})
+
+    adj = undirected_pairs(edges).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def distinct_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"node": pd.Series(dtype="object")})
+        return pd.DataFrame({"node": df["node"].unique()})
+
+    nodes = reduce_blocks(adj, ["node"], distinct_nodes,
+                          batch_format="pandas", coalesce_rows=None)
+
+    def init_vecs(df: pd.DataFrame) -> pd.DataFrame:
+        """Hash-derived sparse projection row per (node, dim)."""
+        if df.empty:
+            return pd.DataFrame({"node": pd.Series(dtype="object"),
+                                 "dim": pd.Series(dtype="int64"),
+                                 "val": pd.Series(dtype="int64")})
+        n = df["node"].to_numpy()
+        reps = np.repeat(n, dim)
+        dims = np.tile(np.arange(dim, dtype=np.int64), len(n))
+        h = np.fromiter(
+            (int(hashlib.md5(f"{v}:{d}".encode()).hexdigest()[0], 16)
+             for v, d in zip(reps, dims)), dtype=np.int64,
+            count=len(reps))
+        val = np.where(h <= 3, 1, np.where(h <= 7, -1, 0)).astype(np.int64)
+        return pd.DataFrame({"node": reps, "dim": dims, "val": val})
+
+    e_prev = nodes.map_batches(init_vecs, batch_format="pandas",
+                               batch_size=None).materialize()
+
+    def as_vec_row(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"),
+                         "peer": pa.nulls(b.num_rows, pa.string()),
+                         "dim": b.column("dim"), "val": b.column("val")})
+
+    def as_edge_row(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"), "peer": b.column("peer"),
+                         "dim": pa.nulls(b.num_rows, pa.int64()),
+                         "val": pa.nulls(b.num_rows, pa.int64())})
+
+    def contribute(df: pd.DataFrame) -> pd.DataFrame:
+        """Each node's current vector flows to every neighbor;
+        contributions pre-combined per (peer, dim) within the block."""
+        empty = pd.DataFrame({"node": pd.Series(dtype="object"),
+                              "dim": pd.Series(dtype="int64"),
+                              "val": pd.Series(dtype="int64")})
+        if df.empty:
+            return empty
+        edges_df = df[df["peer"].notna()][["node", "peer"]]
+        vecs = df[df["peer"].isna()][["node", "dim", "val"]]
+        if edges_df.empty or vecs.empty:
+            return empty
+        m = edges_df.merge(vecs, on="node")
+        out = (m.groupby(["peer", "dim"], sort=False)["val"].sum()
+               .reset_index())
+        return pd.DataFrame({"node": out["peer"],
+                             "dim": out["dim"].astype("int64"),
+                             "val": out["val"].astype("int64")})
+
+    def sum_vec(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"node": pd.Series(dtype="object"),
+                                 "dim": pd.Series(dtype="int64"),
+                                 "val": pd.Series(dtype="int64")})
+        return (df.groupby(["node", "dim"], sort=False)["val"].sum()
+                .reset_index().astype({"dim": "int64", "val": "int64"}))
+
+    iters = []
+    for _ in range(rounds):
+        mixed = e_prev.map_batches(as_vec_row, batch_format="pyarrow").union(
+            adj.map_batches(as_edge_row, batch_format="pyarrow"))
+        contribs = reduce_blocks(mixed, ["node"], contribute,
+                                 batch_format="pandas", coalesce_rows=None)
+        e_prev = reduce_blocks(contribs, ["node"], sum_vec,
+                               batch_format="pandas",
+                               coalesce_rows=None).materialize()
+        iters.append(e_prev)
+
+    acc = iters[0]
+    for e in iters[1:]:
+        acc = acc.union(e)
+    out = reduce_blocks(acc, ["node"], sum_vec, batch_format="pandas",
+                        coalesce_rows=None)
+    return out.map_batches(
+        lambda b: pa.table({"node_id": b.column("node"),
+                            "dim": b.column("dim"),
+                            "val": b.column("val")}),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # local clustering coefficient
 # ---------------------------------------------------------------------------
 

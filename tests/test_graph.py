@@ -394,3 +394,37 @@ def test_label_propagation_matches_bruteforce(ray_session):
     # self-loop node g is isolated in the self-loop-free pair set: absent
     assert "g" not in {r["node_id"] for r in
                        label_propagation(_edges_ds(), rounds=2).take_all()}
+
+
+def test_fastrp_embeddings_matches_bruteforce(ray_session):
+    """Integer FastRP vs a direct simulation: hash-sign init, two neighbor-
+    sum hops, additive combine. Also pins the md5 sign map and that
+    isolated (self-loop-only) nodes are absent."""
+    import hashlib
+
+    from neo4j_tkapi_ray.ops.graph import fastrp_embeddings
+
+    DIM, ROUNDS = 8, 2
+    adj = _undirected_adj()
+
+    def sign(n, d):
+        h = int(hashlib.md5(f"{n}:{d}".encode()).hexdigest()[0], 16)
+        return 1 if h <= 3 else (-1 if h <= 7 else 0)
+
+    e = {n: [sign(n, d) for d in range(DIM)] for n in adj}
+    acc = {n: [0] * DIM for n in adj}
+    for _ in range(ROUNDS):
+        nxt = {n: [sum(e[p][d] for p in adj[n]) for d in range(DIM)]
+               for n in adj}
+        e = nxt
+        for n in adj:
+            for d in range(DIM):
+                acc[n][d] += e[n][d]
+
+    got = fastrp_embeddings(_edges_ds().repartition(len(EDGES)),
+                            dim=DIM, rounds=ROUNDS).to_pandas()
+    got_map = {}
+    for r in got.itertuples():
+        got_map.setdefault(r.node_id, [0] * DIM)[r.dim] = r.val
+    assert got_map == acc
+    assert "g" not in got_map  # self-loop-only node: no undirected pairs
