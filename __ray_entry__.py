@@ -673,6 +673,7 @@ _SWEEP_FRONT = [
     "kg_label_propagation",      # NEW in round 4 — never driver-checked
     "source_vocab_stats",        # NEW in round 4 — never driver-checked
     "kg_fastrp",                 # NEW in round 4 — never driver-checked
+    "bpe_merges",                # NEW in round 4 — never driver-checked
     "oov_rate",                  # NEW in round 4 — never driver-checked
     "mixture_sample",            # NEW in round 4 — never driver-checked
     "kg_bfs_depth",              # NEW in round 4 — never driver-checked
@@ -693,7 +694,9 @@ _SWEEP_FRONT = [
     "kg_interruption_types",
     "kg_interruption_topics",
     "kg_response_patterns",
-    "pricing_summary",
+    # (pricing_summary rotated to the tail to admit bpe_merges; r02-green
+    # on relational.py code unchanged since, and timed in bench.py every
+    # round)
     "revenue_by_nation",
     "top_customers",
     "events_hourly",
@@ -784,6 +787,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": _with_op_expected(
             "simhash_signatures", dedup.simhash_signatures),
         "language_id": _with_op_expected("language_id", textstats.language_id),
+        "bpe_merges": _with_op_expected(
+            "bpe_merges", lambda sf: textstats.bpe_merges(sf)),
         "quality_scores": _with_op_expected("quality_scores",
                                             textstats.quality_scores),
         "quality_weighted_sample": _with_op_expected(
@@ -1585,6 +1590,9 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         WHERE CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
                    AS DOUBLE) < quality * 4294967296
     """
+    # BPE merge table vs the independent dict-based single-process learner
+    ops["bpe_merges"] = (
+        f"SELECT * FROM read_parquet('{od}/bpe_merges.parquet')")
     # component-size distribution, derivational over the union-find WCC
     # expected table (independent algorithm from the engine's label prop)
     ops["kg_component_sizes"] = f"""

@@ -605,6 +605,51 @@ def _kg_wcc_sp(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["node_id", "component_id"])
 
 
+def _bpe_merges_sp(sf_dir: str, n_merges: int = 5) -> pd.DataFrame:
+    """Independent single-process BPE merge learner (textbook dict-based
+    implementation — shares no code with ops/textstats.bpe_merges): same
+    contract (overlapping zip pair counts, greedy left-to-right apply,
+    (count desc, left, right) tie-break), different code shape."""
+    import re
+
+    con = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    counts: dict = {}
+    for text in con["text"]:
+        t = text.strip().lower()
+        if not t:
+            continue
+        for w in re.split(r"\s+", t):
+            counts[w] = counts.get(w, 0) + 1
+    vocab = {w: list(w) for w in counts}
+    rows = []
+    for rank in range(1, n_merges + 1):
+        pairs: dict = {}
+        for w, syms in vocab.items():
+            c = counts[w]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        (left, right), c = min(pairs.items(),
+                               key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        rows.append({"rank": rank, "left": left, "right": right,
+                     "pair_count": int(c)})
+        merged = left + right
+        for w, syms in vocab.items():
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return pd.DataFrame(rows, columns=["rank", "left", "right",
+                                       "pair_count"]).astype(
+        {"rank": "int64", "pair_count": "int64"})
+
+
 _OP_EXPECTED = {
     "minhash_neardup": lambda sf: _minhash_pairs_sp(sf),
     "ngram_jaccard": lambda sf: _ngram_jaccard_sp(sf),
@@ -620,6 +665,7 @@ _OP_EXPECTED = {
     "media_resize": lambda sf: _media_resize_sp(),
     "media_audio_windows": lambda sf: _media_audio_sp(),
     "kg_wcc": lambda sf: _kg_wcc_sp(sf),
+    "bpe_merges": lambda sf: _bpe_merges_sp(sf),
 }
 
 

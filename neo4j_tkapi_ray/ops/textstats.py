@@ -543,3 +543,139 @@ def oov_rate(sf_dir: str, vocab_size: int = 20) -> rd.Dataset:
 
     return docs.map_batches(scan, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def bpe_merges(sf_dir: str, n_merges: int = 5) -> rd.Dataset:
+    """Learn the first ``n_merges`` BPE merges over the corpus — the
+    tokenizer-induction step of a training-data pipeline (Sennrich et al.
+    2016, "Neural Machine Translation of Rare Words with Subword Units"):
+    start from characters, repeatedly merge the globally most frequent
+    adjacent symbol pair. Deterministic tie-break: (count desc, left asc,
+    right asc) — textbook BPE breaks ties arbitrarily, which no exact
+    check could reproduce.
+
+    Pair-count semantics are the textbook reference implementation's:
+    counts come from overlapping adjacent positions (zip; "aaa" counts
+    (a,a) twice) while APPLY is greedy left-to-right non-overlapping —
+    both mirrored by the independent single-process oracle.
+
+    Scale shape: BPE state lives on the (word, count) VOCABULARY, not the
+    corpus — one token exchange builds it (per-batch Arrow partials first)
+    and it never leaves the cluster. Each merge round: per-block adjacent
+    pair counts (combined in-block) → one tiny (l, r) exchange → per-block
+    partial top-1, so the driver reads <= P rows per round and broadcasts
+    back one pair (k rows total driver traffic for k merges — the
+    irreducible sequential core of BPE; each merge depends on the last).
+    The per-word Python in apply/count runs over vocab blocks, bounded by
+    |vocab| x mean word length, not corpus size.
+
+    Output: (rank, left, right, pair_count), rank 1-based in merge order.
+    """
+    import pandas as pd
+
+    from ..exchange import reduce_blocks
+    from .sampling import _doc_tokens
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    _empty = pa.table({"token": pa.array([], pa.string()),
+                       "c": pa.array([], pa.int64())})
+
+    def tok_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _empty
+        _, flat = _doc_tokens(b)
+        if flat is None:
+            return _empty
+        return (pa.table({"token": flat}).group_by(["token"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["token", "c"]))
+
+    def word_counts(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"word": pd.Series(dtype="object"),
+                                 "count": pd.Series(dtype="int64"),
+                                 "syms": pd.Series(dtype="object")})
+        g = df.groupby("token", sort=False)["c"].sum().reset_index()
+        return pd.DataFrame({"word": g["token"],
+                             "count": g["c"].astype("int64"),
+                             "syms": [list(w) for w in g["token"]]})
+
+    vocab = reduce_blocks(
+        docs.map_batches(tok_partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["token"], word_counts, batch_format="pandas").materialize()
+
+    def count_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"l": pd.Series(dtype="object"),
+                              "r": pd.Series(dtype="object"),
+                              "c": pd.Series(dtype="int64")})
+        if df.empty:
+            return empty
+        acc: dict = {}
+        for syms, cnt in zip(df["syms"], df["count"]):
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                acc[k] = acc.get(k, 0) + int(cnt)
+        if not acc:
+            return empty
+        ks = list(acc)
+        return pd.DataFrame({"l": [k[0] for k in ks],
+                             "r": [k[1] for k in ks],
+                             "c": pd.Series([acc[k] for k in ks],
+                                            dtype="int64")})
+
+    def top1_partial(df: pd.DataFrame) -> pd.DataFrame:
+        """Sum per (l, r) within the partition (the exchange contract makes
+        that the GLOBAL count), keep this partition's best pair."""
+        empty = pd.DataFrame({"l": pd.Series(dtype="object"),
+                              "r": pd.Series(dtype="object"),
+                              "c": pd.Series(dtype="int64")})
+        if df.empty:
+            return empty
+        g = df.groupby(["l", "r"], sort=False)["c"].sum().reset_index()
+        g = g.sort_values(["c", "l", "r"], ascending=[False, True, True],
+                          kind="mergesort")
+        return g.head(1).astype({"c": "int64"})
+
+    def apply_merge(left: str, right: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return df
+            merged = left + right
+            out = []
+            for syms in df["syms"]:
+                i, n, w = 0, len(syms), []
+                while i < n:
+                    if (i + 1 < n and syms[i] == left
+                            and syms[i + 1] == right):
+                        w.append(merged)
+                        i += 2
+                    else:
+                        w.append(syms[i])
+                        i += 1
+                out.append(w)
+            return pd.DataFrame({"word": df["word"], "count": df["count"],
+                                 "syms": out})
+        return fn
+
+    merges = []
+    for rank in range(1, n_merges + 1):
+        partials = vocab.map_batches(count_pairs, batch_format="pandas",
+                                     batch_size=None)
+        tops = reduce_blocks(partials, ["l", "r"], top1_partial,
+                             batch_format="pandas",
+                             coalesce_rows=None).take_all()   # <= P rows
+        if not tops:
+            break
+        best = sorted(tops, key=lambda t: (-t["c"], t["l"], t["r"]))[0]
+        merges.append({"rank": rank, "left": best["l"], "right": best["r"],
+                       "pair_count": int(best["c"])})
+        vocab = vocab.map_batches(apply_merge(best["l"], best["r"]),
+                                  batch_format="pandas",
+                                  batch_size=None).materialize()
+
+    schema = pa.schema([("rank", pa.int64()), ("left", pa.string()),
+                        ("right", pa.string()), ("pair_count", pa.int64())])
+    if not merges:
+        return rd.from_arrow(schema.empty_table())
+    return rd.from_arrow(pa.Table.from_pylist(merges, schema=schema))

@@ -413,3 +413,37 @@ def test_source_vocab_stats_planted(ray_session, tmp_path):
     assert out.index.tolist() == ["A", "B"]
     assert out.loc["A"].tolist() == [3, 1, 5, 0.6]
     assert out.loc["B"].tolist() == [1, 1, 1, 1.0]
+
+
+def test_bpe_merges_planted(ray_session, tmp_path):
+    """Hand-checkable corpus: "aa ab aa b" x3 docs. Chars: a,b. Word
+    counts: aa:6, ab:3, b:3. Pair counts round 1: (a,a)=9 from aa(x6)?
+    no — aa has ONE adjacent pair per word: (a,a)x6; ab gives (a,b)x3.
+    Best = (a,a,6)... wait aa:6 occurrences -> (a,a) count 6 > (a,b) 3.
+    After merging 'aa', round 2: only (a,b)x3 remains."""
+    import pandas as pd
+
+    from neo4j_tkapi_ray.ops.textstats import bpe_merges
+
+    rows = [{"doc_id": i, "text": "aa ab aa b"} for i in range(3)]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    out = bpe_merges(str(tmp_path), n_merges=3).to_pandas()
+    assert out[["rank", "left", "right", "pair_count"]].values.tolist() == [
+        [1, "a", "a", 6], [2, "a", "b", 3]]   # round 3: no pairs left
+
+def test_bpe_merges_overlap_and_tiebreak(ray_session, tmp_path):
+    """"aaa" counts (a,a) twice per word (overlapping zip semantics) but
+    greedy left-to-right apply merges only the first: "aaa" -> [aa, a].
+    Tie-break on equal counts is (left asc, right asc)."""
+    import pandas as pd
+
+    from neo4j_tkapi_ray.ops.textstats import bpe_merges
+
+    rows = [{"doc_id": 0, "text": "aaa"},
+            {"doc_id": 1, "text": "xy xy"}]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    out = bpe_merges(str(tmp_path), n_merges=2).to_pandas()
+    # round 1: (a,a)=2 (overlap) vs (x,y)=2 -> tie -> (a,a) wins on left
+    assert out.iloc[0].tolist() == [1, "a", "a", 2]
+    # round 2: "aaa" is now [aa, a] -> (aa,a)=1; (x,y)=2 wins
+    assert out.iloc[1].tolist() == [2, "x", "y", 2]
