@@ -674,6 +674,7 @@ _SWEEP_FRONT = [
     "source_vocab_stats",        # NEW in round 4 — never driver-checked
     "kg_fastrp",                 # NEW in round 4 — never driver-checked
     "bpe_merges",                # NEW in round 4 — never driver-checked
+    "retention_cohorts",         # NEW in round 4 — never driver-checked
     "oov_rate",                  # NEW in round 4 — never driver-checked
     "mixture_sample",            # NEW in round 4 — never driver-checked
     "kg_bfs_depth",              # NEW in round 4 — never driver-checked
@@ -697,7 +698,8 @@ _SWEEP_FRONT = [
     # (pricing_summary rotated to the tail to admit bpe_merges; r02-green
     # on relational.py code unchanged since, and timed in bench.py every
     # round)
-    "revenue_by_nation",
+    # (revenue_by_nation rotated to the tail to admit retention_cohorts;
+    # r02-green on relational.py code unchanged since, timed in bench.py)
     "top_customers",
     "events_hourly",
     # (user_activity rotated to the tail to admit kg_fastrp; r02-green on
@@ -812,6 +814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi": lambda sf: sampling.bigram_pmi(sf),    # SQL-checkable
         "event_props_rollup": events.event_props_rollup,     # SQL-checkable
         "funnel_stages": events.funnel_stages,               # SQL-checkable
+        "retention_cohorts": events.retention_cohorts,       # SQL-checkable
         "event_type_transitions": events.event_type_transitions,  # SQL-checkable
         # sequence packing + deterministic k-means (round 4; ops/packing.py,
         # ops/clustering.py)
@@ -2215,6 +2218,21 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         # null does (SUM skips both)
         # ordered funnel: first view -> first click strictly after ->
         # first purchase strictly after; -1 sentinel for unreached stages
+        # daily retention cohorts: epoch-day ints on both sides (DuckDB
+        # DATE minus epoch DATE = int days; engine divides epoch-us)
+        "retention_cohorts": """
+            WITH a AS (SELECT DISTINCT user_id,
+                              CAST(CAST(ts AS DATE)
+                                   - DATE '1970-01-01' AS BIGINT) AS day
+                       FROM events),
+                 f AS (SELECT user_id, MIN(day) AS cohort_day
+                       FROM a GROUP BY user_id)
+            SELECT f.cohort_day,
+                   CAST(a.day - f.cohort_day AS BIGINT) AS day_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM a JOIN f USING (user_id)
+            GROUP BY f.cohort_day, day_offset
+        """,
         "funnel_stages": """
             WITH e AS (SELECT user_id, event_type,
                               CAST(epoch_us(ts) AS BIGINT) AS us

@@ -302,3 +302,76 @@ def funnel_stages(sf_dir: str,
 
     return reduce_blocks(partials, ["user_id"], chain_block,
                          batch_format="pandas")
+
+
+def retention_cohorts(sf_dir: str) -> rd.Dataset:
+    """Daily retention cohort table — the engagement matrix behind every
+    "did our data/product change keep users coming back" review: users are
+    cohorted by their FIRST active day; cell (cohort_day, day_offset)
+    counts the cohort's users active exactly ``day_offset`` days after
+    their first day (offset 0 row = cohort size).
+
+    Scale shape: column-pruned (user_id, ts) scan with per-batch partials
+    that collapse to distinct (user, day) + per-user min-day candidates —
+    so the user exchange moves at most (active days + 1) rows per user,
+    not events. After the exchange each user lives in ONE block: their
+    cohort day and offsets are exact there, emitted pre-counted per
+    (cohort_day, day_offset); a final tiny exchange on the cohort key sums
+    the partials. The driver sees cohort-matrix-sized output only.
+
+    Output: (cohort_day, day_offset, n_users) with days as int64 epoch
+    days (hash-stable; matches DuckDB's DATE subtraction).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    US_PER_DAY = 86_400_000_000
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "day": pa.array([], pa.int64())})
+        # normalize the unit first: parquet writers vary between us and ns
+        us = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")), pa.int64())
+        # integer division: exact epoch-day for the post-1970 timestamps
+        # this table carries (pyarrow divide on int64 truncates like SQL)
+        day = pc.divide(us, US_PER_DAY)
+        t = pa.table({"user_id": pc.cast(b.column("user_id"), pa.int64()),
+                      "day": pc.cast(day, pa.int64())})
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    def per_user_block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"cohort_day": pd.Series(dtype="int64"),
+                              "day_offset": pd.Series(dtype="int64"),
+                              "n": pd.Series(dtype="int64")})
+        if df.empty:
+            return empty
+        d = df.drop_duplicates(["user_id", "day"])
+        cohort = d.groupby("user_id", sort=False)["day"].transform("min")
+        out = pd.DataFrame({"cohort_day": cohort.to_numpy(),
+                            "day_offset": (d["day"] - cohort).to_numpy()})
+        g = (out.groupby(["cohort_day", "day_offset"], sort=False)
+             .size().rename("n").reset_index())
+        return g.astype({"cohort_day": "int64", "day_offset": "int64",
+                         "n": "int64"})
+
+    tagged = reduce_blocks(ds.map_batches(partial, batch_format="pyarrow",
+                                          zero_copy_batch=True),
+                           ["user_id"], per_user_block,
+                           batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"cohort_day": pd.Series(dtype="int64"),
+                                 "day_offset": pd.Series(dtype="int64"),
+                                 "n_users": pd.Series(dtype="int64")})
+        g = (df.groupby(["cohort_day", "day_offset"], sort=False)["n"]
+             .sum().reset_index().rename(columns={"n": "n_users"}))
+        return g.astype({"cohort_day": "int64", "day_offset": "int64",
+                         "n_users": "int64"})
+
+    return reduce_blocks(tagged, ["cohort_day", "day_offset"], merge,
+                         batch_format="pandas", coalesce_rows=None)

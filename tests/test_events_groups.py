@@ -185,3 +185,29 @@ def test_event_type_transitions_planted(ray_session, tmp_path):
     assert out.loc[("view", "click"), "n"] == 2
     assert out.loc[("click", "view"), "n"] == 1
     assert len(out) == 2
+
+
+def test_retention_cohorts_planted(ray_session, tmp_path):
+    """u1 first active day 0, returns day 2 (two events that day count
+    once); u2 first day 0 only; u3 first day 2. Cells: (0,0)=2, (0,2)=1,
+    (2,0)=1."""
+    import pandas as pd
+
+    from neo4j_tkapi_ray.ops.events import retention_cohorts
+
+    D = 86_400_000_000  # us per day
+    rows = [
+        {"event_id": 0, "user_id": 1, "ts": 10 * 60_000_000},
+        {"event_id": 1, "user_id": 1, "ts": 2 * D + 5},
+        {"event_id": 2, "user_id": 1, "ts": 2 * D + 9},
+        {"event_id": 3, "user_id": 2, "ts": 42},
+        {"event_id": 4, "user_id": 3, "ts": 2 * D},
+    ]
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"], unit="us")
+    df["event_type"] = "view"
+    df["value"] = 0.0
+    df.to_parquet(tmp_path / "events.parquet")
+    out = retention_cohorts(str(tmp_path)).to_pandas()
+    got = {(r.cohort_day, r.day_offset): r.n_users for r in out.itertuples()}
+    assert got == {(0, 0): 2, (0, 2): 1, (2, 0): 1}
