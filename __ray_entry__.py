@@ -420,8 +420,12 @@ def _kg_clustering_coeff(sf_dir: str):
 
 
 def _kg_wcc(sf_dir: str):
+    """Stage-cached: kg_component_sizes consumes the SAME label-propagation
+    output, so the iterative rounds run once per sf_dir, not per query."""
     from neo4j_tkapi_ray.ops.graph import connected_components
-    return connected_components(_graph_edges_ds(sf_dir))
+    return _stage_cache(
+        sf_dir, "kg_wcc",
+        lambda: connected_components(_graph_edges_ds(sf_dir)))
 
 
 def _kg_kcore(sf_dir: str):
@@ -450,8 +454,8 @@ def _kg_fastrp(sf_dir: str):
 
 
 def _kg_component_sizes(sf_dir: str):
-    from neo4j_tkapi_ray.ops.graph import component_sizes, connected_components
-    return component_sizes(connected_components(_graph_edges_ds(sf_dir)))
+    from neo4j_tkapi_ray.ops.graph import component_sizes
+    return component_sizes(_kg_wcc(sf_dir))
 
 
 def _kg_bfs_depth(sf_dir: str):
