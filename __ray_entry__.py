@@ -679,6 +679,8 @@ _SWEEP_FRONT = [
     "kg_fastrp",                 # NEW in round 4 — never driver-checked
     "bpe_merges",                # NEW in round 4 — never driver-checked
     "retention_cohorts",         # NEW in round 4 — never driver-checked
+    "curriculum_buckets",        # NEW in round 4 — never driver-checked
+    "dup_rate_by_source",        # NEW in round 4 — never driver-checked
     "oov_rate",                  # NEW in round 4 — never driver-checked
     "mixture_sample",            # NEW in round 4 — never driver-checked
     "kg_bfs_depth",              # NEW in round 4 — never driver-checked
@@ -704,8 +706,9 @@ _SWEEP_FRONT = [
     # round)
     # (revenue_by_nation rotated to the tail to admit retention_cohorts;
     # r02-green on relational.py code unchanged since, timed in bench.py)
-    "top_customers",
-    "events_hourly",
+    # (top_customers rotated to the tail to admit curriculum_buckets,
+    # events_hourly to admit dup_rate_by_source; both r02-green on
+    # relational.py code unchanged since, events_hourly timed in bench.py)
     # (user_activity rotated to the tail to admit kg_fastrp; r02-green on
     # relational.py code unchanged since)
     # (supplier_balance_by_region rotated to the tail to admit bigram_pmi;
@@ -815,6 +818,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_bigram_overlap": sampling.source_bigram_overlap,  # SQL-checkable
         "doc_novelty": sampling.doc_novelty,                 # SQL-checkable
         "source_vocab_stats": sampling.source_vocab_stats,   # SQL-checkable
+        "curriculum_buckets": sampling.curriculum_buckets,    # SQL-checkable
+        "dup_rate_by_source": dedup.dup_rate_by_source,       # SQL-checkable
         "bigram_pmi": lambda sf: sampling.bigram_pmi(sf),    # SQL-checkable
         "event_props_rollup": events.event_props_rollup,     # SQL-checkable
         "funnel_stages": events.funnel_stages,               # SQL-checkable
@@ -2136,6 +2141,33 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         # PMI collocations: ln over the identical (c*N)/(cl*cr) DOUBLE
         # expression, half-away 5dp on both sides, rank by rounded pmi
         # then (x, y) so ties are deterministic
+        # curriculum NTILE buckets over the global (length, doc_id) order;
+        # engine mirrors SQL NTILE's first-(n mod k)-buckets-larger rule
+        "curriculum_buckets": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(ROW_NUMBER() OVER (ORDER BY length(text), doc_id)
+                        AS BIGINT) AS rank,
+                   CAST(NTILE(10) OVER (ORDER BY length(text), doc_id)
+                        AS BIGINT) AS bucket
+            FROM documents
+        """,
+        # exact-dup rate per source: the oracle groups raw TEXT, the engine
+        # groups the 128-bit content hash (documented collision budget)
+        "dup_rate_by_source": """
+            WITH v AS (
+                SELECT source,
+                       ROW_NUMBER() OVER (PARTITION BY text
+                                          ORDER BY doc_id) AS rn
+                FROM documents)
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dups,
+                   ROUND(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+                         / CAST(COUNT(*) AS DOUBLE), 5) AS dup_pct
+            FROM v GROUP BY source
+        """,
         # per-source lexical audit over the shared tokenizer: hapax =
         # (source, token) pairs with corpus count exactly 1; TTR rounded
         # half-away 5dp on both sides

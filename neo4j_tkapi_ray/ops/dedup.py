@@ -1124,3 +1124,65 @@ def neardup_best_pick(sf_dir: str, groups: rd.Dataset | None = None,
 
     return reduce_blocks(joined, ["group_id"], pick_block,
                          batch_format="pandas")
+
+
+def dup_rate_by_source(sf_dir: str) -> rd.Dataset:
+    """Exact-duplicate rate per source — the per-domain dedup report a
+    curation run publishes next to source_keep_rates: a document is a
+    duplicate iff an identical-text document with a smaller doc_id exists
+    anywhere in the corpus (exact_dedup's keeper rule), counted per
+    source. 128-bit content hash stands in for text equality (the module's
+    documented collision budget); the oracle groups by the raw text.
+
+    Scale shape: one metrics map computes (hash, doc_id, source) off the
+    Arrow buffer (shared content_hash_batch kernel); ONE hash exchange
+    decides keeper-vs-dup in-block (each hash lives in one partition) and
+    folds to per-source (n_docs, n_dups) partials before leaving it; one
+    tiny source exchange finishes. Texts never move.
+    """
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "source"])
+
+    def metrics(b: pa.Table) -> pa.Table:
+        h1, h2 = hash128_array(b.column("text"))
+        return pa.table({"h1": pa.array(h1, pa.int64()),
+                         "h2": pa.array(h2, pa.int64()),
+                         "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                         "source": b.column("source")})
+
+    hashed = docs.map_batches(metrics, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def per_hash_block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"source": pd.Series(dtype="object"),
+                              "docs": pd.Series(dtype="int64"),
+                              "dups": pd.Series(dtype="int64")})
+        if df.empty:
+            return empty
+        keeper = (df.groupby(["h1", "h2"], sort=False)["doc_id"]
+                  .transform("min"))
+        dup = (df["doc_id"] != keeper).astype("int64")
+        g = (df.assign(dup=dup).groupby("source", sort=False)
+             .agg(docs=("doc_id", "size"), dups=("dup", "sum"))
+             .reset_index())
+        return g.astype({"docs": "int64", "dups": "int64"})
+
+    tagged = reduce_blocks(hashed, ["h1", "h2"], per_hash_block,
+                           batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"source": pd.Series(dtype="object"),
+                                 "n_docs": pd.Series(dtype="int64"),
+                                 "n_dups": pd.Series(dtype="int64"),
+                                 "dup_pct": pd.Series(dtype="float64")})
+        g = (df.groupby("source", sort=False)[["docs", "dups"]].sum()
+             .reset_index())
+        pct = g["dups"].to_numpy() / g["docs"].to_numpy()
+        return pd.DataFrame({"source": g["source"],
+                             "n_docs": g["docs"].astype("int64"),
+                             "n_dups": g["dups"].astype("int64"),
+                             "dup_pct": np.floor(pct * 1e5 + 0.5) / 1e5})
+
+    return reduce_blocks(tagged, ["source"], merge, batch_format="pandas",
+                         coalesce_rows=None)

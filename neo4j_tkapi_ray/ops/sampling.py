@@ -993,3 +993,41 @@ def source_vocab_stats(sf_dir: str) -> rd.Dataset:
 
     return reduce_blocks(tagged, ["source"], merge, batch_format="pandas",
                          coalesce_rows=None)
+
+
+def curriculum_buckets(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """Curriculum-ordering buckets: every document's NTILE(k) bucket over
+    the global (length, doc_id) total order — the standard length-based
+    curriculum / difficulty binning step (shortest decile first, longest
+    last) and the exact bucket semantics of SQL's NTILE: the first
+    ``n mod k`` buckets get ``ceil(n/k)`` rows, the rest ``floor(n/k)``.
+
+    Scale shape: rides ``global_length_rank`` (value-histogram base ranks,
+    rows move once, no global sort); the only additional state is the
+    corpus row count — a parquet-metadata count, no data pass — broadcast
+    into a vectorized rank->bucket map.
+    """
+    n = int(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"]).count())
+    ranks = global_length_rank(sf_dir)
+    if n == 0:
+        return ranks.map_batches(
+            lambda b: b.append_column("bucket", pa.array([], pa.int64())),
+            batch_format="pyarrow")
+    q, r = divmod(n, k)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        rank = b.column("rank").to_numpy(zero_copy_only=False)
+        boundary = r * (q + 1)
+        if q == 0:
+            bucket = rank  # n < k: NTILE gives each row its own bucket
+        else:
+            bucket = np.where(
+                rank <= boundary,
+                (rank - 1) // (q + 1) + 1,
+                r + (rank - 1 - boundary) // q + 1)
+        return b.append_column("bucket", pa.array(bucket.astype(np.int64),
+                                                  pa.int64()))
+
+    return ranks.map_batches(bucketize, batch_format="pyarrow",
+                             zero_copy_batch=True)

@@ -679,3 +679,24 @@ def test_crawl_dir_stats_planted(ray_session, tmp_path):
     # pa.timestamp("us") integers -> pandas ns Timestamps (x1000)
     assert out.loc["/a/x", "ts_min"].value == ts[0] * 1000
     assert out.loc["/a/x", "ts_max"].value == ts[2] * 1000
+
+
+def test_dup_rate_by_source_planted(ray_session, tmp_path):
+    """Source A: 3 docs, two share text (one dup). Source B: 2 unique.
+    A cross-source copy counts as dup in the LATER doc's source."""
+    import pandas as pd
+
+    from neo4j_tkapi_ray.ops.dedup import dup_rate_by_source
+
+    rows = [
+        {"doc_id": 0, "source": "A", "text": "same"},
+        {"doc_id": 1, "source": "A", "text": "same"},       # dup of 0
+        {"doc_id": 2, "source": "A", "text": "unique a"},
+        {"doc_id": 3, "source": "B", "text": "unique b"},
+        {"doc_id": 4, "source": "B", "text": "same"},       # dup of 0 -> B
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    out = (dup_rate_by_source(str(tmp_path)).to_pandas()
+           .set_index("source").sort_index())
+    assert out.loc["A"].tolist() == [3, 1, round(1 / 3, 5)]
+    assert out.loc["B"].tolist() == [2, 1, 0.5]

@@ -447,3 +447,21 @@ def test_bpe_merges_overlap_and_tiebreak(ray_session, tmp_path):
     assert out.iloc[0].tolist() == [1, "a", "a", 2]
     # round 2: "aaa" is now [aa, a] -> (aa,a)=1; (x,y)=2 wins
     assert out.iloc[1].tolist() == [2, "x", "y", 2]
+
+
+def test_curriculum_buckets_ntile(ray_session, tmp_path):
+    """NTILE(k) semantics with n not divisible by k: n=7, k=3 -> buckets of
+    3/2/2 over the (length, doc_id) order; and n < k gives one row per
+    bucket."""
+    import pandas as pd
+
+    from neo4j_tkapi_ray.ops.sampling import curriculum_buckets
+
+    rows = [{"doc_id": i, "text": "x" * (10 + i)} for i in range(7)]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    out = (curriculum_buckets(str(tmp_path), k=3).to_pandas()
+           .sort_values("rank"))
+    assert out["bucket"].tolist() == [1, 1, 1, 2, 2, 3, 3]
+    out2 = (curriculum_buckets(str(tmp_path), k=10).to_pandas()
+            .sort_values("rank"))
+    assert out2["bucket"].tolist() == list(range(1, 8))
