@@ -453,6 +453,11 @@ def _kg_fastrp(sf_dir: str):
     return fastrp_embeddings(_graph_edges_ds(sf_dir), dim=8, rounds=2)
 
 
+def _kg_weighted_pagerank(sf_dir: str):
+    from neo4j_tkapi_ray.ops.graph import weighted_pagerank
+    return weighted_pagerank(_graph_edges_ds(sf_dir), iters=5)
+
+
 def _kg_component_sizes(sf_dir: str):
     from neo4j_tkapi_ray.ops.graph import component_sizes
     return component_sizes(_kg_wcc(sf_dir))
@@ -681,6 +686,7 @@ _SWEEP_FRONT = [
     "retention_cohorts",         # NEW in round 4 — never driver-checked
     "curriculum_buckets",        # NEW in round 4 — never driver-checked
     "dup_rate_by_source",        # NEW in round 4 — never driver-checked
+    "kg_weighted_pagerank",      # NEW in round 4 — never driver-checked
     "oov_rate",                  # NEW in round 4 — never driver-checked
     "mixture_sample",            # NEW in round 4 — never driver-checked
     "kg_bfs_depth",              # NEW in round 4 — never driver-checked
@@ -698,7 +704,10 @@ _SWEEP_FRONT = [
     "event_type_transitions",    # NEW in round 4 — never driver-checked
     "bigram_pmi",                # NEW in round 4 — never driver-checked
     # group 2 — r02-green, missed r03's window
-    "kg_interruption_types",
+    # (kg_interruption_types rotated one round to admit
+    # kg_weighted_pagerank; r02-green, analyzer code unchanged since, and
+    # its siblings kg_interruption_topics / kg_response_patterns — same
+    # aggregates.py code path — remain in the window this round)
     "kg_interruption_topics",
     "kg_response_patterns",
     # (pricing_summary rotated to the tail to admit bpe_merges; r02-green
@@ -846,6 +855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": _kg_kcore,                               # SQL-checkable
         "kg_label_propagation": _kg_label_propagation,       # SQL-checkable
         "kg_fastrp": _kg_fastrp,                             # SQL-checkable
+        "kg_weighted_pagerank": _kg_weighted_pagerank,       # SQL-checkable
         "kg_node_similarity": _kg_node_similarity,           # SQL-checkable
         "kg_adamic_adar": _kg_adamic_adar,                   # SQL-checkable
         "kg_bfs_depth": _kg_bfs_depth,                       # SQL-checkable
@@ -998,6 +1008,33 @@ def _pagerank_sql(cd: str, iters: int = 5) -> str:
         ctes.append(
             f"c{i} AS (SELECT e.dst AS node, SUM(r.r // o.od) AS s "
             f"FROM e JOIN outd o USING (src) "
+            f"JOIN r{i - 1} r ON r.node = e.src GROUP BY e.dst)")
+        ctes.append(
+            f"r{i} AS (SELECT n.node, "
+            f"CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r "
+            f"FROM nodes n LEFT JOIN c{i} c USING (node))")
+    return ("WITH " + ",\n ".join(ctes)
+            + f" SELECT node AS node_id, r AS rank_micro FROM r{iters}")
+
+
+def _weighted_pagerank_sql(cd: str, iters: int = 5) -> str:
+    """Unrolled weighted PageRank (ops/graph.weighted_pagerank contract):
+    contribution = (r * w) // W_out with w = SUM(weight) per (src, dst)
+    collapsed over preds; all-integer, order-independent, bit-exact."""
+    ctes = [
+        f"g AS ({_graph_edges_select(cd)})",
+        "e AS (SELECT subj AS src, obj AS dst, "
+        "CAST(SUM(weight) AS BIGINT) AS w FROM g GROUP BY src, dst)",
+        "outw AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src)",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node, "
+            f"SUM((r.r * e.w) // o.ow) AS s "
+            f"FROM e JOIN outw o USING (src) "
             f"JOIN r{i - 1} r ON r.node = e.src GROUP BY e.dst)")
         ctes.append(
             f"r{i} AS (SELECT n.node, "
@@ -1449,6 +1486,7 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         "kg_kcore": _kcore_sql(cd),
         "kg_label_propagation": _lpa_sql(cd),
         "kg_fastrp": _fastrp_sql(cd),
+        "kg_weighted_pagerank": _weighted_pagerank_sql(cd),
         "kg_bfs_depth": _bfs_sql(cd),
         # 2-hop predicate transitions; the NOT(...) term enforces Cypher
         # relationship uniqueness (a self-loop row must not join itself —

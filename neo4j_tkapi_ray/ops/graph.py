@@ -240,6 +240,127 @@ def pagerank(edges: rd.Dataset, iters: int = 5) -> rd.Dataset:
         batch_format="pyarrow")
 
 
+def weighted_pagerank(edges: rd.Dataset, iters: int = 5) -> rd.Dataset:
+    """Weight-proportional PageRank — the GDS ``pageRank`` with
+    ``relationshipWeightProperty`` analog: a node's rank flows to its
+    out-neighbors proportionally to edge weight instead of uniformly,
+    ``contribution(src->dst) = (rank(src) * w(src,dst)) // W_out(src)``
+    (integer floor division; ``w`` = the edge table's ``weight`` summed
+    over preds per (src, dst), ``W_out`` = the src's total out-weight).
+    Same damping step, same micro-unit integer arithmetic and the same
+    2-exchanges-per-iteration shape as ``pagerank`` — distributed sums
+    stay bit-exact under any partitioning. The multiply tightens the
+    overflow bound to ``rank * w < 2^63``, guarded loudly per block
+    (numpy wraps silently where the DuckDB oracle raises).
+
+    Returns (node_id, rank_micro).
+    """
+    raw = edges.map_batches(
+        lambda b: pa.table({"src": b.column("subj"), "dst": b.column("obj"),
+                            "w": pc.cast(b.column("weight"), pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairs_with_outw(df: pd.DataFrame) -> pd.DataFrame:
+        """Per src (all its rows are block-local after the src exchange):
+        per-(src, dst) weight sums + the src's total out-weight."""
+        if df.empty:
+            return pd.DataFrame({"src": pd.Series(dtype="object"),
+                                 "dst": pd.Series(dtype="object"),
+                                 "w": pd.Series(dtype="int64"),
+                                 "ow": pd.Series(dtype="int64")})
+        g = (df.groupby(["src", "dst"], sort=False)["w"].sum()
+             .reset_index())
+        ow = g.groupby("src", sort=False)["w"].transform("sum")
+        return g.assign(ow=ow).astype({"w": "int64", "ow": "int64"})
+
+    adj = reduce_blocks(raw, ["src"], pairs_with_outw,
+                        batch_format="pandas").materialize()
+
+    def node_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([("node", pa.string()),
+                              ("c", pa.int64())]).empty_table()
+        u = pc.unique(pa.chunked_array([b.column("src"),
+                                        b.column("dst")]).combine_chunks())
+        return pa.table({"node": u,
+                         "c": pa.array(np.zeros(len(u), np.int64))})
+
+    def node_dedup(block: pa.Table) -> pa.Table:
+        u = pc.unique(block.column("node")) if block.num_rows else \
+            pa.array([], pa.string())
+        return pa.table({"node": u,
+                         "c": pa.array(np.zeros(len(u), np.int64))})
+
+    nodes = reduce_blocks(adj.map_batches(node_rows, batch_format="pyarrow"),
+                          ["node"], node_dedup).materialize()
+
+    ranks = nodes.map_batches(
+        lambda b: pa.table({"node": b.column("node"),
+                            "val": pa.array(np.full(b.num_rows, PR_SCALE,
+                                                    np.int64))}),
+        batch_format="pyarrow").materialize()
+
+    def adj_tagged(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("src"), "dst": b.column("dst"),
+                         "w": b.column("w"), "val": b.column("ow"),
+                         "is_rank": pa.array(np.zeros(b.num_rows, np.int8))})
+
+    def rank_tagged(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"),
+                         "dst": pa.nulls(b.num_rows, pa.string()),
+                         "w": pa.nulls(b.num_rows, pa.int64()),
+                         "val": b.column("val"),
+                         "is_rank": pa.array(np.ones(b.num_rows, np.int8))})
+
+    def contribs(df: pd.DataFrame) -> pd.DataFrame:
+        """Emit (dst, (rank * w) // ow) per edge, partial-combined per dst
+        within the block (the pagerank skew discipline)."""
+        empty = pd.DataFrame({"node": pd.Series(dtype="object"),
+                              "c": pd.Series(dtype="int64")})
+        if df.empty:
+            return empty
+        e = df[df["is_rank"] == 0]
+        if e.empty:
+            return empty
+        r = df[df["is_rank"] == 1].set_index("node")["val"]
+        rv = r.reindex(e["node"]).to_numpy().astype(np.int64)
+        w = e["w"].to_numpy().astype(np.int64)
+        ow = e["val"].to_numpy().astype(np.int64)
+        if len(rv) and int(rv.max()) > (2**63 - 1) // max(int(w.max()), 1):
+            raise OverflowError(
+                "weighted_pagerank rank*weight would overflow int64 — "
+                "shrink PR_SCALE or move to 128-bit")
+        c = (rv * w) // ow
+        out = pd.DataFrame({"node": e["dst"].to_numpy(), "c": c})
+        return out.groupby("node", sort=False, as_index=False)["c"].sum()
+
+    def damp_sum(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.schema([("node", pa.string()),
+                              ("val", pa.int64())]).empty_table()
+        g = block.group_by(["node"]).aggregate([("c", "sum")])
+        s = g.column("c_sum").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if len(s) and int(s.max()) > (2**63 - 1) // 85:
+            raise OverflowError(
+                "weighted_pagerank inbound mass would overflow int64 under "
+                "the 85x damping multiply")
+        val = PR_BASE + (85 * s) // 100
+        return pa.table({"node": g.column("node"), "val": pa.array(val)})
+
+    for _ in range(iters):
+        mixed = adj.map_batches(adj_tagged, batch_format="pyarrow").union(
+            ranks.map_batches(rank_tagged, batch_format="pyarrow"))
+        contrib = reduce_blocks(mixed, ["node"], contribs,
+                                batch_format="pandas", coalesce_rows=None)
+        ranks = reduce_blocks(contrib.union(nodes), ["node"], damp_sum,
+                              coalesce_rows=None).materialize()
+
+    return ranks.map_batches(
+        lambda b: pa.table({"node_id": b.column("node"),
+                            "rank_micro": b.column("val")}),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # triangle counting (degree-ordered)
 # ---------------------------------------------------------------------------

@@ -428,3 +428,48 @@ def test_fastrp_embeddings_matches_bruteforce(ray_session):
         got_map.setdefault(r.node_id, [0] * DIM)[r.dim] = r.val
     assert got_map == acc
     assert "g" not in got_map  # self-loop-only node: no undirected pairs
+
+
+def test_weighted_pagerank_integer_exact(ray_session):
+    """Weight-proportional contributions vs a single-process integer
+    reference; uniform weights must reproduce plain pagerank; the parallel
+    a->b edges (R1+R2, weight 1 each) give a->b weight 2."""
+    from neo4j_tkapi_ray.ops.graph import weighted_pagerank
+
+    # reference over per-(src,dst) summed weights
+    pairs = {}
+    for s, _, o in EDGES:
+        pairs[(s, o)] = pairs.get((s, o), 0) + 1
+    nodes = sorted({n for p in pairs for n in p})
+    ow = {}
+    for (s, _o), w in pairs.items():
+        ow[s] = ow.get(s, 0) + w
+    r = {n: PR_SCALE for n in nodes}
+    for _ in range(5):
+        inc = {n: 0 for n in nodes}
+        for (s, o), w in pairs.items():
+            inc[o] += (r[s] * w) // ow[s]
+        r = {n: PR_BASE + (85 * inc[n]) // 100 for n in nodes}
+
+    got = {row["node_id"]: row["rank_micro"]
+           for row in weighted_pagerank(_edges_ds(), iters=5).take_all()}
+    assert got == r
+    assert got["h"] == PR_BASE  # no in-edges: base after any iteration
+
+    # the adversarial fixture has no src with DIFFERENT per-dst weights, so
+    # weighted == uniform there (w cancels against ow) — pin the actual
+    # weight sensitivity on a skewed 2-dst fixture: x -> y (w=3), x -> z
+    # (w=1): y gets 3/4 of x's rank, z gets 1/4
+    t = pa.table({"subj": ["x", "x"], "pred": ["R", "R"],
+                  "obj": ["y", "z"],
+                  "weight": pa.array([3, 1], pa.int64()),
+                  "score": pa.array([1.0, 1.0], pa.float64())})
+    skew = {row["node_id"]: row["rank_micro"]
+            for row in weighted_pagerank(
+                rd.from_arrow(t).repartition(2), iters=1).take_all()}
+    assert skew["y"] == PR_BASE + (85 * ((PR_SCALE * 3) // 4)) // 100
+    assert skew["z"] == PR_BASE + (85 * ((PR_SCALE * 1) // 4)) // 100
+    uni = {row["node_id"]: row["rank_micro"]
+           for row in pagerank(rd.from_arrow(t).repartition(2),
+                               iters=1).take_all()}
+    assert skew["y"] != uni["y"]  # uniform splits 50/50
