@@ -771,7 +771,8 @@ _SWEEP_FRONT = [
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from neo4j_tkapi_ray.ops import (ann, clustering, dedup, events, joins,
-                                     packing, relational, sampling, textstats)
+                                     packing, relational, sampling, sketch,
+                                     textstats)
     all_q = {
         "kg_triples": _kg_triples,
         # --- ops with single-process expected-table oracles
@@ -919,6 +920,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trailing_window_counts":
             lambda sf: events.trailing_window_counts(sf, 60),       # SQL-checkable
         # --- training-data ops
+        # HLL sketch (late round 4 — rides the r05 rotation into the window;
+        # contract-test + local-sweep evidence this round)
+        "hll_registers": sketch.hll_registers,               # SQL-checkable
+        "hll_distinct_users": sketch.hll_distinct_users,     # SQL-checkable
         "dedup_exact": _dedup_exact,                         # SQL-checkable
         "token_counts": textstats.token_counts,              # SQL-checkable
         "bpe_token_counts": textstats.bpe_token_counts,      # SQL-checkable
@@ -1047,6 +1052,18 @@ def _weighted_pagerank_sql(cd: str, iters: int = 5) -> str:
 def _pii_oracle_sql() -> str:
     from neo4j_tkapi_ray.ops.pii import pii_sql
     return pii_sql()
+
+
+def _hll_oracle_sql(which: str) -> str:
+    """Both HLL oracles rendered from the engine's own constants
+    (ops/sketch.hll_sql) so bucket/rho/estimate expressions cannot drift."""
+    from neo4j_tkapi_ray.ops.sketch import hll_sql
+    regs, est = hll_sql()
+    if which == "registers":
+        return (regs + " SELECT grp AS event_type, "
+                "CAST(bucket AS BIGINT) AS bucket, "
+                "CAST(max_rho AS BIGINT) AS max_rho FROM reg")
+    return regs + ", " + est
 
 
 def _pack_sql(which: str) -> str:
@@ -2392,6 +2409,10 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         """,
         # PII scrub: oracle rendered from the engine's own pattern tuples
         # (both sides RE2, same order, stepwise counts)
+        # HLL sketch: oracle rendered from the engine's own constants
+        # (same md5-hex bucket/rho derivation, exact int64 denominator)
+        "hll_registers": _hll_oracle_sql("registers"),
+        "hll_distinct_users": _hll_oracle_sql("estimate"),
         "pii_scrub": _pii_oracle_sql(),
         "pii_type_counts": __import__(
             "neo4j_tkapi_ray.ops.pii",
