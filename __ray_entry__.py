@@ -924,6 +924,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # contract-test + local-sweep evidence this round)
         "hll_registers": sketch.hll_registers,               # SQL-checkable
         "hll_distinct_users": sketch.hll_distinct_users,     # SQL-checkable
+        # C4-style line-level exact dedup (late round 4, same rotation note)
+        "line_dedup": dedup.line_dedup,                      # SQL-checkable
         "dedup_exact": _dedup_exact,                         # SQL-checkable
         "token_counts": textstats.token_counts,              # SQL-checkable
         "bpe_token_counts": textstats.bpe_token_counts,      # SQL-checkable
@@ -2413,6 +2415,30 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         # (same md5-hex bucket/rho derivation, exact int64 denominator)
         "hll_registers": _hll_oracle_sql("registers"),
         "hll_distinct_users": _hll_oracle_sql("estimate"),
+        # line dedup: oracle groups the raw LINE TEXT where the engine
+        # groups its 128-bit hash (independent equality, the dup_rate
+        # pattern); empty lines always survive on both sides
+        "line_dedup": """
+            WITH l AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       unnest(generate_series(
+                           1, len(string_split(text, chr(10))))) AS ord
+                FROM documents),
+            k AS (
+                SELECT doc_id, line, ord,
+                       (line = '' OR ROW_NUMBER() OVER (
+                            PARTITION BY line
+                            ORDER BY doc_id, ord) = 1) AS keep
+                FROM l)
+            SELECT doc_id,
+                   COALESCE(string_agg(line, chr(10) ORDER BY ord)
+                            FILTER (WHERE keep), '') AS clean_text,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_dropped
+            FROM k GROUP BY doc_id
+        """,
         "pii_scrub": _pii_oracle_sql(),
         "pii_type_counts": __import__(
             "neo4j_tkapi_ray.ops.pii",

@@ -1186,3 +1186,123 @@ def dup_rate_by_source(sf_dir: str) -> rd.Dataset:
 
     return reduce_blocks(tagged, ["source"], merge, batch_format="pandas",
                          coalesce_rows=None)
+
+
+def line_dedup(sf_dir: str) -> rd.Dataset:
+    """Line-level exact dedup (the C4 recipe's "discard all but one of any
+    three-sentence span occurring more than once", done at line
+    granularity): a NON-EMPTY line survives only at its first occurrence
+    corpus-wide — the globally smallest (doc_id, line_no) holding that
+    exact line text — including repeats within a single document. Empty
+    lines are structure, not content, and always survive (deduping them
+    would collapse every blank line in the corpus into one owner).
+
+    Output: (doc_id, clean_text, n_lines, n_dropped) for EVERY document;
+    clean_text is the kept lines re-joined with newline.
+
+    Distributed shape: lines are hashed at the scan with the shared
+    128-bit buffer-sliced kernel (line TEXT never crosses an exchange);
+    one hash exchange decides the owner occurrence in-block (each hash
+    lives in one partition) and emits only the (doc_id, line_no) drop
+    stream; the drop stream joins the document stream on ONE doc_id
+    exchange and a vectorized merge + groupby-join rebuilds each doc.
+    Same two-exchange discipline as drop_dup_spans.
+    """
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def _split(b: pa.Table):
+        parts = pc.split_pattern(b.column("text"), pattern="\n")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        flat = pc.list_flatten(parts)
+        parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        off = parts.offsets.to_numpy()
+        line_no = (np.arange(len(flat), dtype=np.int64)
+                   - off[:-1][parent])           # 0-based within doc
+        doc = pc.cast(b.column("doc_id"), pa.int64()).to_numpy(
+            zero_copy_only=False)[parent]
+        return flat, doc, line_no, parent
+
+    def occurrences(b: pa.Table) -> pa.Table:
+        flat, doc, line_no, _ = _split(b)
+        mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        h1, h2 = hash128_array(flat.filter(pa.array(mask)))
+        return pa.table({"h1": pa.array(h1, pa.int64()),
+                         "h2": pa.array(h2, pa.int64()),
+                         "doc_id": pa.array(doc[mask], pa.int64()),
+                         "line_no": pa.array(line_no[mask], pa.int64())})
+
+    occ = docs.map_batches(occurrences, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def non_owner(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "line_no": pd.Series(dtype="int64")})
+        if df.empty:
+            return empty
+        d = df.sort_values(["h1", "h2", "doc_id", "line_no"],
+                           kind="mergesort")
+        drops = d[d.duplicated(["h1", "h2"])][["doc_id", "line_no"]]
+        return drops.reset_index(drop=True)
+
+    drops = reduce_blocks(occ, ["h1", "h2"], non_owner,
+                          batch_format="pandas")
+
+    def drop_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "line_no": b.column("line_no"),
+                         "text": pa.nulls(n, pa.string()),
+                         "kind": pa.array(np.ones(n, dtype=np.int8))})
+
+    def doc_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({"doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                         "line_no": pa.array(np.full(n, -1, np.int64)),
+                         "text": b.column("text"),
+                         "kind": pa.array(np.zeros(n, dtype=np.int8))})
+
+    mixed = drops.map_batches(drop_rows, batch_format="pyarrow").union(
+        docs.map_batches(doc_rows, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "clean_text": pd.Series(dtype="object"),
+                              "n_lines": pd.Series(dtype="int64"),
+                              "n_dropped": pd.Series(dtype="int64")})
+        if df.empty:
+            return empty
+        doc_df = df[df["kind"].to_numpy() == 0]
+        if doc_df.empty:
+            return empty
+        b = pa.table({"doc_id": pa.array(doc_df["doc_id"].to_numpy(),
+                                         pa.int64()),
+                      "text": pa.array(doc_df["text"].to_numpy(),
+                                       pa.string())})
+        flat, doc, line_no, parent = _split(b)
+        ldf = pd.DataFrame({
+            "doc_id": doc, "line_no": line_no,
+            "line": flat.to_numpy(zero_copy_only=False)})
+        drop_df = df[df["kind"].to_numpy() == 1][["doc_id", "line_no"]]
+        ldf = ldf.merge(drop_df.assign(_drop=np.int8(1)),
+                        on=["doc_id", "line_no"], how="left")
+        keep = ldf["_drop"].isna().to_numpy()
+        doc_ids = doc_df["doc_id"].to_numpy()
+        n_docs = len(doc_ids)
+        row_of = pd.Series(np.arange(n_docs), index=doc_ids)
+        ridx = row_of[ldf["doc_id"].to_numpy()].to_numpy()
+        joined = (pd.Series(ldf["line"].to_numpy()[keep])
+                  .groupby(ridx[keep]).agg("\n".join)
+                  if keep.any() else pd.Series(dtype="object"))
+        clean = np.full(n_docs, "", dtype=object)
+        clean[joined.index.to_numpy()] = joined.to_numpy()
+        n_lines = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(n_lines, ridx, 1)
+        n_drop = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(n_drop, ridx[~keep], 1)
+        return pd.DataFrame({"doc_id": doc_ids, "clean_text": clean,
+                             "n_lines": n_lines, "n_dropped": n_drop})
+
+    return reduce_blocks(mixed, ["doc_id"], rebuild, batch_format="pandas")

@@ -700,3 +700,25 @@ def test_dup_rate_by_source_planted(ray_session, tmp_path):
            .set_index("source").sort_index())
     assert out.loc["A"].tolist() == [3, 1, round(1 / 3, 5)]
     assert out.loc["B"].tolist() == [2, 1, 0.5]
+
+
+def test_line_dedup_planted(ray_session, tmp_path):
+    """First occurrence (doc_id, line_no) owns a line corpus-wide; repeats
+    WITHIN the owner doc also drop; empty lines always survive."""
+    import pandas as pd
+
+    from neo4j_tkapi_ray.ops.dedup import line_dedup
+
+    rows = [
+        {"doc_id": 0, "text": "alpha\nbeta\nalpha"},   # 2nd alpha drops
+        {"doc_id": 1, "text": "alpha"},                # owner is doc 0
+        {"doc_id": 2, "text": ""},                     # one empty line
+        {"doc_id": 3, "text": "beta\n\ngamma"},        # beta drops, '' kept
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    out = (line_dedup(str(tmp_path)).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert out.loc[0].tolist() == ["alpha\nbeta", 3, 1]
+    assert out.loc[1].tolist() == ["", 1, 1]
+    assert out.loc[2].tolist() == ["", 1, 0]
+    assert out.loc[3].tolist() == ["\ngamma", 3, 1]
