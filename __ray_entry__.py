@@ -473,6 +473,11 @@ def _kg_pred_transitions(sf_dir: str):
     return pred_transitions(_graph_edges_ds(sf_dir))
 
 
+def _kg_random_walks(sf_dir: str):
+    from neo4j_tkapi_ray.ops.graph import random_walks
+    return random_walks(_graph_edges_ds(sf_dir), walks_per_node=2, steps=3)
+
+
 def _bfs_sql(cd: str, rounds: int = 8) -> str:
     """Unrolled multi-source BFS (ops/graph.bfs_depth contract): depth =
     hops to the nearest 'fr'-prefixed node over the undirected
@@ -501,6 +506,37 @@ def _bfs_sql(cd: str, rounds: int = 8) -> str:
     return ("WITH " + ",\n ".join(ctes)
             + f" SELECT node AS node_id, CAST(depth AS BIGINT) AS depth "
               f"FROM d{rounds}")
+
+
+def _random_walks_sql(cd: str, walks: int = 2, steps: int = 3) -> str:
+    """Unrolled deterministic random walks (ops/graph.random_walks
+    contract): next hop from u at step s of walk w = the out-neighbor v
+    minimizing md5(walk_id || ':s:' || v) — the identical hash-argmin the
+    engine computes (md5 hex compares as ASCII on both sides; ties by v).
+    Directed distinct pairs, self-loops dropped; one CTE per step."""
+    wvals = ", ".join(f"({w})" for w in range(walks))
+    ctes = [
+        f"g AS ({_graph_edges_select(cd)})",
+        "e AS MATERIALIZED ("
+        "SELECT DISTINCT subj AS src, obj AS dst FROM g "
+        "WHERE subj <> obj)",
+        "w0 AS MATERIALIZED ("
+        "SELECT node || '#' || CAST(w AS VARCHAR) AS walk_id, node "
+        f"FROM (SELECT DISTINCT src AS node FROM e), (VALUES {wvals}) "
+        "t(w))",
+    ]
+    for s in range(1, steps + 1):
+        ctes.append(
+            f"w{s} AS MATERIALIZED ("
+            f"SELECT walk_id, dst AS node FROM ("
+            f"SELECT f.walk_id, e.dst, ROW_NUMBER() OVER ("
+            f"PARTITION BY f.walk_id "
+            f"ORDER BY md5(f.walk_id || ':{s}:' || e.dst), e.dst) AS rn "
+            f"FROM w{s - 1} f JOIN e ON e.src = f.node) WHERE rn = 1)")
+    unions = " UNION ALL ".join(
+        f"SELECT walk_id, CAST({s} AS BIGINT) AS step, node FROM w{s}"
+        for s in range(0, steps + 1))
+    return "WITH " + ",\n ".join(ctes) + " " + unions
 
 
 def _kcore_sql(cd: str, k: int = 3, rounds: int = 12) -> str:
@@ -861,6 +897,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_adamic_adar": _kg_adamic_adar,                   # SQL-checkable
         "kg_bfs_depth": _kg_bfs_depth,                       # SQL-checkable
         "kg_pred_transitions": _kg_pred_transitions,        # SQL-checkable
+        # deterministic random-walk corpus (late round 4, rides the r05
+        # rotation; contract-test + local-sweep evidence this round)
+        "kg_random_walks": _kg_random_walks,                # SQL-checkable
         "pii_scrub": _pii_scrub,                             # SQL-checkable
         "pii_type_counts": _pii_type_counts,                # SQL-checkable
         "source_keep_rates": _source_keep_rates,             # SQL-checkable
@@ -1507,6 +1546,7 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         "kg_fastrp": _fastrp_sql(cd),
         "kg_weighted_pagerank": _weighted_pagerank_sql(cd),
         "kg_bfs_depth": _bfs_sql(cd),
+        "kg_random_walks": _random_walks_sql(cd),
         # 2-hop predicate transitions; the NOT(...) term enforces Cypher
         # relationship uniqueness (a self-loop row must not join itself —
         # the edge table is distinct triples, so row identity == triple

@@ -1622,3 +1622,130 @@ def component_sizes(components: rd.Dataset) -> rd.Dataset:
     return reduce_blocks(
         comp_counts.map_batches(partial_size, batch_format="pyarrow"),
         ["size"], _sum_c_per("size", "n_components"))
+
+
+def random_walks(edges: rd.Dataset, walks_per_node: int = 2,
+                 steps: int = 3) -> rd.Dataset:
+    """Deterministic random-walk generation (the GDS ``gds.randomWalk`` /
+    node2vec corpus step): ``walks_per_node`` walks of up to ``steps``
+    hops from every node with out-edges, over the DIRECTED pred-collapsed
+    distinct pair set (self-loops dropped — a hash-random walk would orbit
+    them). The "random" choice is a hash argmin, so the walk corpus is
+    reproducible and oracle-checkable: from node u at step s of walk w,
+    next = the out-neighbor v minimizing ``md5(walk_id:s:v)`` (ties by v;
+    md5 hex compares identically as ASCII in Python and DuckDB). A walk
+    ends early at a node with no out-edges.
+
+    Output: (walk_id, step, node) — walk_id = start || '#' || w, step 0
+    is the start node. Distributed shape: adjacency is built once
+    (per-batch pair dedup, one src exchange, block-local distinct) and
+    re-exchanged with the frontier each round (the bfs_depth tag-union
+    pattern); per-round work is one exchange + an in-block merge whose
+    candidate fan-out is frontier × out-degree — at web scale bound the
+    per-node out-degree (top-D by hash) before walking; the hash argmin
+    is insensitive to which D survive as long as both sides agree.
+    """
+    def pair_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"src": pa.array([], pa.string()),
+                             "dst": pa.array([], pa.string())})
+        t = pa.table({"src": b.column("subj"), "dst": b.column("obj")})
+        t = t.filter(pc.invert(pc.equal(t.column("src"), t.column("dst"))))
+        return t.group_by(["src", "dst"]).aggregate([])
+
+    def pair_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"src": pd.Series(dtype="object"),
+                                 "dst": pd.Series(dtype="object")})
+        return df.drop_duplicates(["src", "dst"]).reset_index(drop=True)
+
+    pairs = reduce_blocks(
+        edges.map_batches(pair_partial, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["src"], pair_block, batch_format="pandas").materialize()
+
+    out_empty = pa.table({"walk_id": pa.array([], pa.string()),
+                          "step": pa.array([], pa.int64()),
+                          "node": pa.array([], pa.string())})
+    if pairs.count() == 0:
+        return rd.from_arrow(out_empty)
+
+    def start_block(b: pa.Table) -> pa.Table:
+        # whole-block reduce after the src exchange: block-local distinct
+        # src IS globally distinct, and expansion happens in the same task
+        # (a separate map_batches could re-batch and split a src group)
+        if b.num_rows == 0:
+            return pa.table({"walk_id": pa.array([], pa.string()),
+                             "node": pa.array([], pa.string())})
+        srcs = pa.table({"s": b.column("src")}).group_by("s").aggregate([])
+        s = srcs.column("s").to_pylist()
+        wid = [f"{n}#{w}" for n in s for w in range(walks_per_node)]
+        node = [n for n in s for _ in range(walks_per_node)]
+        return pa.table({"walk_id": pa.array(wid, pa.string()),
+                         "node": pa.array(node, pa.string())})
+
+    frontier = reduce_blocks(
+        edges.map_batches(pair_partial, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["src"], start_block, batch_format="pyarrow",
+        coalesce_rows=None).materialize()
+
+    def fr_out(b: pa.Table, step: int) -> pa.Table:
+        return pa.table({"walk_id": b.column("walk_id"),
+                         "step": pa.array(
+                             np.full(b.num_rows, step, np.int64)),
+                         "node": b.column("node")})
+
+    outputs = [frontier.map_batches(
+        lambda b: fr_out(b, 0), batch_format="pyarrow").materialize()]
+
+    def as_adj(b: pa.Table) -> pa.Table:
+        return pa.table({"key": b.column("src"), "dst": b.column("dst"),
+                         "walk_id": pa.nulls(b.num_rows, pa.string())})
+
+    def as_fr(b: pa.Table) -> pa.Table:
+        return pa.table({"key": b.column("node"),
+                         "dst": pa.nulls(b.num_rows, pa.string()),
+                         "walk_id": b.column("walk_id")})
+
+    import hashlib
+
+    def make_step(s: int):
+        def step_block(df: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"walk_id": pd.Series(dtype="object"),
+                                  "node": pd.Series(dtype="object")})
+            if df.empty:
+                return empty
+            adj = df[df["walk_id"].isna()][["key", "dst"]]
+            fr = df[df["walk_id"].notna()][["key", "walk_id"]]
+            if adj.empty or fr.empty:
+                return empty
+            m = fr.merge(adj, on="key")
+            if m.empty:
+                return empty
+            wid = m["walk_id"].to_numpy()
+            dst = m["dst"].to_numpy()
+            h = [hashlib.md5(f"{w}:{s}:{d}".encode()).hexdigest()
+                 for w, d in zip(wid, dst)]
+            m = m.assign(h=h).sort_values(["walk_id", "h", "dst"],
+                                          kind="mergesort")
+            pick = m[~m.duplicated("walk_id")]
+            return pd.DataFrame({"walk_id": pick["walk_id"].to_numpy(),
+                                 "node": pick["dst"].to_numpy()})
+        return step_block
+
+    for s in range(1, steps + 1):
+        mixed = pairs.map_batches(as_adj, batch_format="pyarrow").union(
+            frontier.map_batches(as_fr, batch_format="pyarrow"))
+        frontier = reduce_blocks(mixed, ["key"], make_step(s),
+                                 batch_format="pandas").materialize()
+        if frontier.count() == 0:
+            break
+        outputs.append(frontier.map_batches(
+            lambda b, _s=s: fr_out(b, _s), batch_format="pyarrow")
+            .materialize())
+
+    out = outputs[0]
+    for part in outputs[1:]:
+        out = out.union(part)
+    return out

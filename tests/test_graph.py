@@ -473,3 +473,48 @@ def test_weighted_pagerank_integer_exact(ray_session):
            for row in pagerank(rd.from_arrow(t).repartition(2),
                                iters=1).take_all()}
     assert skew["y"] != uni["y"]  # uniform splits 50/50
+
+
+def test_random_walks_matches_simulation(ray_session):
+    """Engine walks == a single-process simulation with the same hash
+    argmin, on a graph with a hub, a dead end, a 2-cycle and a self-loop
+    (the self-loop edge is dropped; the node still walks via its other
+    out-edges)."""
+    import hashlib
+
+    from neo4j_tkapi_ray.ops.graph import random_walks
+
+    edges = [
+        ("h", "P", "a"), ("h", "P", "b"), ("h", "P", "c"), ("h", "Q", "a"),
+        ("a", "P", "b"),                     # a -> b -> (dead end)
+        ("c", "P", "h"),                     # 2-cycle with h
+        ("s", "P", "s"), ("s", "P", "h"),    # self-loop dropped
+    ]
+    t = pa.table({"subj": [e[0] for e in edges],
+                  "pred": [e[1] for e in edges],
+                  "obj": [e[2] for e in edges]})
+    W, L = 2, 3
+    got = {(r["walk_id"], r["step"]): r["node"]
+           for r in random_walks(rd.from_arrow(t).repartition(4),
+                                 walks_per_node=W, steps=L).take_all()}
+
+    adj = {}
+    for s, _, d in edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+    want = {}
+    for start in sorted(adj):
+        for w in range(W):
+            wid = f"{start}#{w}"
+            cur = start
+            want[(wid, 0)] = cur
+            for step in range(1, L + 1):
+                outs = adj.get(cur)
+                if not outs:
+                    break
+                cur = min(outs, key=lambda v: (
+                    hashlib.md5(f"{wid}:{step}:{v}".encode()).hexdigest(),
+                    v))
+                want[(wid, step)] = cur
+    assert got == want
+    assert ("a#0", 1) in got and ("a#0", 2) not in got  # dead end at b
