@@ -965,6 +965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": sketch.hll_distinct_users,     # SQL-checkable
         # C4-style line-level exact dedup (late round 4, same rotation note)
         "line_dedup": dedup.line_dedup,                      # SQL-checkable
+        "source_length_moments": sampling.source_length_moments,  # SQL-checkable
         "dedup_exact": _dedup_exact,                         # SQL-checkable
         "token_counts": textstats.token_counts,              # SQL-checkable
         "bpe_token_counts": textstats.bpe_token_counts,      # SQL-checkable
@@ -2455,6 +2456,30 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         # (same md5-hex bucket/rho derivation, exact int64 denominator)
         "hll_registers": _hll_oracle_sql("registers"),
         "hll_distinct_users": _hll_oracle_sql("estimate"),
+        # per-source length moments: exact integer (n, Σx, Σx²) partials;
+        # float mean/var/std derived once per source in the identical
+        # association on both sides (GREATEST clamps the -1ulp var case)
+        "source_length_moments": """
+            WITH s AS (
+                SELECT source,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(n_chars) AS BIGINT) AS sx,
+                       CAST(SUM(CAST(n_chars AS BIGINT)
+                                * CAST(n_chars AS BIGINT)) AS BIGINT) AS sx2
+                FROM documents GROUP BY source)
+            SELECT source, n AS n_docs,
+                   ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 5)
+                       AS mean_len,
+                   ROUND(GREATEST((CAST(sx2 AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                     / CAST(n AS DOUBLE))
+                                  / CAST(n AS DOUBLE), 0.0), 5) AS var_len,
+                   ROUND(sqrt(GREATEST((CAST(sx2 AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                     / CAST(n AS DOUBLE))
+                                  / CAST(n AS DOUBLE), 0.0)), 5) AS std_len
+            FROM s
+        """,
         # line dedup: oracle groups the raw LINE TEXT where the engine
         # groups its 128-bit hash (independent equality, the dup_rate
         # pattern); empty lines always survive on both sides

@@ -1031,3 +1031,63 @@ def curriculum_buckets(sf_dir: str, k: int = 10) -> rd.Dataset:
 
     return ranks.map_batches(bucketize, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+def source_length_moments(sf_dir: str) -> rd.Dataset:
+    """Per-source document-length moments (n, mean, population variance,
+    std) — the length-distribution table a curation run reads before
+    setting min/max-length filters per source. Exact integer partials
+    (n, Σx, Σx²) make the distributed sums order-independent; the float
+    mean/var/std are computed ONCE from those three scalars per source in
+    the identical left-to-right association as the SQL oracle, then
+    rounded half-away 5dp — the integer-micro-unit trick, applied to
+    second moments.
+
+    Scale shape: column-pruned scan of (source, n_chars) only (text never
+    read); per-batch Arrow group-sums → ONE tiny source exchange. Σx² for
+    a source is bounded by n·max_len²; the merge guards the int64 bound
+    loudly (at ~1e12 docs × 100 KB move the accumulator to 128-bit —
+    same seam as weighted_pagerank's rank·w bound).
+    """
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = pc.cast(b.column("n_chars"), pa.int64())
+        t = pa.table({"source": b.column("source"),
+                      "n": pa.array(np.ones(b.num_rows, np.int64)),
+                      "sx": x,
+                      "sx2": pc.multiply_checked(x, x)})
+        g = t.group_by(["source"]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sx2", "sum")])
+        return g.rename_columns(["source", "n", "sx", "sx2"])
+
+    partials = docs.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"source": pd.Series(dtype="object"),
+                              "n_docs": pd.Series(dtype="int64"),
+                              "mean_len": pd.Series(dtype="float64"),
+                              "var_len": pd.Series(dtype="float64"),
+                              "std_len": pd.Series(dtype="float64")})
+        if df.empty:
+            return empty
+        g = df.groupby("source", sort=False)[["n", "sx", "sx2"]].sum()
+        if (g["sx2"].to_numpy() > (1 << 62)).any():
+            raise OverflowError("sum of squared lengths near int64 bound — "
+                                "move the sx2 accumulator to 128-bit")
+        n = g["n"].to_numpy().astype("float64")
+        sx = g["sx"].to_numpy().astype("float64")
+        sx2 = g["sx2"].to_numpy().astype("float64")
+        mean = sx / n
+        var = np.maximum((sx2 - sx * sx / n) / n, 0.0)
+        std = np.sqrt(var)
+        r5 = lambda a: np.floor(a * 1e5 + 0.5) / 1e5
+        return pd.DataFrame({"source": g.index.to_numpy(),
+                             "n_docs": g["n"].to_numpy().astype("int64"),
+                             "mean_len": r5(mean), "var_len": r5(var),
+                             "std_len": r5(std)})
+
+    return reduce_blocks(partials, ["source"], merge, batch_format="pandas",
+                         coalesce_rows=None)

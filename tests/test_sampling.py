@@ -465,3 +465,28 @@ def test_curriculum_buckets_ntile(ray_session, tmp_path):
     out2 = (curriculum_buckets(str(tmp_path), k=10).to_pandas()
             .sort_values("rank"))
     assert out2["bucket"].tolist() == list(range(1, 8))
+
+
+def test_source_length_moments_planted(ray_session, tmp_path):
+    """Hand-computable moments incl. a single-doc source (var 0) and the
+    rounding rule."""
+    import numpy as np
+    import pandas as pd
+
+    from neo4j_tkapi_ray.ops.sampling import source_length_moments
+
+    rows = [
+        {"doc_id": 0, "source": "A", "n_chars": 10},
+        {"doc_id": 1, "source": "A", "n_chars": 20},
+        {"doc_id": 2, "source": "A", "n_chars": 40},
+        {"doc_id": 3, "source": "B", "n_chars": 7},
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    out = (source_length_moments(str(tmp_path)).to_pandas()
+           .set_index("source").sort_index())
+    # A: mean 70/3, var = (2100 - 70*70/3)/3, std = sqrt(var)
+    mean = 70.0 / 3.0
+    var = (2100.0 - 70.0 * 70.0 / 3.0) / 3.0
+    r5 = lambda v: np.floor(v * 1e5 + 0.5) / 1e5
+    assert out.loc["A"].tolist() == [3, r5(mean), r5(var), r5(var ** 0.5)]
+    assert out.loc["B"].tolist() == [1, 7.0, 0.0, 0.0]
