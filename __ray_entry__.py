@@ -966,6 +966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # C4-style line-level exact dedup (late round 4, same rotation note)
         "line_dedup": dedup.line_dedup,                      # SQL-checkable
         "source_length_moments": sampling.source_length_moments,  # SQL-checkable
+        "contamination_overlap": sampling.contamination_overlap,  # SQL-checkable
         "dedup_exact": _dedup_exact,                         # SQL-checkable
         "token_counts": textstats.token_counts,              # SQL-checkable
         "bpe_token_counts": textstats.bpe_token_counts,      # SQL-checkable
@@ -2456,6 +2457,52 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         # (same md5-hex bucket/rho derivation, exact int64 denominator)
         "hll_registers": _hll_oracle_sql("registers"),
         "hll_distinct_users": _hll_oracle_sql("estimate"),
+        # n-gram-overlap decontamination: snippet derivation identical to
+        # decontaminate's; tokenize/bigram kernel identical to doc_novelty's
+        "contamination_overlap": """
+            WITH snip AS (
+                SELECT DISTINCT substr(text, 41, 30) AS s FROM documents
+                WHERE doc_id % 97 = 0 AND length(text) >= 70
+                ORDER BY s LIMIT 1000),
+            st AS (
+                SELECT ROW_NUMBER() OVER (ORDER BY s) AS sid,
+                       regexp_replace(lower(s), '^\\s+|\\s+$', '', 'g') AS t
+                FROM snip),
+            stoks AS (
+                SELECT sid,
+                       unnest(string_split_regex(t, '\\s+')) AS token,
+                       generate_subscripts(string_split_regex(t, '\\s+'), 1)
+                           AS pos
+                FROM st WHERE t <> ''),
+            sgrams AS (
+                SELECT DISTINCT a.token || ' ' || b.token AS g
+                FROM stoks a JOIN stoks b
+                  ON a.sid = b.sid AND b.pos = a.pos + 1),
+            d AS (
+                SELECT doc_id,
+                       regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g')
+                           AS t
+                FROM documents),
+            toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(t, '\\s+')) AS token,
+                       generate_subscripts(string_split_regex(t, '\\s+'), 1)
+                           AS pos
+                FROM d WHERE t <> ''),
+            grams AS (
+                SELECT DISTINCT a.doc_id, a.token || ' ' || b.token AS g
+                FROM toks a JOIN toks b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+            SELECT grams.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(CASE WHEN sg.g IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hits,
+                   ROUND(CAST(SUM(CASE WHEN sg.g IS NOT NULL THEN 1 ELSE 0
+                                  END) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 5) AS overlap_frac
+            FROM grams LEFT JOIN sgrams sg USING (g)
+            GROUP BY grams.doc_id
+        """,
         # per-source length moments: exact integer (n, Σx, Σx²) partials;
         # float mean/var/std derived once per source in the identical
         # association on both sides (GREATEST clamps the -1ulp var case)

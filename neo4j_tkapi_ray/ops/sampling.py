@@ -1091,3 +1091,86 @@ def source_length_moments(sf_dir: str) -> rd.Dataset:
 
     return reduce_blocks(partials, ["source"], merge, batch_format="pandas",
                          coalesce_rows=None)
+
+
+def contamination_overlap(sf_dir: str, stride: int = 97,
+                          max_snippets: int = 1000) -> rd.Dataset:
+    """N-gram-overlap decontamination score — the graded companion to
+    ``decontaminate``'s boolean substring flag (the GPT-3/PaLM practice:
+    a doc is contaminated when enough of its n-grams appear in the eval
+    set, catching paraphrase-level leaks an exact substring scan misses).
+    Per document: the fraction of its DISTINCT token bigrams that occur
+    in the eval-snippet bigram set.
+
+    Scale shape: MAP-ONLY. The snippet set is small and fixed
+    (benchmark_snippets' capped distributed derivation); its bigram set is
+    built once on the driver (≤ snippets × tokens grams) and broadcast via
+    ``ray.put``; each batch computes per-doc distinct bigrams (a doc lives
+    in one row, so in-batch distinct is globally distinct — the
+    doc_novelty argument) and one vectorized ``pc.is_in`` membership scan.
+    No exchange, nothing corpus-sized leaves the workers.
+
+    Output: (doc_id, n_bigrams, n_hits, overlap_frac[5dp]) for every doc
+    with ≥ 1 bigram (tokenization = the module's shared `_doc_tokens`).
+    """
+    snips = benchmark_snippets(sf_dir, stride=stride,
+                               max_snippets=max_snippets)
+    sgrams: set[str] = set()
+    if snips:
+        # the SAME tokenize/bigram kernel as the doc side (RE2 \s+, not
+        # Python .split() — unicode whitespace classes differ)
+        sb = pa.table({"text": pa.array(snips, pa.string())})
+        sidx, sflat = _doc_tokens(sb)
+        if sflat is not None and len(sflat) >= 2:
+            sflat = (sflat.combine_chunks()
+                     if isinstance(sflat, pa.ChunkedArray) else sflat)
+            sg = pc.binary_join_element_wise(
+                sflat.slice(0, len(sflat) - 1),
+                sflat.slice(1, len(sflat) - 1), " ")
+            sgrams = set(pa.array(sg).filter(
+                pa.array(sidx[:-1] == sidx[1:])).to_pylist())
+    gram_ref = ray.put(pa.array(sorted(sgrams), pa.string()))
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    _empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                       "n_bigrams": pa.array([], pa.int64()),
+                       "n_hits": pa.array([], pa.int64()),
+                       "overlap_frac": pa.array([], pa.float64())})
+
+    def score(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _empty
+        doc_idx, flat = _doc_tokens(b)
+        if flat is None or len(flat) < 2:
+            return _empty
+        flat = (flat.combine_chunks()
+                if isinstance(flat, pa.ChunkedArray) else flat)
+        grams = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1, len(flat) - 1), " ")
+        same_doc = doc_idx[:-1] == doc_idx[1:]
+        grams = grams.filter(pa.array(same_doc))
+        if len(grams) == 0:
+            return _empty
+        gdoc = doc_idx[:-1][same_doc]
+        df = pd.DataFrame({"row": gdoc,
+                           "gram": grams.to_numpy(zero_copy_only=False)})
+        df = df.drop_duplicates()
+        hit = pc.is_in(pa.array(df["gram"].to_numpy(), pa.string()),
+                       value_set=ray.get(gram_ref)).to_numpy(
+            zero_copy_only=False)
+        g = (df.assign(hit=hit.astype("int64"))
+             .groupby("row", sort=False)
+             .agg(n=("gram", "size"), h=("hit", "sum")))
+        doc_ids = pc.cast(b.column("doc_id"), pa.int64()).to_numpy(
+            zero_copy_only=False)[g.index.to_numpy()]
+        n = g["n"].to_numpy().astype("int64")
+        h = g["h"].to_numpy().astype("int64")
+        frac = np.floor(h / n * 1e5 + 0.5) / 1e5
+        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                         "n_bigrams": pa.array(n, pa.int64()),
+                         "n_hits": pa.array(h, pa.int64()),
+                         "overlap_frac": pa.array(frac, pa.float64())})
+
+    return docs.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -490,3 +490,31 @@ def test_source_length_moments_planted(ray_session, tmp_path):
     r5 = lambda v: np.floor(v * 1e5 + 0.5) / 1e5
     assert out.loc["A"].tolist() == [3, r5(mean), r5(var), r5(var ** 0.5)]
     assert out.loc["B"].tolist() == [1, 7.0, 0.0, 0.0]
+
+
+def test_contamination_overlap_planted(ray_session, tmp_path):
+    """Planted eval leak: doc 0 is snippet-source (doc_id % 97 == 0, text
+    >= 70 chars); doc 97 also qualifies; a non-stride doc sharing the
+    snippet's bigrams scores > 0, an unrelated doc scores 0."""
+    import pandas as pd
+
+    from neo4j_tkapi_ray.ops.sampling import contamination_overlap
+
+    base = "x" * 40 + "leak alpha beta gamma delta ss" + "y" * 10
+    rows = [
+        {"doc_id": 0, "text": base},                       # snippet source
+        {"doc_id": 1, "text": "alpha beta gamma unrelated tail words"},
+        {"doc_id": 2, "text": "totally clean text with no overlap"},
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    out = (contamination_overlap(str(tmp_path)).to_pandas()
+           .set_index("doc_id").sort_index())
+    # snippet = base[40:70] = 'leak alpha beta gamma delta ss'
+    # doc 1 grams: {alpha beta, beta gamma, gamma unrelated, ...} — the
+    # first two are snippet grams
+    assert out.loc[1, "n_hits"] == 2
+    assert out.loc[1, "overlap_frac"] > 0
+    assert out.loc[2, "n_hits"] == 0 and out.loc[2, "overlap_frac"] == 0.0
+    # source doc: the snippet's edge tokens glue to the x/y padding, so
+    # exactly the 3 interior grams (alpha beta, beta gamma, gamma delta) hit
+    assert out.loc[0, "n_hits"] == 3
