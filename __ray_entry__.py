@@ -478,6 +478,12 @@ def _kg_random_walks(sf_dir: str):
     return random_walks(_graph_edges_ds(sf_dir), walks_per_node=2, steps=3)
 
 
+def _kg_harmonic_centrality(sf_dir: str):
+    from neo4j_tkapi_ray.ops.graph import harmonic_centrality
+    return harmonic_centrality(_graph_edges_ds(sf_dir), seed_prefix="fr",
+                               max_rounds=6)
+
+
 def _bfs_sql(cd: str, rounds: int = 8) -> str:
     """Unrolled multi-source BFS (ops/graph.bfs_depth contract): depth =
     hops to the nearest 'fr'-prefixed node over the undirected
@@ -506,6 +512,37 @@ def _bfs_sql(cd: str, rounds: int = 8) -> str:
     return ("WITH " + ",\n ".join(ctes)
             + f" SELECT node AS node_id, CAST(depth AS BIGINT) AS depth "
               f"FROM d{rounds}")
+
+
+def _harmonic_sql(cd: str, rounds: int = 6) -> str:
+    """Unrolled seed-pivot harmonic centrality (ops/graph.
+    harmonic_centrality contract): per-(node, seed) BFS depths over the
+    undirected pred-collapsed graph, contributions 1e9 // depth summed as
+    BIGINT (order-independent). Same MATERIALIZED-round discipline as
+    _bfs_sql, with the seed carried through the relaxation."""
+    ctes = [
+        f"g AS ({_graph_edges_select(cd)})",
+        "adj AS MATERIALIZED ("
+        "SELECT DISTINCT subj AS node, obj AS peer FROM g "
+        "UNION SELECT DISTINCT obj, subj FROM g)",
+        "d0 AS MATERIALIZED ("
+        "SELECT node, node AS seed, 0 AS depth "
+        "FROM (SELECT DISTINCT node FROM adj) WHERE node LIKE 'fr%')",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"d{i} AS MATERIALIZED ("
+            f"SELECT node, seed, MIN(depth) AS depth FROM ("
+            f"SELECT node, seed, depth FROM d{i - 1} "
+            f"UNION ALL "
+            f"SELECT a.peer, f.seed, f.depth + 1 FROM d{i - 1} f "
+            f"JOIN adj a ON a.node = f.node WHERE f.depth = {i - 1}) "
+            f"GROUP BY node, seed)")
+    return ("WITH " + ",\n ".join(ctes)
+            + f" SELECT node AS node_id, "
+              f"CAST(COUNT(*) AS BIGINT) AS n_seeds_reached, "
+              f"CAST(SUM(1000000000 // depth) AS BIGINT) AS harmonic_nano "
+              f"FROM d{rounds} WHERE depth >= 1 GROUP BY node")
 
 
 def _random_walks_sql(cd: str, walks: int = 2, steps: int = 3) -> str:
@@ -900,6 +937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic random-walk corpus (late round 4, rides the r05
         # rotation; contract-test + local-sweep evidence this round)
         "kg_random_walks": _kg_random_walks,                # SQL-checkable
+        "kg_harmonic_centrality": _kg_harmonic_centrality,  # SQL-checkable
         "pii_scrub": _pii_scrub,                             # SQL-checkable
         "pii_type_counts": _pii_type_counts,                # SQL-checkable
         "source_keep_rates": _source_keep_rates,             # SQL-checkable
@@ -1549,6 +1587,7 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         "kg_weighted_pagerank": _weighted_pagerank_sql(cd),
         "kg_bfs_depth": _bfs_sql(cd),
         "kg_random_walks": _random_walks_sql(cd),
+        "kg_harmonic_centrality": _harmonic_sql(cd),
         # 2-hop predicate transitions; the NOT(...) term enforces Cypher
         # relationship uniqueness (a self-loop row must not join itself —
         # the edge table is distinct triples, so row identity == triple

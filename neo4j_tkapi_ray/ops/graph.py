@@ -1749,3 +1749,145 @@ def random_walks(edges: rd.Dataset, walks_per_node: int = 2,
     for part in outputs[1:]:
         out = out.union(part)
     return out
+
+
+def harmonic_centrality(edges: rd.Dataset, seed_prefix: str = "fr",
+                        max_rounds: int = 6) -> rd.Dataset:
+    """Seed-pivot harmonic centrality (GDS ``closeness.harmonic`` via the
+    Eppstein–Wang pivot scheme): for every node, Σ over SEED nodes s of
+    1/d(node, s) over the undirected pred-collapsed graph — here with the
+    deterministic pivot set = the ``seed_prefix``-prefixed nodes (the same
+    fractie seeds bfs_depth uses), which is exactly the sampled-pivots
+    approximation a web-scale run uses (all-pairs BFS is O(V·E)).
+
+    Hash-gate exactness: contributions are integer NANO-units
+    ``1e9 // d`` summed in int64 (order-independent — the adamic_adar
+    trick); a node's self-term (d = 0) is excluded, per the standard
+    definition. Unreached (node, seed) pairs contribute nothing.
+
+    Distributed shape: bfs_depth's two-exchanges-per-round discipline with
+    (node, seed) composite labels — per-round state is O(nodes × seeds
+    reached), frontier-only relaxation, early exit on a no-new-pairs
+    round, one int to the driver per round. Output:
+    (node_id, n_seeds_reached, harmonic_nano).
+    """
+    def explode(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.string()),
+                             "peer": pa.array([], pa.string())})
+        t = pa.table({
+            "node": pa.chunked_array([b.column("subj"),
+                                      b.column("obj")]).combine_chunks(),
+            "peer": pa.chunked_array([b.column("obj"),
+                                      b.column("subj")]).combine_chunks()})
+        return t.group_by(["node", "peer"]).aggregate([]).select(
+            ["node", "peer"])
+
+    adj = edges.map_batches(explode, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    out_empty = pa.table({"node_id": pa.array([], pa.string()),
+                          "n_seeds_reached": pa.array([], pa.int64()),
+                          "harmonic_nano": pa.array([], pa.int64())})
+    if adj.count() == 0:
+        return rd.from_arrow(out_empty)
+
+    def seed_rows(b: pa.Table) -> pa.Table:
+        nodes = b.column("node").combine_chunks()
+        sel = pa.table({"node": nodes.filter(
+            pc.starts_with(nodes, seed_prefix))}).group_by(
+            "node").aggregate([])
+        return pa.table({"node": sel.column("node"),
+                         "seed": sel.column("node"),
+                         "depth": pa.array(
+                             np.zeros(sel.num_rows, np.int64), pa.int64())})
+
+    labels = adj.map_batches(seed_rows, batch_format="pyarrow")
+
+    def as_label(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"),
+                         "peer": pa.nulls(b.num_rows, pa.string()),
+                         "seed": b.column("seed"),
+                         "depth": b.column("depth")})
+
+    def as_edge(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"), "peer": b.column("peer"),
+                         "seed": pa.nulls(b.num_rows, pa.string()),
+                         "depth": pa.nulls(b.num_rows, pa.int64())})
+
+    def make_propose(r: int):
+        def propose(df: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"node": pd.Series(dtype="object"),
+                                  "seed": pd.Series(dtype="object"),
+                                  "depth": pd.Series(dtype="int64"),
+                                  "is_old": pd.Series(dtype="int8")})
+            if df.empty:
+                return empty
+            lab = df[df["peer"].isna()]
+            if lab.empty:
+                return empty
+            settled = (lab.groupby(["node", "seed"], sort=False)["depth"]
+                       .min().reset_index())
+            keep = settled.assign(is_old=np.int8(1))
+            frontier = settled[settled["depth"] == r]
+            if frontier.empty:
+                return keep.astype({"depth": "int64"})
+            edges_df = df[df["peer"].notna()][["node", "peer"]]
+            hot = frontier.merge(edges_df, on="node")
+            if hot.empty:
+                return keep.astype({"depth": "int64"})
+            out = pd.DataFrame({"node": hot["peer"].to_numpy(),
+                                "seed": hot["seed"].to_numpy(),
+                                "depth": np.full(len(hot), r + 1, np.int64),
+                                "is_old": np.zeros(len(hot), np.int8)})
+            return pd.concat([out, keep.astype({"depth": "int64"})],
+                             ignore_index=True)
+        return propose
+
+    def min_with_new(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"node": pd.Series(dtype="object"),
+                                 "seed": pd.Series(dtype="object"),
+                                 "depth": pd.Series(dtype="int64"),
+                                 "new": pd.Series(dtype="int64")})
+        g = df.groupby(["node", "seed"], sort=False)
+        nd = g["depth"].min().reset_index()
+        had = df[df["is_old"] == 1][["node", "seed"]].drop_duplicates()
+        m = nd.merge(had.assign(_old=1), on=["node", "seed"], how="left")
+        return pd.DataFrame({"node": m["node"], "seed": m["seed"],
+                             "depth": m["depth"].astype("int64"),
+                             "new": m["_old"].isna().astype("int64")})
+
+    for r in range(max_rounds):
+        mixed = labels.map_batches(as_label, batch_format="pyarrow").union(
+            adj.map_batches(as_edge, batch_format="pyarrow"))
+        proposals = reduce_blocks(mixed, ["node"], make_propose(r),
+                                  batch_format="pandas", coalesce_rows=None)
+        labels = reduce_blocks(proposals, ["node", "seed"], min_with_new,
+                               batch_format="pandas",
+                               coalesce_rows=None).materialize()
+        if int(labels.sum("new") or 0) == 0:
+            break
+        labels = labels.drop_columns(["new"])
+
+    if "new" in labels.schema().names:
+        labels = labels.drop_columns(["new"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"node_id": pd.Series(dtype="object"),
+                                 "n_seeds_reached": pd.Series(dtype="int64"),
+                                 "harmonic_nano": pd.Series(dtype="int64")})
+        pos = df[df["depth"] >= 1].copy()
+        if pos.empty:
+            return pd.DataFrame({"node_id": pd.Series(dtype="object"),
+                                 "n_seeds_reached": pd.Series(dtype="int64"),
+                                 "harmonic_nano": pd.Series(dtype="int64")})
+        pos["c"] = 1_000_000_000 // pos["depth"].to_numpy()
+        g = (pos.groupby("node", sort=False)
+             .agg(n_seeds_reached=("seed", "size"), harmonic_nano=("c", "sum"))
+             .reset_index().rename(columns={"node": "node_id"}))
+        return g.astype({"n_seeds_reached": "int64",
+                         "harmonic_nano": "int64"})
+
+    return reduce_blocks(labels, ["node"], fold, batch_format="pandas",
+                         coalesce_rows=None)

@@ -518,3 +518,29 @@ def test_random_walks_matches_simulation(ray_session):
                 want[(wid, step)] = cur
     assert got == want
     assert ("a#0", 1) in got and ("a#0", 2) not in got  # dead end at b
+
+
+def test_harmonic_centrality_planted(ray_session):
+    """Two seeds on a path: fr1 - a - fr2, plus a pendant b off a and an
+    unreachable pair. Hand-checkable nano-unit sums."""
+    from neo4j_tkapi_ray.ops.graph import harmonic_centrality
+
+    edges = [
+        ("fr1", "P", "a"), ("a", "P", "fr2"), ("a", "P", "b"),
+        ("x", "P", "y"),
+    ]
+    t = pa.table({"subj": [e[0] for e in edges],
+                  "pred": [e[1] for e in edges],
+                  "obj": [e[2] for e in edges]})
+    got = {r["node_id"]: (r["n_seeds_reached"], r["harmonic_nano"])
+           for r in harmonic_centrality(
+               rd.from_arrow(t).repartition(3), seed_prefix="fr",
+               max_rounds=6).take_all()}
+    B = 1_000_000_000
+    assert got == {
+        "a":   (2, B + B),            # d=1 to both seeds
+        "b":   (2, B // 2 + B // 2),  # d=2 to both
+        "fr1": (1, B // 2),           # d=2 to fr2 (self excluded)
+        "fr2": (1, B // 2),
+    }
+    # x, y reach no seed -> absent
