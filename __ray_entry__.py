@@ -1005,6 +1005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": dedup.line_dedup,                      # SQL-checkable
         "source_length_moments": sampling.source_length_moments,  # SQL-checkable
         "contamination_overlap": sampling.contamination_overlap,  # SQL-checkable
+        "cms_token_counts": sketch.cms_token_counts,         # SQL-checkable
         "dedup_exact": _dedup_exact,                         # SQL-checkable
         "token_counts": textstats.token_counts,              # SQL-checkable
         "bpe_token_counts": textstats.bpe_token_counts,      # SQL-checkable
@@ -2496,6 +2497,9 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         # (same md5-hex bucket/rho derivation, exact int64 denominator)
         "hll_registers": _hll_oracle_sql("registers"),
         "hll_distinct_users": _hll_oracle_sql("estimate"),
+        # count-min sketch: oracle rendered from the engine's constants
+        "cms_token_counts": __import__(
+            "neo4j_tkapi_ray.ops.sketch", fromlist=["x"]).cms_sql(),
         # n-gram-overlap decontamination: snippet derivation identical to
         # decontaminate's; tokenize/bigram kernel identical to doc_novelty's
         "contamination_overlap": """

@@ -212,3 +212,151 @@ def hll_sql(table: str = "events", key: str = "user_id",
         FROM agg
     """
     return regs, est
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def _cms_bucket(row: int, token: str) -> int:
+    """Bucket for (row, token): first 4 hex chars of md5('row:token') mod
+    width — string-domain so the DuckDB mirror (strpos arithmetic on the
+    same md5 hex) is identical by construction."""
+    hx = hashlib.md5(f"{row}:{token}".encode()).hexdigest()
+    return int(hx[:4], 16) % CMS_WIDTH
+
+
+def cms_token_counts(sf_dir: str, probe_k: int = 20) -> "pa.Table":
+    """Count-min sketch over token OCCURRENCES, reported as (token,
+    true_count, cms_estimate) for the ``probe_k`` most frequent tokens —
+    the heavy-hitter frequency table a 100-TB run reads from O(d·w)
+    registers instead of a vocabulary-sized exact count (CMS estimates
+    overcount only: estimate ≥ truth, within εN w.h.p.).
+
+    Scale shape: each batch folds its token counts into a LOCAL d×w
+    register array (md5 per DISTINCT token per batch — the sketch insert
+    kernel) and emits ≤ d·w partial rows; one register exchange sums them.
+    The register table (d·w = 2048 rows, corpus-independent) and the
+    probe top-k (≤ k×P partial-top-k rows, the oov_rate discipline) are
+    the ONLY driver-side data. Tokenization is the sampling module's
+    shared kernel, so the oracle's string_split_regex mirror applies.
+    """
+    from .sampling import _doc_tokens
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    _empty_tc = pa.table({"token": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64())})
+
+    def batch_counts(b: pa.Table) -> pa.Table:
+        _, flat = _doc_tokens(b)
+        if flat is None:
+            return _empty_tc
+        g = pa.table({"token": flat}).group_by("token").aggregate(
+            [("token", "count")])
+        return pa.table({"token": g.column("token"),
+                         "c": g.column("token_count").cast(pa.int64())})
+
+    counts = docs.map_batches(batch_counts, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    # --- registers: local d×w fold per batch, one exchange, block sums
+    def reg_partial(b: pa.Table) -> pa.Table:
+        toks = b.column("token").to_pylist()
+        cs = b.column("c").to_numpy(zero_copy_only=False)
+        reg = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+        for t, c in zip(toks, cs):
+            for i in range(CMS_DEPTH):
+                reg[i, _cms_bucket(i, t)] += int(c)
+        rows, buckets = np.nonzero(reg)
+        return pa.table({"row": pa.array(rows.astype(np.int64)),
+                         "bucket": pa.array(buckets.astype(np.int64)),
+                         "s": pa.array(reg[rows, buckets])})
+
+    def reg_sum(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"row": pd.Series(dtype="int64"),
+                                 "bucket": pd.Series(dtype="int64"),
+                                 "s": pd.Series(dtype="int64")})
+        g = (df.groupby(["row", "bucket"], sort=False)["s"].sum()
+             .reset_index())
+        return g.astype({"row": "int64", "bucket": "int64", "s": "int64"})
+
+    registers = reduce_blocks(
+        counts.map_batches(reg_partial, batch_format="pyarrow"),
+        ["row"], reg_sum, batch_format="pandas", coalesce_rows=None)
+
+    # --- exact probe top-k (count desc, token asc): token exchange gives
+    # exact per-token counts in-block; per-block partial top-k bounds the
+    # driver merge at k rows per partition
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"token": pd.Series(dtype="object"),
+                                 "c": pd.Series(dtype="int64")})
+        g = df.groupby("token", sort=False)["c"].sum().reset_index()
+        g = g.sort_values(["c", "token"], ascending=[False, True],
+                          kind="mergesort").head(probe_k)
+        return g.astype({"c": "int64"})
+
+    probe_parts = reduce_blocks(counts, ["token"], block_topk,
+                                batch_format="pandas", coalesce_rows=None)
+    probe = (probe_parts.to_pandas()
+             .sort_values(["c", "token"], ascending=[False, True],
+                          kind="mergesort").head(probe_k))
+
+    # registers are d×w rows, corpus-independent — bounded driver read
+    reg_df = registers.to_pandas()
+    reg = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+    reg[reg_df["row"].to_numpy(), reg_df["bucket"].to_numpy()] = \
+        reg_df["s"].to_numpy()
+
+    est = [int(min(reg[i, _cms_bucket(i, t)] for i in range(CMS_DEPTH)))
+           for t in probe["token"]]
+    return pa.table({"token": pa.array(probe["token"].to_numpy(),
+                                       pa.string()),
+                     "true_count": pa.array(
+                         probe["c"].to_numpy().astype(np.int64)),
+                     "cms_estimate": pa.array(np.array(est, np.int64))})
+
+
+def cms_sql(probe_k: int = 20) -> str:
+    """DuckDB mirror rendered from the same constants: identical
+    md5('row:token') 4-hex-char bucket, register sums, probe top-k and
+    min-over-rows estimate."""
+    hexpos = "(strpos('0123456789abcdef', substr(h, {k}, 1)) - 1)"
+    val4 = " + ".join(f"{hexpos.format(k=k)} * {16 ** (4 - k)}"
+                      for k in range(1, 5))
+    rows_vals = ", ".join(f"({i})" for i in range(CMS_DEPTH))
+    return f"""
+        WITH d AS (
+            SELECT regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g') AS t
+            FROM documents),
+        toks AS (
+            SELECT unnest(string_split_regex(t, '\\s+')) AS token
+            FROM d WHERE t <> ''),
+        tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+               FROM toks GROUP BY token),
+        rows_t(i) AS (VALUES {rows_vals}),
+        hx AS (
+            SELECT r.i, tc.token, tc.c,
+                   md5(CAST(r.i AS VARCHAR) || ':' || tc.token) AS h
+            FROM tc CROSS JOIN rows_t r),
+        bk AS (SELECT i, c, ({val4}) % {CMS_WIDTH} AS b FROM hx),
+        reg AS (SELECT i, b, SUM(c) AS s FROM bk GROUP BY i, b),
+        probe AS (SELECT token, c FROM tc
+                  ORDER BY c DESC, token LIMIT {probe_k}),
+        pb AS (
+            SELECT p.token, p.c, r.i,
+                   md5(CAST(r.i AS VARCHAR) || ':' || p.token) AS h
+            FROM probe p CROSS JOIN rows_t r),
+        pbk AS (SELECT token, c, i, ({val4}) % {CMS_WIDTH} AS b FROM pb)
+        SELECT pbk.token,
+               pbk.c AS true_count,
+               CAST(MIN(reg.s) AS BIGINT) AS cms_estimate
+        FROM pbk JOIN reg ON reg.i = pbk.i AND reg.b = pbk.b
+        GROUP BY pbk.token, pbk.c
+    """

@@ -54,3 +54,22 @@ def test_registers_and_estimate_planted(ray_session, tmp_path):
     v = M - len(expected)
     want = 256.0 * math.log(256.0 / v) if (v > 0 and raw <= 640.0) else raw
     assert e == pytest.approx(math.floor(want * 1e3 + 0.5) / 1e3, abs=0)
+
+
+def test_cms_token_counts_planted(ray_session, tmp_path):
+    """CMS estimates are exact for heavy hitters when the vocabulary is
+    far below the register width, and NEVER undercount (the CMS
+    guarantee). Top-k order is (count desc, token asc)."""
+    import pandas as pd
+
+    from neo4j_tkapi_ray.ops.sketch import cms_token_counts
+
+    rows = [{"doc_id": 0, "text": "aa " * 50 + "bb " * 30 + "cc " * 30},
+            {"doc_id": 1, "text": "bb " * 10 + "dd"}]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    out = cms_token_counts(str(tmp_path), probe_k=3).to_pandas()
+    assert out["token"].tolist() == ["aa", "bb", "cc"]   # 50, 40, 30
+    assert out["true_count"].tolist() == [50, 40, 30]
+    assert (out["cms_estimate"] >= out["true_count"]).all()
+    # 4 distinct tokens in 512 buckets: collisions are absent -> exact
+    assert out["cms_estimate"].tolist() == [50, 40, 30]
