@@ -722,3 +722,40 @@ def test_line_dedup_planted(ray_session, tmp_path):
     assert out.loc[1].tolist() == ["", 1, 1]
     assert out.loc[2].tolist() == ["", 1, 0]
     assert out.loc[3].tolist() == ["\ngamma", 3, 1]
+
+
+def test_jsonl_csv_sources_match_parquet(ray_session, tmp_path):
+    """The JSONL and CSV adapters land on the parquet documents schema
+    byte-for-byte, derive n_chars when absent, prune columns, and feed a
+    real downstream op (dedup_exact keeper rule) identically."""
+    import json
+
+    import pandas as pd
+
+    from neo4j_tkapi_ray.sources.text import read_csv_docs, read_jsonl_docs
+
+    rows = [
+        {"doc_id": 0, "text": "same text", "lang": "en", "source": "A"},
+        {"doc_id": 1, "text": "same text", "lang": "en", "source": "B"},
+        {"doc_id": 2, "text": "unique", "lang": "nl", "source": "A"},
+    ]
+    jl = tmp_path / "docs.jsonl"
+    jl.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    csvp = tmp_path / "docs.csv"
+    pd.DataFrame(rows).to_csv(csvp, index=False)
+    pq = pd.DataFrame(rows).assign(n_chars=[len(r["text"]) for r in rows])
+    pq.to_parquet(tmp_path / "documents.parquet")
+
+    want = pq.sort_values("doc_id").reset_index(drop=True)
+    for reader, path in [(read_jsonl_docs, str(jl)), (read_csv_docs,
+                                                      str(csvp))]:
+        got = (reader(path).to_pandas().sort_values("doc_id")
+               .reset_index(drop=True))
+        assert got[want.columns.tolist()].equals(want)
+        pruned = reader(path, columns=["doc_id", "n_chars"]).to_pandas()
+        assert sorted(pruned.columns) == ["doc_id", "n_chars"]
+
+    # schema-contract errors are loud
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        read_jsonl_docs(str(jl), columns=["nope"]).take_all()
