@@ -484,6 +484,11 @@ def _kg_harmonic_centrality(sf_dir: str):
                                max_rounds=6)
 
 
+def _kg_ego_edges(sf_dir: str):
+    from neo4j_tkapi_ray.ops.graph import ego_edges
+    return ego_edges(_graph_edges_ds(sf_dir), seed_prefix="fr", k=2)
+
+
 def _bfs_sql(cd: str, rounds: int = 8) -> str:
     """Unrolled multi-source BFS (ops/graph.bfs_depth contract): depth =
     hops to the nearest 'fr'-prefixed node over the undirected
@@ -512,6 +517,34 @@ def _bfs_sql(cd: str, rounds: int = 8) -> str:
     return ("WITH " + ",\n ".join(ctes)
             + f" SELECT node AS node_id, CAST(depth AS BIGINT) AS depth "
               f"FROM d{rounds}")
+
+
+def _ego_sql(cd: str, k: int = 2) -> str:
+    """K-hop ego-network edges (ops/graph.ego_edges contract): the BFS
+    round CTEs of _bfs_sql at rounds=k, then both edge endpoints
+    semi-joined against the reached set."""
+    ctes = [
+        f"g AS ({_graph_edges_select(cd)})",
+        "adj AS MATERIALIZED ("
+        "SELECT DISTINCT subj AS node, obj AS peer FROM g "
+        "UNION SELECT DISTINCT obj, subj FROM g)",
+        "d0 AS MATERIALIZED ("
+        "SELECT node, 0 AS depth FROM (SELECT DISTINCT node FROM adj) "
+        "WHERE node LIKE 'fr%')",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"d{i} AS MATERIALIZED ("
+            f"SELECT node, MIN(depth) AS depth FROM ("
+            f"SELECT node, depth FROM d{i - 1} "
+            f"UNION ALL "
+            f"SELECT a.peer, f.depth + 1 FROM d{i - 1} f "
+            f"JOIN adj a ON a.node = f.node WHERE f.depth = {i - 1}) "
+            f"GROUP BY node)")
+    return ("WITH " + ",\n ".join(ctes)
+            + f" SELECT g.subj, g.pred, g.obj FROM g "
+              f"JOIN d{k} a ON a.node = g.subj "
+              f"JOIN d{k} b ON b.node = g.obj")
 
 
 def _harmonic_sql(cd: str, rounds: int = 6) -> str:
@@ -938,6 +971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotation; contract-test + local-sweep evidence this round)
         "kg_random_walks": _kg_random_walks,                # SQL-checkable
         "kg_harmonic_centrality": _kg_harmonic_centrality,  # SQL-checkable
+        "kg_ego_edges": _kg_ego_edges,                      # SQL-checkable
         "pii_scrub": _pii_scrub,                             # SQL-checkable
         "pii_type_counts": _pii_type_counts,                # SQL-checkable
         "source_keep_rates": _source_keep_rates,             # SQL-checkable
@@ -1589,6 +1623,7 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         "kg_bfs_depth": _bfs_sql(cd),
         "kg_random_walks": _random_walks_sql(cd),
         "kg_harmonic_centrality": _harmonic_sql(cd),
+        "kg_ego_edges": _ego_sql(cd),
         # 2-hop predicate transitions; the NOT(...) term enforces Cypher
         # relationship uniqueness (a self-loop row must not join itself —
         # the edge table is distinct triples, so row identity == triple

@@ -1891,3 +1891,65 @@ def harmonic_centrality(edges: rd.Dataset, seed_prefix: str = "fr",
 
     return reduce_blocks(labels, ["node"], fold, batch_format="pandas",
                          coalesce_rows=None)
+
+
+def ego_edges(edges: rd.Dataset, seed_prefix: str = "fr",
+              k: int = 2) -> rd.Dataset:
+    """K-hop ego-network extraction (the GDS subgraph-projection /
+    Cypher ``MATCH (seed)-[*..k]-(n)`` neighborhood): the distinct edge
+    rows whose BOTH endpoints lie within ``k`` undirected hops of a seed
+    node — the "give me the subgraph around the fracties" export every KG
+    consumer asks for before running local analytics.
+
+    Composition, not a new algorithm: reuses ``bfs_depth`` for the
+    reached-node table, then attaches it to the edge stream with TWO
+    tag-union exchange joins (subj side, then obj side) — no broadcast of
+    the node set (an ego at k hops of a hub seed can be most of the
+    graph, so the node table must stream like everything else).
+    Output: (subj, pred, obj).
+    """
+    depths = bfs_depth(edges, seed_prefix=seed_prefix, max_rounds=k)
+
+    def reached(b: pa.Table) -> pa.Table:
+        m = pc.less_equal(b.column("depth"), k)
+        return pa.table({"key": b.column("node_id").filter(m)})
+
+    nodes = depths.map_batches(reached, batch_format="pyarrow")
+
+    def edge_side(col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({"key": b.column(col),
+                             "subj": b.column("subj"),
+                             "pred": b.column("pred"),
+                             "obj": b.column("obj"),
+                             "kind": pa.array(
+                                 np.ones(b.num_rows, np.int8))})
+        return fn
+
+    def node_side(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({"key": b.column("key"),
+                         "subj": pa.nulls(n, pa.string()),
+                         "pred": pa.nulls(n, pa.string()),
+                         "obj": pa.nulls(n, pa.string()),
+                         "kind": pa.array(np.zeros(n, np.int8))})
+
+    def keep_matched(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"subj": pd.Series(dtype="object"),
+                              "pred": pd.Series(dtype="object"),
+                              "obj": pd.Series(dtype="object")})
+        if df.empty:
+            return empty
+        ok = set(df[df["kind"] == 0]["key"].to_numpy())
+        e = df[(df["kind"] == 1) & df["key"].isin(ok)]
+        return e[["subj", "pred", "obj"]].reset_index(drop=True)
+
+    half = reduce_blocks(
+        edges.map_batches(edge_side("subj"), batch_format="pyarrow",
+                          zero_copy_batch=True).union(nodes.map_batches(
+                              node_side, batch_format="pyarrow")),
+        ["key"], keep_matched, batch_format="pandas")
+    return reduce_blocks(
+        half.map_batches(edge_side("obj"), batch_format="pyarrow").union(
+            nodes.map_batches(node_side, batch_format="pyarrow")),
+        ["key"], keep_matched, batch_format="pandas")

@@ -544,3 +544,25 @@ def test_harmonic_centrality_planted(ray_session):
         "fr2": (1, B // 2),
     }
     # x, y reach no seed -> absent
+
+
+def test_ego_edges_planted(ray_session):
+    """k=1 ego of seed fr1 over a path fr1-a-b: keeps only the fr1-a edge
+    (b is at depth 2, so a-b has an out-of-ego endpoint); an unreachable
+    pair is excluded entirely."""
+    from neo4j_tkapi_ray.ops.graph import ego_edges
+
+    edges = [
+        ("fr1", "P", "a"), ("a", "P", "b"), ("x", "P", "y"),
+    ]
+    t = pa.table({"subj": [e[0] for e in edges],
+                  "pred": [e[1] for e in edges],
+                  "obj": [e[2] for e in edges]})
+    got = {(r["subj"], r["pred"], r["obj"])
+           for r in ego_edges(rd.from_arrow(t).repartition(3),
+                              seed_prefix="fr", k=1).take_all()}
+    assert got == {("fr1", "P", "a")}
+    got2 = {(r["subj"], r["pred"], r["obj"])
+            for r in ego_edges(rd.from_arrow(t).repartition(3),
+                               seed_prefix="fr", k=2).take_all()}
+    assert got2 == {("fr1", "P", "a"), ("a", "P", "b")}
