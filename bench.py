@@ -141,10 +141,20 @@ def run_bench() -> dict:
     if os.environ.get("NTR_SKIP_QUERIES") != "1":
         import __ray_entry__ as entry
         entry._graph_edges_ds(SF_DIR).count()
+        from neo4j_tkapi_ray.ops import sketch
+        from neo4j_tkapi_ray.ops.dedup import line_dedup
         qfns.update({
             "kg_pagerank": lambda: entry._kg_pagerank(SF_DIR),
             "kg_triangles": lambda: entry._kg_triangles(SF_DIR),
             "kg_clustering_coeff": lambda: entry._kg_clustering_coeff(SF_DIR),
+            # round-4 third wave: sketches + line dedup + walk generation
+            "hll_distinct_users": lambda: sketch.hll_distinct_users(SF_DIR),
+            "cms_token_counts": lambda: rd.from_arrow(
+                sketch.cms_token_counts(SF_DIR)),
+            "line_dedup": lambda: line_dedup(SF_DIR),
+            "kg_random_walks": lambda: entry._kg_random_walks(SF_DIR),
+            "kg_harmonic_centrality":
+                lambda: entry._kg_harmonic_centrality(SF_DIR),
         })
 
     qtimes = {}
