@@ -1040,6 +1040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_length_moments": sampling.source_length_moments,  # SQL-checkable
         "contamination_overlap": sampling.contamination_overlap,  # SQL-checkable
         "cms_token_counts": sketch.cms_token_counts,         # SQL-checkable
+        "split_assign": sampling.split_assign,               # SQL-checkable
         "dedup_exact": _dedup_exact,                         # SQL-checkable
         "token_counts": textstats.token_counts,              # SQL-checkable
         "bpe_token_counts": textstats.bpe_token_counts,      # SQL-checkable
@@ -2535,6 +2536,21 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         # count-min sketch: oracle rendered from the engine's constants
         "cms_token_counts": __import__(
             "neo4j_tkapi_ray.ops.sketch", fromlist=["x"]).cms_sql(),
+        # train/val/test split: the identical Knuth key mod 100 cutpoints
+        "split_assign": """
+            SELECT split,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+            FROM (
+                SELECT n_chars,
+                       CASE WHEN (CAST(doc_id AS HUGEINT) * 2654435761)
+                                 % 4294967296 % 100 < 98 THEN 'train'
+                            WHEN (CAST(doc_id AS HUGEINT) * 2654435761)
+                                 % 4294967296 % 100 < 99 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM documents)
+            GROUP BY split
+        """,
         # n-gram-overlap decontamination: snippet derivation identical to
         # decontaminate's; tokenize/bigram kernel identical to doc_novelty's
         "contamination_overlap": """

@@ -1174,3 +1174,47 @@ def contamination_overlap(sf_dir: str, stride: int = 97,
 
     return docs.map_batches(score, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def split_assign(sf_dir: str, pct_train: int = 98,
+                 pct_val: int = 1) -> rd.Dataset:
+    """Deterministic train/val/test split assignment — the last step of
+    every training-data pipeline: each doc's split is a pure function of
+    its id (Knuth hash mod 100 against the percentage cut points), so the
+    assignment is reproducible, join-free, and stable under re-runs and
+    corpus growth (a doc never migrates between splits when OTHER docs
+    are added — the property RNG-based splitting lacks).
+
+    MAP-ONLY over the id column; the per-split rollup is one tiny
+    exchange. Output: (split, n_docs, n_chars_total).
+    """
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    cut_val = pct_train + pct_val
+
+    def assign(b: pa.Table) -> pa.Table:
+        h = (_sample_key(b.column("doc_id")) % np.uint64(100)).astype(
+            np.int64)
+        split = np.where(h < pct_train, "train",
+                         np.where(h < cut_val, "val", "test"))
+        t = pa.table({"split": pa.array(split, pa.string()),
+                      "n": pa.array(np.ones(b.num_rows, np.int64)),
+                      "nc": pc.cast(b.column("n_chars"), pa.int64())})
+        g = t.group_by(["split"]).aggregate([("n", "sum"), ("nc", "sum")])
+        return g.rename_columns(["split", "n", "nc"])
+
+    partials = docs.map_batches(assign, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"split": pd.Series(dtype="object"),
+                                 "n_docs": pd.Series(dtype="int64"),
+                                 "n_chars_total": pd.Series(dtype="int64")})
+        g = df.groupby("split", sort=False)[["n", "nc"]].sum().reset_index()
+        return pd.DataFrame({"split": g["split"],
+                             "n_docs": g["n"].astype("int64"),
+                             "n_chars_total": g["nc"].astype("int64")})
+
+    return reduce_blocks(partials, ["split"], merge, batch_format="pandas",
+                         coalesce_rows=None)

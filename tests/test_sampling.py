@@ -518,3 +518,31 @@ def test_contamination_overlap_planted(ray_session, tmp_path):
     # source doc: the snippet's edge tokens glue to the x/y padding, so
     # exactly the 3 interior grams (alpha beta, beta gamma, gamma delta) hit
     assert out.loc[0, "n_hits"] == 3
+
+
+def test_split_assign_planted(ray_session, tmp_path):
+    """Split is a pure function of doc_id (stability under corpus growth)
+    and percentages hold on a large id range."""
+    import numpy as np
+    import pandas as pd
+
+    from neo4j_tkapi_ray.ops.sampling import split_assign
+
+    n = 5000
+    df = pd.DataFrame({"doc_id": np.arange(n),
+                       "n_chars": np.full(n, 10)})
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = split_assign(str(tmp_path)).to_pandas().set_index("split")
+    assert int(out["n_docs"].sum()) == n
+    assert int(out["n_chars_total"].sum()) == 10 * n
+    assert out.loc["train", "n_docs"] > 0.95 * n
+    assert 0 < out.loc["val", "n_docs"] < 0.03 * n
+    assert 0 < out.loc["test", "n_docs"] < 0.03 * n
+
+    # stability: the first half's per-doc assignment is unchanged when
+    # the second half of the corpus is removed
+    df.head(n // 2).to_parquet(tmp_path / "documents.parquet")
+    half = split_assign(str(tmp_path)).to_pandas().set_index("split")
+    key = (np.arange(n // 2).astype(np.uint64) * np.uint64(2654435761)) \
+        % np.uint64(4294967296) % np.uint64(100)
+    assert half.loc["train", "n_docs"] == int((key < 98).sum())
