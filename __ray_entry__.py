@@ -489,6 +489,11 @@ def _kg_ego_edges(sf_dir: str):
     return ego_edges(_graph_edges_ds(sf_dir), seed_prefix="fr", k=2)
 
 
+def _kg_node_strength(sf_dir: str):
+    from neo4j_tkapi_ray.ops.graph import node_strength
+    return node_strength(_graph_edges_ds(sf_dir))
+
+
 def _bfs_sql(cd: str, rounds: int = 8) -> str:
     """Unrolled multi-source BFS (ops/graph.bfs_depth contract): depth =
     hops to the nearest 'fr'-prefixed node over the undirected
@@ -972,6 +977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_random_walks": _kg_random_walks,                # SQL-checkable
         "kg_harmonic_centrality": _kg_harmonic_centrality,  # SQL-checkable
         "kg_ego_edges": _kg_ego_edges,                      # SQL-checkable
+        "kg_node_strength": _kg_node_strength,              # SQL-checkable
         "pii_scrub": _pii_scrub,                             # SQL-checkable
         "pii_type_counts": _pii_type_counts,                # SQL-checkable
         "source_keep_rates": _source_keep_rates,             # SQL-checkable
@@ -1625,6 +1631,18 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         "kg_random_walks": _random_walks_sql(cd),
         "kg_harmonic_centrality": _harmonic_sql(cd),
         "kg_ego_edges": _ego_sql(cd),
+        # weighted degree (GDS degree + relationshipWeightProperty):
+        # self-loop counts once, mirroring kg_degree_distribution
+        "kg_node_strength": f"""
+            WITH g AS ({_graph_edges_select(cd)}),
+                 x AS (SELECT subj AS node, weight FROM g
+                       UNION ALL
+                       SELECT obj, weight FROM g WHERE obj <> subj)
+            SELECT node AS node_id,
+                   CAST(COUNT(*) AS BIGINT) AS degree,
+                   CAST(SUM(weight) AS BIGINT) AS strength
+            FROM x GROUP BY node
+        """,
         # 2-hop predicate transitions; the NOT(...) term enforces Cypher
         # relationship uniqueness (a self-loop row must not join itself —
         # the edge table is distinct triples, so row identity == triple

@@ -1953,3 +1953,51 @@ def ego_edges(edges: rd.Dataset, seed_prefix: str = "fr",
         half.map_batches(edge_side("obj"), batch_format="pyarrow").union(
             nodes.map_batches(node_side, batch_format="pyarrow")),
         ["key"], keep_matched, batch_format="pandas")
+
+
+def node_strength(edges: rd.Dataset) -> rd.Dataset:
+    """(node_id, degree, strength) — weighted degree over the canonical
+    edge table (strength = Σ weight of incident edge rows, the GDS
+    ``degree`` with relationshipWeightProperty): the hub table consumers
+    read when edge multiplicity matters (weight here is the collapsed
+    duplicate-triple count, so strength = incident TRIPLE occurrences
+    while degree = distinct edge rows). Self-loops count once, the same
+    Cypher ``(n)-[r]-()`` semantics as degree_distribution.
+
+    One endpoint explode with within-batch partial sums + one node
+    exchange — identical traffic shape to degree_distribution.
+    """
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([("node", pa.string()), ("c", pa.int64()),
+                              ("w", pa.int64())]).empty_table()
+        mask = pc.invert(pc.equal(b.column("subj"), b.column("obj")))
+        w = pc.cast(b.column("weight"), pa.int64())
+        t = pa.table({
+            "node": pa.chunked_array([
+                b.column("subj"),
+                b.column("obj").filter(mask)]).combine_chunks(),
+            "c": pa.chunked_array([
+                pa.array(np.ones(b.num_rows, np.int64)),
+                pa.array(np.ones(int(pc.sum(mask).as_py() or 0),
+                                 np.int64))]).combine_chunks(),
+            "w": pa.chunked_array([w, w.filter(mask)]).combine_chunks()})
+        g = t.group_by(["node"]).aggregate([("c", "sum"), ("w", "sum")])
+        return pa.table({"node": g.column("node"),
+                         "c": g.column("c_sum").cast(pa.int64()),
+                         "w": g.column("w_sum").cast(pa.int64())})
+
+    def fold(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.schema([("node_id", pa.string()),
+                              ("degree", pa.int64()),
+                              ("strength", pa.int64())]).empty_table()
+        g = block.group_by(["node"]).aggregate([("c", "sum"), ("w", "sum")])
+        return pa.table({"node_id": g.column("node"),
+                         "degree": g.column("c_sum").cast(pa.int64()),
+                         "strength": g.column("w_sum").cast(pa.int64())})
+
+    return reduce_blocks(
+        edges.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["node"], fold)

@@ -566,3 +566,20 @@ def test_ego_edges_planted(ray_session):
             for r in ego_edges(rd.from_arrow(t).repartition(3),
                                seed_prefix="fr", k=2).take_all()}
     assert got2 == {("fr1", "P", "a"), ("a", "P", "b")}
+
+
+def test_node_strength_planted(ray_session):
+    """Weighted degree on a hand graph: parallel-pred edge rows stay
+    distinct rows (degree 2) with their weights summed; a self-loop
+    counts once."""
+    from neo4j_tkapi_ray.ops.graph import node_strength
+
+    t = pa.table({"subj": ["a", "a", "g"],
+                  "pred": ["R1", "R2", "R1"],
+                  "obj":  ["b", "b", "g"],
+                  "weight": pa.array([3, 5, 7], pa.int64()),
+                  "score": pa.array([1.0, 1.0, 1.0], pa.float64())})
+    got = {r["node_id"]: (r["degree"], r["strength"])
+           for r in node_strength(rd.from_arrow(t).repartition(3))
+           .take_all()}
+    assert got == {"a": (2, 8), "b": (2, 8), "g": (1, 7)}
