@@ -135,3 +135,38 @@ def test_finalize_with_registry_edges(ray_session, big_corpus, tmp_path_factory)
     same = vlos[[(s, p, o) not in overlap for s, p, o in
                  zip(vlos.subj, vlos.pred, vlos.obj)]]
     assert (same.weight_p == same.weight_f).all()
+
+
+def test_incremental_append_runs_only_delta(ray_session, big_corpus,
+                                            tmp_path_factory):
+    """The incremental-crawl scenario: after a completed run, NEW page
+    files appear in the input; the next run_kg processes ONLY the new
+    partitions (old manifests skip) and the final edge set equals a
+    from-scratch run over everything."""
+    import shutil
+
+    src = big_corpus["dir"]
+    pages_dir = big_corpus["pages"]
+    files = sorted(os.listdir(pages_dir))
+    assert len(files) >= 2
+    held_out = files[-1]
+
+    # stage 1: corpus minus the held-out shard
+    stage = str(tmp_path_factory.mktemp("delta_pages"))
+    for f in files[:-1]:
+        shutil.copy(os.path.join(pages_dir, f), os.path.join(stage, f))
+    out = str(tmp_path_factory.mktemp("kg_delta"))
+    first = run_kg(stage, src, out, files_per_partition=1, finalize=False)
+    assert first["partitions_run"] == len(files) - 1
+
+    # the "crawler" delivers one more shard
+    shutil.copy(os.path.join(pages_dir, held_out),
+                os.path.join(stage, held_out))
+    second = run_kg(stage, src, out, files_per_partition=1)
+    assert second["partitions_skipped"] == len(files) - 1
+    assert second["partitions_run"] == 1
+
+    # equals the from-scratch run over the full input
+    out_full = str(tmp_path_factory.mktemp("kg_delta_full"))
+    run_kg(pages_dir, src, out_full, files_per_partition=1)
+    assert _edges(out).equals(_edges(out_full))
