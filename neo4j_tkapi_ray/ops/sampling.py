@@ -263,16 +263,21 @@ def benchmark_snippets(sf_dir: str, stride: int = 97, start: int = 40,
 
 
 def decontaminate(sf_dir: str, stride: int = 97,
-                  max_snippets: int = 1000) -> rd.Dataset:
+                  max_snippets: int = 1000,
+                  aho_threshold: int = 5000) -> rd.Dataset:
     """Benchmark decontamination: flag every document whose text contains
     any benchmark snippet (13-gram-overlap-style eval-set removal, done
     here with exact substrings so the oracle is pure SQL).
 
     Scale shape: the snippet set is small by nature (an eval suite);
     it is ``ray.put`` once and every batch scans it with the vectorized
-    ``match_substring`` kernel per snippet. O(snippets) kernel passes per
-    batch; for thousands of snippets swap in one Aho-Corasick pass inside
-    the same actor — the plumbing does not change. The documents table
+    ``match_substring`` kernel per snippet — O(snippets) kernel passes
+    per batch. Above ``aho_threshold`` snippets the per-pattern passes
+    lose to ONE Aho-Corasick automaton pass (O(text) per batch,
+    independent of pattern count): `ops/scan.SnippetScanner`, a CLASS in
+    an actor pool so the automaton is built once per actor in
+    ``__init__``, never per batch. Both paths are exact substring
+    containment — bit-identical outputs, one oracle. The documents table
     streams; nothing is joined or collected.
     """
     snips = benchmark_snippets(sf_dir, stride=stride,
@@ -280,6 +285,17 @@ def decontaminate(sf_dir: str, stride: int = 97,
     snips_ref = ray.put(snips)
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
+
+    if len(snips) > aho_threshold:
+        from .scan import SnippetScanner
+        # leave CPU headroom for read tasks + shuffle aggregators (an
+        # actor pool sized to the whole node stalls the streaming
+        # executor near-idle — the documented engine gotcha)
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        return docs.map_batches(
+            SnippetScanner, fn_constructor_args=(snips_ref,),
+            batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=max(1, min(ncpu - 2, ncpu // 2)))
 
     def scan(b: pa.Table) -> pa.Table:
         s_list = ray.get(snips_ref)

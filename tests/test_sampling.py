@@ -546,3 +546,38 @@ def test_split_assign_planted(ray_session, tmp_path):
     key = (np.arange(n // 2).astype(np.uint64) * np.uint64(2654435761)) \
         % np.uint64(4294967296) % np.uint64(100)
     assert half.loc["train", "n_docs"] == int((key < 98).sum())
+
+
+def test_aho_scanner_matches_kernel_path(ray_session, tmp_path):
+    """The Aho-Corasick actor path and the RE2-kernel path are
+    bit-identical; the automaton handles overlapping patterns, shared
+    prefixes and failure-link suffix hits."""
+    import pandas as pd
+
+    from neo4j_tkapi_ray.ops.scan import AhoAutomaton
+    from neo4j_tkapi_ray.ops.sampling import decontaminate
+
+    # automaton semantics on adversarial patterns
+    auto = AhoAutomaton(["he", "she", "his", "hers", "x"])
+    assert auto.find_any("ushers")          # 'she' via failure links
+    assert auto.find_any("this")            # 'his'
+    assert not auto.find_any("hero"[3:])    # 'o'
+    assert not auto.find_any("hi t er")
+
+    rows = [{"doc_id": i * 97,
+             "text": "x" * 40 + f"snippet-{i:03d} body tail" + "y" * 12}
+            for i in range(6)]
+    # doc 8 carries a full 30-char snippet (snippet = text[40:70] of a
+    # stride doc: 'snippet-002 body tail' + 9 y's)
+    rows += [{"doc_id": 5, "text": "clean document"},
+             {"doc_id": 8,
+              "text": "zz snippet-002 body tail" + "y" * 9 + " zz"}]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+
+    kern = (decontaminate(str(tmp_path)).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    aho = (decontaminate(str(tmp_path), aho_threshold=0).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert kern.equals(aho)
+    assert aho.set_index("doc_id").loc[8, "contaminated"] == 1
+    assert aho.set_index("doc_id").loc[5, "contaminated"] == 0
