@@ -1047,6 +1047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_overlap": sampling.contamination_overlap,  # SQL-checkable
         "cms_token_counts": sketch.cms_token_counts,         # SQL-checkable
         "split_assign": sampling.split_assign,               # SQL-checkable
+        "sparse_topk_pairs": sampling.sparse_topk_pairs,     # SQL-checkable
         "dedup_exact": _dedup_exact,                         # SQL-checkable
         "token_counts": textstats.token_counts,              # SQL-checkable
         "bpe_token_counts": textstats.bpe_token_counts,      # SQL-checkable
@@ -2554,6 +2555,46 @@ def oracle_sql(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
         # count-min sketch: oracle rendered from the engine's constants
         "cms_token_counts": __import__(
             "neo4j_tkapi_ray.ops.sketch", fromlist=["x"]).cms_sql(),
+        # sparse TF-IDF top-k pair join: integer micro-unit idf weights
+        # (floor(ln(n/df)·1e6)) make the pair dot an exact BIGINT sum;
+        # df band [2, 20] mirrors the engine's fan-out prune
+        "sparse_topk_pairs": """
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g')
+                           AS t
+                FROM documents),
+            toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(t, '\\s+')) AS tok,
+                       generate_subscripts(string_split_regex(t, '\\s+'), 1)
+                           AS pos
+                FROM d WHERE t <> ''),
+            grams AS (
+                SELECT a.doc_id, a.tok || ' ' || b.tok AS token
+                FROM toks a JOIN toks b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+            tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM grams GROUP BY doc_id, token),
+            dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+            nd AS (SELECT COUNT(*) AS n FROM documents),
+            w AS (SELECT token,
+                         CAST(floor(ln(CAST(n AS DOUBLE)
+                                       / CAST(df AS DOUBLE)) * 1000000)
+                              AS BIGINT) AS wm
+                  FROM dfq, nd
+                  WHERE df BETWEEN 2 AND 20),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       SUM(a.tf * b.tf * (w.wm * w.wm)) AS dot
+                FROM tf a
+                JOIN tf b ON a.token = b.token AND a.doc_id < b.doc_id
+                JOIN w ON w.token = a.token
+                WHERE w.wm > 0
+                GROUP BY a.doc_id, b.doc_id)
+            SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot_micro2
+            FROM pairs ORDER BY dot DESC, doc_a, doc_b LIMIT 10
+        """,
         # train/val/test split: the identical Knuth key mod 100 cutpoints
         "split_assign": """
             SELECT split,

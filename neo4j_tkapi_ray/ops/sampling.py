@@ -1234,3 +1234,134 @@ def split_assign(sf_dir: str, pct_train: int = 98,
 
     return reduce_blocks(partials, ["split"], merge, batch_format="pandas",
                          coalesce_rows=None)
+
+
+def sparse_topk_pairs(sf_dir: str, k: int = 10, min_df: int = 2,
+                      max_df: int = 20) -> rd.Dataset:
+    """Global top-k most similar document PAIRS by sparse TF-IDF dot
+    product over token BIGRAMS — the inverted-index similarity join that
+    complements the dense-embedding ANN family (`ops/ann`): near-dup and
+    same-template detection on lexical evidence, no embeddings needed.
+    Bigrams, not unigrams, are the term space (the module's shared gram
+    kernel): the synthetic corpus's unigram vocabulary is tiny and dense
+    (every token in ≥25 docs), while bigrams have the df spread a real
+    inverted index sees.
+
+    Exactness: token weights are integer micro-units
+    (``idf_micro = floor(ln(n_docs/df) · 1e6)``), so a pair's score
+    ``Σ tf_a·tf_b·idf_micro²`` is an exact int64 sum — order-independent
+    across partitions (the engine's integer-micro-unit discipline). The
+    ``min_df ≤ df ≤ max_df`` band is the standard inverted-index prune:
+    df=1 tokens can't create pairs; high-df (stopword-ish) tokens are
+    dropped BEFORE pair generation, bounding per-token fan-out at
+    max_df² — without the cap one hot token generates O(n_docs²) pairs,
+    the classic similarity-join blowup.
+
+    Distributed shape: postings (token, doc, tf) from per-batch Arrow
+    partials → ONE token exchange (df exact per block, band filter +
+    pair partials generated in-block, pre-combined per (a, b)) → ONE
+    pair exchange summing partials with per-block partial top-k → a
+    k×P-bounded driver merge. n_docs is the only driver scalar.
+    """
+    import math
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    _tf_empty = pa.table({"token": pa.array([], pa.string()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "tf": pa.array([], pa.int64())})
+
+    def postings(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _tf_empty
+        doc_idx, flat = _doc_tokens(b)
+        if flat is None or len(flat) < 2:
+            return _tf_empty
+        flat = (flat.combine_chunks()
+                if isinstance(flat, pa.ChunkedArray) else flat)
+        grams = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1, len(flat) - 1), " ")
+        same_doc = doc_idx[:-1] == doc_idx[1:]
+        grams = grams.filter(pa.array(same_doc))
+        if len(grams) == 0:
+            return _tf_empty
+        ids = pc.cast(b.column("doc_id"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        t = pa.table({"token": grams,
+                      "doc_id": pa.array(ids[doc_idx[:-1][same_doc]],
+                                         pa.int64())})
+        g = t.group_by(["token", "doc_id"]).aggregate([("doc_id", "count")])
+        return pa.table({"token": g.column("token"),
+                         "doc_id": g.column("doc_id"),
+                         "tf": g.column("doc_id_count").cast(pa.int64())})
+
+    posts = docs.map_batches(postings, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    _pair_empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                "b": pd.Series(dtype="int64"),
+                                "s": pd.Series(dtype="int64")})
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _pair_empty
+        # exact df per token (all of a token's rows are in this block)
+        g = df.groupby("token", sort=False)
+        dfreq = g["doc_id"].transform("size")
+        band = df[(dfreq >= min_df) & (dfreq <= max_df)]
+        if band.empty:
+            return _pair_empty
+        out = []
+        for token, grp in band.groupby("token", sort=False):
+            dfc = len(grp)
+            w = int(math.floor(math.log(float(n_docs) / float(dfc)) * 1e6))
+            if w <= 0:
+                continue
+            ids = grp["doc_id"].to_numpy()
+            tfs = grp["tf"].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids, tfs = ids[order], tfs[order]
+            ai, bi = np.triu_indices(len(ids), k=1)
+            if len(ai) == 0:
+                continue
+            s = tfs[ai] * tfs[bi] * (w * w)
+            if (np.abs(s) > (1 << 61)).any():
+                raise OverflowError("pair partial near int64 bound")
+            out.append(pd.DataFrame({"a": ids[ai], "b": ids[bi], "s": s}))
+        if not out:
+            return _pair_empty
+        allp = pd.concat(out, ignore_index=True)
+        # pre-combine per (a, b) before the pair exchange
+        return (allp.groupby(["a", "b"], sort=False)["s"].sum()
+                .reset_index().astype({"a": "int64", "b": "int64",
+                                       "s": "int64"}))
+
+    partials = reduce_blocks(posts, ["token"], pair_partials,
+                             batch_format="pandas")
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _pair_empty.rename(columns={"a": "doc_a", "b": "doc_b",
+                                               "s": "dot_micro2"})
+        g = df.groupby(["a", "b"], sort=False)["s"].sum().reset_index()
+        g = g.sort_values(["s", "a", "b"], ascending=[False, True, True],
+                          kind="mergesort").head(k)
+        return pd.DataFrame({"doc_a": g["a"].astype("int64"),
+                             "doc_b": g["b"].astype("int64"),
+                             "dot_micro2": g["s"].astype("int64")})
+
+    parts = reduce_blocks(partials, ["a", "b"], block_topk,
+                          batch_format="pandas", coalesce_rows=None)
+    mdf = parts.to_pandas()
+    if mdf.empty:
+        return rd.from_arrow(
+            pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "dot_micro2": pa.array([], pa.int64())}))
+    merged = (mdf.sort_values(["dot_micro2", "doc_a", "doc_b"],
+                              ascending=[False, True, True],
+                              kind="mergesort")
+              .head(k).reset_index(drop=True))
+    return rd.from_pandas(merged)

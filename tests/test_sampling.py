@@ -581,3 +581,32 @@ def test_aho_scanner_matches_kernel_path(ray_session, tmp_path):
     assert kern.equals(aho)
     assert aho.set_index("doc_id").loc[8, "contaminated"] == 1
     assert aho.set_index("doc_id").loc[5, "contaminated"] == 0
+
+
+def test_sparse_topk_pairs_planted(ray_session, tmp_path):
+    """Two docs sharing a rare bigram outrank docs sharing nothing; a
+    bigram in every doc is pruned by the df band; tf weighting counts
+    repeats."""
+    import pandas as pd
+
+    from neo4j_tkapi_ray.ops.sampling import sparse_topk_pairs
+
+    common = "filler words"
+    rows = [
+        {"doc_id": 0, "text": f"{common} rare pair rare pair"},
+        {"doc_id": 1, "text": f"{common} rare pair"},
+        {"doc_id": 2, "text": f"{common} other stuff"},
+        {"doc_id": 3, "text": f"{common} more things"},
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    out = sparse_topk_pairs(str(tmp_path), k=5, min_df=2,
+                            max_df=3).to_pandas()
+    # 'filler words' has df=4 > max_df -> pruned; 'rare pair' df=2 links
+    # docs 0 and 1 only (tf 2 in doc 0 via the repeat, 1 in doc 1)
+    assert list(out[["doc_a", "doc_b"]].itertuples(index=False,
+                                                   name=None)) == [(0, 1)]
+    import math
+    w = math.floor(math.log(4 / 2) * 1e6)
+    # shared in-band grams: 'rare pair' (tf 2x1, the doc-0 repeat) and the
+    # boundary gram 'words rare' (tf 1x1, df=2); 'pair rare' is df=1
+    assert int(out["dot_micro2"].iloc[0]) == (2 * 1 + 1 * 1) * w * w
