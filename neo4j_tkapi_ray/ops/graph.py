@@ -50,6 +50,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
 from ..exchange import reduce_blocks
@@ -1625,7 +1626,7 @@ def component_sizes(components: rd.Dataset) -> rd.Dataset:
 
 
 def random_walks(edges: rd.Dataset, walks_per_node: int = 2,
-                 steps: int = 3) -> rd.Dataset:
+                 steps: int = 3, salt_q: int = 4) -> rd.Dataset:
     """Deterministic random-walk generation (the GDS ``gds.randomWalk`` /
     node2vec corpus step): ``walks_per_node`` walks of up to ``steps``
     hops from every node with out-edges, over the DIRECTED pred-collapsed
@@ -1640,10 +1641,19 @@ def random_walks(edges: rd.Dataset, walks_per_node: int = 2,
     is the start node. Distributed shape: adjacency is built once
     (per-batch pair dedup, one src exchange, block-local distinct) and
     re-exchanged with the frontier each round (the bfs_depth tag-union
-    pattern); per-round work is one exchange + an in-block merge whose
-    candidate fan-out is frontier × out-degree — at web scale bound the
-    per-node out-degree (top-D by hash) before walking; the hash argmin
-    is insensitive to which D survive as long as both sides agree.
+    pattern) under a SALTED two-phase argmin: each node's out-list is
+    round-robined over ``salt_q`` shards, each walker visits every shard
+    of its node, phase A picks the per-shard md5-argmin winner and phase B
+    reduces the ≤ salt_q winners per walk — so a hub node's
+    walkers × out-degree candidate fan-out (the step-2 pile-up once
+    frontiers concentrate on head entities) is bounded per reducer instead
+    of landing whole in one partition. All in-block work is vectorized:
+    int-coded join via one dictionary_encode, Arrow ``take`` string
+    gathers, and the md5 argmin via ops/md5vec lane-MD5 (bit-identical to
+    DuckDB ``md5()`` hex ordering, so the derivational SQL oracle is
+    unchanged). At web scale additionally bound the per-node out-degree
+    (top-D by hash) before walking; the hash argmin is insensitive to
+    which D survive as long as both sides agree.
     """
     def pair_partial(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -1671,24 +1681,23 @@ def random_walks(edges: rd.Dataset, walks_per_node: int = 2,
         return rd.from_arrow(out_empty)
 
     def start_block(b: pa.Table) -> pa.Table:
-        # whole-block reduce after the src exchange: block-local distinct
-        # src IS globally distinct, and expansion happens in the same task
-        # (a separate map_batches could re-batch and split a src group)
+        # pairs is already src-exchanged and distinct, so block-local
+        # distinct src IS globally distinct — one walk-id mint per block,
+        # no second edges scan/exchange (batch_size=None = whole blocks)
         if b.num_rows == 0:
             return pa.table({"walk_id": pa.array([], pa.string()),
                              "node": pa.array([], pa.string())})
         srcs = pa.table({"s": b.column("src")}).group_by("s").aggregate([])
-        s = srcs.column("s").to_pylist()
-        wid = [f"{n}#{w}" for n in s for w in range(walks_per_node)]
-        node = [n for n in s for _ in range(walks_per_node)]
-        return pa.table({"walk_id": pa.array(wid, pa.string()),
-                         "node": pa.array(node, pa.string())})
+        s = srcs.column("s").combine_chunks()
+        parts = []
+        for w in range(walks_per_node):
+            wid = pc.binary_join_element_wise(
+                s, pa.array([str(w)] * len(s), pa.string()), "#")
+            parts.append(pa.table({"walk_id": wid, "node": s}))
+        return pa.concat_tables(parts)
 
-    frontier = reduce_blocks(
-        edges.map_batches(pair_partial, batch_format="pyarrow",
-                          zero_copy_batch=True),
-        ["src"], start_block, batch_format="pyarrow",
-        coalesce_rows=None).materialize()
+    frontier = pairs.map_batches(start_block, batch_format="pyarrow",
+                                 batch_size=None).materialize()
 
     def fr_out(b: pa.Table, step: int) -> pa.Table:
         return pa.table({"walk_id": b.column("walk_id"),
@@ -1699,46 +1708,153 @@ def random_walks(edges: rd.Dataset, walks_per_node: int = 2,
     outputs = [frontier.map_batches(
         lambda b: fr_out(b, 0), batch_format="pyarrow").materialize()]
 
+    SALT_Q = max(1, salt_q)  # hub out-lists split across Q salt partitions
+
     def as_adj(b: pa.Table) -> pa.Table:
-        return pa.table({"key": b.column("src"), "dst": b.column("dst"),
+        # block-local round-robin salt: ANY per-row salt assignment is
+        # semantics-preserving (the global argmin = min over per-salt
+        # winners), and round-robin gives perfect balance — a hub node's
+        # out-list never concentrates in one reducer (the "salt hot keys"
+        # rule; step-2 frontiers pile onto hubs and the unsalted reduce
+        # measured a 2.9M-candidate straggler at sf0.1)
+        return pa.table({"key": b.column("src"),
+                         "salt": pa.array(
+                             np.arange(b.num_rows, dtype=np.int32) % SALT_Q),
+                         "dst": b.column("dst"),
                          "walk_id": pa.nulls(b.num_rows, pa.string())})
 
     def as_fr(b: pa.Table) -> pa.Table:
-        return pa.table({"key": b.column("node"),
-                         "dst": pa.nulls(b.num_rows, pa.string()),
-                         "walk_id": b.column("walk_id")})
+        # each walker visits every salt shard of its node
+        parts = []
+        for q in range(SALT_Q):
+            parts.append(pa.table({
+                "key": b.column("node"),
+                "salt": pa.array(np.full(b.num_rows, q, np.int32)),
+                "dst": pa.nulls(b.num_rows, pa.string()),
+                "walk_id": b.column("walk_id")}))
+        return pa.concat_tables(parts)
 
-    import hashlib
+    from neo4j_tkapi_ray.ops.md5vec import md5_order_keys
 
-    def make_step(s: int):
-        def step_block(df: pd.DataFrame) -> pd.DataFrame:
-            empty = pd.DataFrame({"walk_id": pd.Series(dtype="object"),
-                                  "node": pd.Series(dtype="object")})
-            if df.empty:
-                return empty
-            adj = df[df["walk_id"].isna()][["key", "dst"]]
-            fr = df[df["walk_id"].notna()][["key", "walk_id"]]
-            if adj.empty or fr.empty:
-                return empty
-            m = fr.merge(adj, on="key")
-            if m.empty:
-                return empty
-            wid = m["walk_id"].to_numpy()
-            dst = m["dst"].to_numpy()
-            h = [hashlib.md5(f"{w}:{s}:{d}".encode()).hexdigest()
-                 for w, d in zip(wid, dst)]
-            m = m.assign(h=h).sort_values(["walk_id", "h", "dst"],
-                                          kind="mergesort")
-            pick = m[~m.duplicated("walk_id")]
-            return pd.DataFrame({"walk_id": pick["walk_id"].to_numpy(),
-                                 "node": pick["dst"].to_numpy()})
-        return step_block
+    a_empty = pa.table({"walk_id": pa.array([], pa.string()),
+                        "h1": pa.array([], pa.uint64()),
+                        "h2": pa.array([], pa.uint64()),
+                        "node": pa.array([], pa.string())})
 
+    def resolve_md5_ties(order: np.ndarray, first: np.ndarray,
+                         group: np.ndarray, h1: np.ndarray, h2: np.ndarray,
+                         names: pa.Array) -> np.ndarray:
+        """pick = first row of each group under (h1, h2) order; on an
+        (astronomically unlikely) md5 collision at a group boundary,
+        resolve by the name string like the oracle's ORDER BY ..., dst."""
+        pick = order[first]
+        so, sh1, sh2 = group[order], h1[order], h2[order]
+        tied = np.nonzero((so[1:] == so[:-1]) & (sh1[1:] == sh1[:-1])
+                          & (sh2[1:] == sh2[:-1]))[0]
+        if len(tied):
+            first_pos = np.nonzero(first)[0]
+            for p in first_pos:
+                g, a, b2 = so[p], sh1[p], sh2[p]
+                q = p
+                best = order[p]
+                while (q + 1 < len(order) and so[q + 1] == g
+                       and sh1[q + 1] == a and sh2[q + 1] == b2):
+                    q += 1
+                    if (names[order[q]].as_py()
+                            < names[best].as_py()):
+                        best = order[q]
+                pick[np.searchsorted(first_pos, p)] = best
+        return pick
+
+    def make_step_a(s: int):
+        def step_a(b: pa.Table) -> pa.Table:
+            # per-(node, salt) local hash-argmin winner for every walker:
+            # int-coded join via one dictionary_encode over the block's key
+            # column, string gathers via Arrow take (no Python object rows)
+            if b.num_rows == 0:
+                return a_empty
+            codes = pc.dictionary_encode(
+                b.column("key").combine_chunks()).indices.to_numpy()
+            isfr = pc.is_valid(
+                b.column("walk_id")).to_numpy(zero_copy_only=False)
+            a_idx = np.nonzero(~isfr)[0]
+            f_idx = np.nonzero(isfr)[0]
+            if not len(a_idx) or not len(f_idx):
+                return a_empty
+            a_codes = codes[a_idx]
+            f_codes = codes[f_idx]
+            order_a = np.argsort(a_codes, kind="stable")
+            counts = np.bincount(a_codes, minlength=int(codes.max()) + 1)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            cnt_f = counts[f_codes]
+            total = int(cnt_f.sum())
+            if total == 0:
+                return a_empty
+            walk_of = np.repeat(np.arange(len(f_idx)), cnt_f)
+            ends = np.cumsum(cnt_f)
+            pos = (np.arange(total) - np.repeat(ends - cnt_f, cnt_f)
+                   + np.repeat(starts[f_codes], cnt_f))
+            gather_dst = pa.array(a_idx[order_a][pos])
+            dst = pc.take(b.column("dst"), gather_dst).combine_chunks()
+            wid = pc.take(b.column("walk_id"),
+                          pa.array(f_idx[walk_of])).combine_chunks()
+            keys = pc.binary_join_element_wise(wid, dst, f":{s}:")
+            h1, h2 = md5_order_keys(keys)
+            order = np.lexsort((h2, h1, walk_of))
+            sw = walk_of[order]
+            first = np.ones(total, bool)
+            first[1:] = sw[1:] != sw[:-1]
+            pick = resolve_md5_ties(order, first, walk_of, h1, h2, dst)
+            pick_pa = pa.array(pick)
+            return pa.table({"walk_id": pc.take(wid, pick_pa),
+                             "h1": pa.array(h1[pick]),
+                             "h2": pa.array(h2[pick]),
+                             "node": pc.take(dst, pick_pa)})
+        return step_a
+
+    def step_b(b: pa.Table) -> pa.Table:
+        # global argmin per walk over the <= SALT_Q per-salt winners
+        if b.num_rows == 0:
+            return pa.table({"walk_id": pa.array([], pa.string()),
+                             "node": pa.array([], pa.string())})
+        wcodes = pc.dictionary_encode(
+            b.column("walk_id").combine_chunks()).indices.to_numpy()
+        h1 = b.column("h1").to_numpy(zero_copy_only=False)
+        h2 = b.column("h2").to_numpy(zero_copy_only=False)
+        order = np.lexsort((h2, h1, wcodes))
+        sw = wcodes[order]
+        first = np.ones(len(order), bool)
+        first[1:] = sw[1:] != sw[:-1]
+        node_col = b.column("node").combine_chunks()
+        pick = resolve_md5_ties(order, first, wcodes, h1, h2, node_col)
+        pick_pa = pa.array(pick)
+        return pa.table({"walk_id": pc.take(b.column("walk_id"), pick_pa),
+                         "node": pc.take(node_col, pick_pa)})
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
     for s in range(1, steps + 1):
         mixed = pairs.map_batches(as_adj, batch_format="pyarrow").union(
             frontier.map_batches(as_fr, batch_format="pyarrow"))
-        frontier = reduce_blocks(mixed, ["key"], make_step(s),
-                                 batch_format="pandas").materialize()
+        # both union legs are materialized datasets with few fat blocks, so
+        # the pre-exchange coalesce repartition would be pure overhead; the
+        # candidate expansion is the round's real work, so phase A gets a
+        # full-width exchange
+        # half-width phase-A exchange measured best (8.1 s vs 9.2 s at
+        # full width, sf0.1/32cpu): fewer aggregator actors per round while
+        # the salted candidate stream still spreads over 16 reducers
+        winners = reduce_blocks(mixed, ["key", "salt"], make_step_a(s),
+                                num_partitions=max(8, ncpu // 2),
+                                coalesce_rows=None)
+        if SALT_Q == 1:
+            # one salt shard -> the per-(node, salt) winner IS the global
+            # winner; no phase-B exchange needed
+            frontier = winners.map_batches(
+                lambda b: b.select(["walk_id", "node"]),
+                batch_format="pyarrow").materialize()
+        else:
+            frontier = reduce_blocks(winners, ["walk_id"], step_b,
+                                     coalesce_rows=None).materialize()
         if frontier.count() == 0:
             break
         outputs.append(frontier.map_batches(

@@ -583,3 +583,30 @@ def test_node_strength_planted(ray_session):
            for r in node_strength(rd.from_arrow(t).repartition(3))
            .take_all()}
     assert got == {"a": (2, 8), "b": (2, 8), "g": (1, 7)}
+
+
+def test_md5vec_matches_hashlib():
+    """The vectorized lane-MD5 behind the random-walk tie-break must be
+    bit-identical to hashlib.md5 hex ordering across the padding
+    boundaries (55/56, 63/64, 119/120 bytes = 1 vs 2 vs 3 blocks) and on
+    a deterministic fuzz corpus."""
+    import hashlib
+    import random
+
+    from neo4j_tkapi_ray.ops.md5vec import md5_order_keys
+
+    rng = random.Random(42)
+    strs = ["", "a", "x" * 55, "x" * 56, "x" * 63, "x" * 64,
+            "x" * 119, "x" * 120, "x" * 200]
+    strs += ["".join(rng.choice("ab:#01é") for _ in range(rng.randint(0, 150)))
+             for _ in range(500)]
+    k1, k2 = md5_order_keys(pa.array(strs, pa.string()))
+    for s, a, b in zip(strs, k1, k2):
+        d = hashlib.md5(s.encode()).digest()
+        assert int(a) == int.from_bytes(d[:8], "big"), s
+        assert int(b) == int.from_bytes(d[8:], "big"), s
+    # hex-ASCII order == (k1, k2) unsigned order
+    hx = [hashlib.md5(s.encode()).hexdigest() for s in strs]
+    by_hex = sorted(hx)
+    by_key = [h for _, _, h in sorted(zip(map(int, k1), map(int, k2), hx))]
+    assert by_hex == by_key
