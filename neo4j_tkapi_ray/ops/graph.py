@@ -1837,9 +1837,7 @@ def random_walks(edges: rd.Dataset, walks_per_node: int = 2,
         mixed = pairs.map_batches(as_adj, batch_format="pyarrow").union(
             frontier.map_batches(as_fr, batch_format="pyarrow"))
         # both union legs are materialized datasets with few fat blocks, so
-        # the pre-exchange coalesce repartition would be pure overhead; the
-        # candidate expansion is the round's real work, so phase A gets a
-        # full-width exchange
+        # the pre-exchange coalesce repartition would be pure overhead; a
         # half-width phase-A exchange measured best (8.1 s vs 9.2 s at
         # full width, sf0.1/32cpu): fewer aggregator actors per round while
         # the salted candidate stream still spreads over 16 reducers
@@ -1881,11 +1879,14 @@ def harmonic_centrality(edges: rd.Dataset, seed_prefix: str = "fr",
     trick); a node's self-term (d = 0) is excluded, per the standard
     definition. Unreached (node, seed) pairs contribute nothing.
 
-    Distributed shape: bfs_depth's two-exchanges-per-round discipline with
-    (node, seed) composite labels — per-round state is O(nodes × seeds
-    reached), frontier-only relaxation, early exit on a no-new-pairs
-    round, one int to the driver per round. Output:
-    (node_id, n_seeds_reached, harmonic_nano).
+    Distributed shape: a FUSED settle+expand BSP kernel — ONE exchange per
+    round (the former propose/min pair halved into it) over int-coded
+    (node, seed) labels: node ids dictionary-coded per block, seeds carried
+    as int32 pivot codes, group keys packed into one int64 and reduced with
+    numpy lexsort/bincount (no pandas string groupbys). Per-round state is
+    O(nodes × seeds reached), frontier-only relaxation, in-block proposal
+    dedup per (peer, seed), early exit on a no-new-pairs round, one int to
+    the driver per round. Output: (node_id, n_seeds_reached, harmonic_nano).
     """
     def explode(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -1907,106 +1908,212 @@ def harmonic_centrality(edges: rd.Dataset, seed_prefix: str = "fr",
     if adj.count() == 0:
         return rd.from_arrow(out_empty)
 
-    def seed_rows(b: pa.Table) -> pa.Table:
+    # bounded driver collect: the pivot set (the seed_prefix nodes) is the
+    # documented 64-256-pivot Eppstein-Wang approximation set — a constant
+    # of the scheme, not a corpus-proportional quantity — so the seed->int32
+    # coding is built once on the driver and captured by the kernels
+    def seed_partial(b: pa.Table) -> pa.Table:
         nodes = b.column("node").combine_chunks()
-        sel = pa.table({"node": nodes.filter(
-            pc.starts_with(nodes, seed_prefix))}).group_by(
-            "node").aggregate([])
-        return pa.table({"node": sel.column("node"),
-                         "seed": sel.column("node"),
-                         "depth": pa.array(
-                             np.zeros(sel.num_rows, np.int64), pa.int64())})
+        return pa.table({"node": pc.unique(
+            nodes.filter(pc.starts_with(nodes, seed_prefix)))})
 
-    labels = adj.map_batches(seed_rows, batch_format="pyarrow")
+    seeds = sorted({r["node"] for r in adj.map_batches(
+        seed_partial, batch_format="pyarrow").take_all()})
+    if not seeds:
+        return rd.from_arrow(out_empty)
 
-    def as_label(b: pa.Table) -> pa.Table:
-        return pa.table({"node": b.column("node"),
-                         "peer": pa.nulls(b.num_rows, pa.string()),
-                         "seed": b.column("seed"),
-                         "depth": b.column("depth")})
+    # seed i <-> bit i of a K-word uint64 mask (K = ceil(n_seeds/64));
+    # state per node is ONE row: (masks, n_seeds_reached, harmonic_nano)
+    # with the arrival-round accounting folded in as bits first turn on —
+    # the classic multi-source bitset BFS, so per-round state is O(nodes)
+    # mask words instead of O(nodes × seeds) label rows
+    n_seeds = len(seeds)
+    K = (n_seeds + 63) // 64
+    mcols = [f"m{i}" for i in range(K)]
+
+    def popcount64(a: np.ndarray) -> np.ndarray:
+        # SWAR popcount on uint64 lanes
+        a = a - ((a >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        a = ((a & np.uint64(0x3333333333333333))
+             + ((a >> np.uint64(2)) & np.uint64(0x3333333333333333)))
+        a = (a + (a >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        return (a * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+    def state_table(node, masks, reached, nano, new):
+        cols = {"node": node}
+        for i, mc in enumerate(mcols):
+            cols[mc] = pa.array(masks[i], pa.uint64())
+        cols["n_reached"] = pa.array(reached, pa.int64())
+        cols["nano"] = pa.array(nano, pa.int64())
+        cols["new"] = pa.array(new, pa.int64())
+        cols["peer"] = pa.nulls(len(node), pa.string())
+        cols["is_prop"] = pa.array(
+            np.zeros(len(node), np.int8), pa.int8())
+        return pa.table(cols)
+
+    st_empty = state_table(pa.array([], pa.string()),
+                           [np.array([], np.uint64)] * K,
+                           np.array([], np.int64), np.array([], np.int64),
+                           np.array([], np.int64))
+
+    # round 0 delivers each seed its own bit as a depth-0 "arrival" (zero
+    # contribution — the self-term is excluded) so the same fused kernel
+    # sets the bit and expands the first frontier
+    seed_masks = [np.zeros(n_seeds, np.uint64) for _ in range(K)]
+    for i in range(n_seeds):
+        seed_masks[i // 64][i] |= np.uint64(1) << np.uint64(i % 64)
+    init = state_table(pa.array(seeds, pa.string()), seed_masks,
+                       np.zeros(n_seeds, np.int64),
+                       np.zeros(n_seeds, np.int64),
+                       np.zeros(n_seeds, np.int64))
+    init = init.set_column(init.schema.get_field_index("is_prop"),
+                           "is_prop",
+                           pa.array(np.ones(n_seeds, np.int8), pa.int8()))
+    state = rd.from_arrow(init)
 
     def as_edge(b: pa.Table) -> pa.Table:
-        return pa.table({"node": b.column("node"), "peer": b.column("peer"),
-                         "seed": pa.nulls(b.num_rows, pa.string()),
-                         "depth": pa.nulls(b.num_rows, pa.int64())})
+        cols = {"node": b.column("node")}
+        for mc in mcols:
+            cols[mc] = pa.nulls(b.num_rows, pa.uint64())
+        cols["n_reached"] = pa.nulls(b.num_rows, pa.int64())
+        cols["nano"] = pa.nulls(b.num_rows, pa.int64())
+        cols["new"] = pa.nulls(b.num_rows, pa.int64())
+        cols["peer"] = b.column("peer")
+        cols["is_prop"] = pa.nulls(b.num_rows, pa.int8())
+        return pa.table(cols)
 
-    def make_propose(r: int):
-        def propose(df: pd.DataFrame) -> pd.DataFrame:
-            empty = pd.DataFrame({"node": pd.Series(dtype="object"),
-                                  "seed": pd.Series(dtype="object"),
-                                  "depth": pd.Series(dtype="int64"),
-                                  "is_old": pd.Series(dtype="int8")})
-            if df.empty:
-                return empty
-            lab = df[df["peer"].isna()]
-            if lab.empty:
-                return empty
-            settled = (lab.groupby(["node", "seed"], sort=False)["depth"]
-                       .min().reset_index())
-            keep = settled.assign(is_old=np.int8(1))
-            frontier = settled[settled["depth"] == r]
-            if frontier.empty:
-                return keep.astype({"depth": "int64"})
-            edges_df = df[df["peer"].notna()][["node", "peer"]]
-            hot = frontier.merge(edges_df, on="node")
-            if hot.empty:
-                return keep.astype({"depth": "int64"})
-            out = pd.DataFrame({"node": hot["peer"].to_numpy(),
-                                "seed": hot["seed"].to_numpy(),
-                                "depth": np.full(len(hot), r + 1, np.int64),
-                                "is_old": np.zeros(len(hot), np.int8)})
-            return pd.concat([out, keep.astype({"depth": "int64"})],
-                             ignore_index=True)
-        return propose
+    def make_round(r: int, expand: bool):
+        def round_block(b: pa.Table) -> pa.Table:
+            # fused settle+expand, one exchange per BSP round: OR the
+            # incoming proposal masks per node, diff against the carried
+            # state mask, account the newly-set bits at depth r, and send
+            # the new bits to every neighbor (OR-combined per peer in
+            # block, so proposals are <= one row per peer per block)
+            if b.num_rows == 0:
+                return st_empty
+            node_col = b.column("node").combine_chunks()
+            codes = pc.dictionary_encode(node_col).indices.to_numpy()
+            nmax = int(codes.max()) + 1
+            peer_valid = pc.is_valid(
+                b.column("peer")).to_numpy(zero_copy_only=False)
+            isprop = pc.is_valid(
+                b.column("is_prop")).to_numpy(zero_copy_only=False)
+            prop_flag = b.column("is_prop").to_numpy(zero_copy_only=False)
+            st_i = np.nonzero(isprop & (prop_flag == 0))[0]
+            pr_i = np.nonzero(isprop & (prop_flag == 1))[0]
+            adj_i = np.nonzero(peer_valid)[0]
+            if not len(st_i) and not len(pr_i):
+                return st_empty
+            om = [np.zeros(nmax, np.uint64) for _ in range(K)]
+            reached = np.zeros(nmax, np.int64)
+            nano = np.zeros(nmax, np.int64)
+            has_row = np.zeros(nmax, bool)
+            if len(st_i):
+                sc = codes[st_i]
+                has_row[sc] = True
+                st_pa = pa.array(st_i)
+                for i, mc in enumerate(mcols):
+                    om[i][sc] = pc.take(b.column(mc), st_pa) \
+                        .to_numpy(zero_copy_only=False).astype(np.uint64)
+                reached[sc] = pc.take(b.column("n_reached"), st_pa) \
+                    .to_numpy(zero_copy_only=False)
+                nano[sc] = pc.take(b.column("nano"), st_pa) \
+                    .to_numpy(zero_copy_only=False)
+            newbits = [np.zeros(nmax, np.uint64) for _ in range(K)]
+            if len(pr_i):
+                pcodes = codes[pr_i]
+                has_row[pcodes] = True
+                pr_pa = pa.array(pr_i)
+                for i, mc in enumerate(mcols):
+                    pm = pc.take(b.column(mc), pr_pa) \
+                        .to_numpy(zero_copy_only=False).astype(np.uint64)
+                    acc = np.zeros(nmax, np.uint64)
+                    np.bitwise_or.at(acc, pcodes, pm)
+                    newbits[i] = acc & ~om[i]
+            n_new = np.zeros(nmax, np.int64)
+            for i in range(K):
+                n_new += popcount64(newbits[i]).astype(np.int64)
+                om[i] |= newbits[i]
+            if r >= 1:
+                reached += n_new
+                nano += n_new * (1_000_000_000 // r)
+            rows = np.nonzero(has_row)[0]
+            # new-bit count drives the driver's early exit; depth-0 seed
+            # arrivals count as progress so round 0 never terminates early
+            out = state_table(
+                pc.take(node_col,
+                        pa.array(_first_index_per_code(codes, nmax)[rows])),
+                [om[i][rows] for i in range(K)],
+                reached[rows], nano[rows], n_new[rows])
+            frontier = np.zeros(nmax, bool)
+            for i in range(K):
+                frontier |= newbits[i] != 0
+            if not expand or not frontier.any() or not len(adj_i):
+                return out
+            acodes = codes[adj_i]
+            hot = frontier[acodes]
+            if not hot.any():
+                return out
+            hot_adj = adj_i[hot]
+            hot_src = acodes[hot]
+            peer_str = pc.take(b.column("peer"),
+                               pa.array(hot_adj)).combine_chunks()
+            penc = pc.dictionary_encode(peer_str)
+            pidx = penc.indices.to_numpy()
+            pn = len(penc.dictionary)
+            pm_out = []
+            for i in range(K):
+                acc = np.zeros(pn, np.uint64)
+                np.bitwise_or.at(acc, pidx, newbits[i][hot_src])
+                pm_out.append(acc)
+            props = state_table(penc.dictionary,
+                                pm_out, np.zeros(pn, np.int64),
+                                np.zeros(pn, np.int64),
+                                np.zeros(pn, np.int64))
+            props = props.set_column(
+                props.schema.get_field_index("is_prop"), "is_prop",
+                pa.array(np.ones(pn, np.int8), pa.int8()))
+            return pa.concat_tables([out, props])
+        return round_block
 
-    def min_with_new(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame({"node": pd.Series(dtype="object"),
-                                 "seed": pd.Series(dtype="object"),
-                                 "depth": pd.Series(dtype="int64"),
-                                 "new": pd.Series(dtype="int64")})
-        g = df.groupby(["node", "seed"], sort=False)
-        nd = g["depth"].min().reset_index()
-        had = df[df["is_old"] == 1][["node", "seed"]].drop_duplicates()
-        m = nd.merge(had.assign(_old=1), on=["node", "seed"], how="left")
-        return pd.DataFrame({"node": m["node"], "seed": m["seed"],
-                             "depth": m["depth"].astype("int64"),
-                             "new": m["_old"].isna().astype("int64")})
+    # the tagged adjacency is re-exchanged every round (tag-union BSP) but
+    # only TAGGED once — state rows already carry the union schema
+    adj_tagged = adj.map_batches(as_edge, batch_format="pyarrow") \
+        .materialize()
 
-    for r in range(max_rounds):
-        mixed = labels.map_batches(as_label, batch_format="pyarrow").union(
-            adj.map_batches(as_edge, batch_format="pyarrow"))
-        proposals = reduce_blocks(mixed, ["node"], make_propose(r),
-                                  batch_format="pandas", coalesce_rows=None)
-        labels = reduce_blocks(proposals, ["node", "seed"], min_with_new,
-                               batch_format="pandas",
-                               coalesce_rows=None).materialize()
-        if int(labels.sum("new") or 0) == 0:
+    # arrivals in round r have depth r, so depths <= max_rounds need
+    # rounds 0..max_rounds with expansion suppressed on the last
+    prev_rows = -1
+    for r in range(max_rounds + 1):
+        state = reduce_blocks(state.union(adj_tagged), ["node"], make_round(
+            r, expand=(r < max_rounds)),
+            coalesce_rows=None).materialize()
+        rows = state.count()  # metadata on a materialized dataset — free
+        # early-exit gate: a grown row count PROVES new bits landed (a new
+        # row is a first arrival), so the sum("new") aggregation — a full
+        # extra execution per round — only runs once growth stalls
+        if rows == prev_rows and int(state.sum("new") or 0) == 0:
             break
-        labels = labels.drop_columns(["new"])
+        prev_rows = rows
 
-    if "new" in labels.schema().names:
-        labels = labels.drop_columns(["new"])
+    def finish(b: pa.Table) -> pa.Table:
+        m = pc.greater(b.column("n_reached"), 0)
+        t = b.filter(m)
+        return pa.table({"node_id": t.column("node"),
+                         "n_seeds_reached": t.column("n_reached"),
+                         "harmonic_nano": t.column("nano")})
 
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame({"node_id": pd.Series(dtype="object"),
-                                 "n_seeds_reached": pd.Series(dtype="int64"),
-                                 "harmonic_nano": pd.Series(dtype="int64")})
-        pos = df[df["depth"] >= 1].copy()
-        if pos.empty:
-            return pd.DataFrame({"node_id": pd.Series(dtype="object"),
-                                 "n_seeds_reached": pd.Series(dtype="int64"),
-                                 "harmonic_nano": pd.Series(dtype="int64")})
-        pos["c"] = 1_000_000_000 // pos["depth"].to_numpy()
-        g = (pos.groupby("node", sort=False)
-             .agg(n_seeds_reached=("seed", "size"), harmonic_nano=("c", "sum"))
-             .reset_index().rename(columns={"node": "node_id"}))
-        return g.astype({"n_seeds_reached": "int64",
-                         "harmonic_nano": "int64"})
+    # state is already one row per node — no final exchange, just a map
+    return state.map_batches(finish, batch_format="pyarrow")
 
-    return reduce_blocks(labels, ["node"], fold, batch_format="pandas",
-                         coalesce_rows=None)
+
+def _first_index_per_code(codes: np.ndarray, nmax: int) -> np.ndarray:
+    """first row index carrying each dictionary code (for gathering one
+    representative string per code)."""
+    first = np.full(nmax, -1, np.int64)
+    # reversed so earlier rows win
+    first[codes[::-1]] = np.arange(len(codes) - 1, -1, -1)
+    return first
 
 
 def ego_edges(edges: rd.Dataset, seed_prefix: str = "fr",
