@@ -67,22 +67,24 @@ def kg_triples_stream(pages_paths, registry, cfg: Optional[EngineConfig] = None,
     actor-pool hop from parsed docs straight to triple rows.
 
     ``cfg.ray.gazetteer_shards > 1`` switches the speaker gazetteer to the
-    sharded opt-in path (stages/shard_link.py): an extra extract pass
-    collects distinct speaker surfaces, shard-keyed exchanges resolve them
-    against 1/n-sized gazetteer shards, and the link stage runs with the
-    resolved-surface table instead of the broadcast gazetteer. Results are
-    bit-identical (oracle-parity test); the trade is one more pass over
-    the pages — the price a registry too big to broadcast pays."""
+    sharded opt-in path (stages/shard_link.py): the parsed docs are
+    materialized once, a surface-collection pass over them feeds
+    shard-keyed exchanges that resolve distinct speaker names against
+    1/n-sized gazetteer shards, and the link stage reuses the same
+    materialized docs with the resolved-surface table instead of the
+    broadcast gazetteer. Results are bit-identical (oracle-parity test);
+    the trade is pinning parsed docs in plasma (spillable) — the price a
+    registry too big to broadcast pays."""
     cfg = cfg or EngineConfig.default()
     pages = read_pages(pages_paths, lang=lang)
     docs = extract_docs(pages, cfg)
     if cfg.ray.gazetteer_shards > 1:
-        return _link_emit_sharded(pages_paths, docs, registry, cfg, lang)
+        return _link_emit_sharded(docs, registry, cfg)
     return link_emit_docs(docs, _registry_ref(registry, cfg), cfg)
 
 
-def _link_emit_sharded(pages_paths, docs: rd.Dataset, registry,
-                       cfg: EngineConfig, lang: str) -> rd.Dataset:
+def _link_emit_sharded(docs: rd.Dataset, registry,
+                       cfg: EngineConfig) -> rd.Dataset:
     from ..linking import RegistryIndex, precompute_candidate_invariants
     from ..stages.shard_link import speaker_overrides_via_shards
     if isinstance(registry, str):
@@ -90,13 +92,24 @@ def _link_emit_sharded(pages_paths, docs: rd.Dataset, registry,
     if not isinstance(registry, dict):
         raise TypeError("sharded gazetteer needs the registry tables dict "
                         "or a registry dir (the shard split happens here)")
+    # ONE extract pass: the parsed docs are pinned in the object store and
+    # reused by both consumers (surface collection, then link+emit) —
+    # previously each consumer re-ran the full page parse, the dominant
+    # share of the measured ~2.3x sharded overhead. Only the columns both
+    # consumers read are pinned (the canonical text — the widest column —
+    # is dropped; LinkEmitActor and the surface scan read url/warc_ts/
+    # error/doc). Parsed docs are corpus-sized, so this trades plasma/
+    # spill space for a second scan; the right trade exactly when this
+    # path is on (a registry too big to broadcast — the pages re-parse
+    # costs far more than the spill).
+    docs = docs.select_columns(["url", "warc_ts", "error", "doc"]) \
+        .materialize()
     overrides = speaker_overrides_via_shards(docs, registry["persons"], cfg)
     # the finish index skips the surname gazetteer entirely — that is the
     # broadcast-weight win; the resolution table stands in for it
     index = RegistryIndex(registry, build_gazetteer=False)
     precompute_candidate_invariants(index, cfg)
-    docs2 = extract_docs(read_pages(pages_paths, lang=lang), cfg)
-    return link_emit_docs(docs2, ray.put(index), cfg,
+    return link_emit_docs(docs, ray.put(index), cfg,
                           speaker_overrides=overrides)
 
 

@@ -195,26 +195,46 @@ def merge_surface(rows: pd.DataFrame, cfg: EngineConfig) -> Tuple[Optional[str],
     return None, 0, "NO_MATCH"
 
 
+_SURFACE_RE = None
+
+
+def _surface_re():
+    global _SURFACE_RE
+    if _SURFACE_RE is None:
+        import re
+        # The doc JSON is OUR OWN serializer's output (stages/extract.py:
+        # json.dumps of parse_page dicts, separators=(",", ":")), and every
+        # speaker-bearing dict is built ``{**sf, ...}`` with sf =
+        # {voornaam, achternaam, fractie} (parsing.py:51), so the two keys
+        # are ALWAYS adjacent and in this order — a compiled scan over the
+        # raw JSON string recovers the exact surface set without a full
+        # json.loads of every doc (the dominant cost of this pass; the
+        # interleaved A/B in SCALING.md). ``sequence`` entries match too —
+        # duplicates of the same surfaces, harmless for a distinct-set.
+        _SURFACE_RE = re.compile(
+            r'"voornaam":"((?:[^"\\]|\\.)*)","achternaam":"((?:[^"\\]|\\.)*)"')
+    return _SURFACE_RE
+
+
+def _unescape(s: str) -> str:
+    return json.loads(f'"{s}"') if "\\" in s else s
+
+
 def collect_speaker_surfaces(docs: rd.Dataset) -> rd.Dataset:
     """Distinct (voornaam, achternaam) over every speaker mention (activity
-    speakers AND direct zaak speakers): per-batch set-dedup partial, then
+    speakers AND direct zaak speakers): per-batch regex-scan set-dedup
+    partial (see _surface_re — exact on the engine's own doc format), then
     one exchange-distinct. Empty surnames are excluded — match_speaker
     short-circuits them to NO_MATCH before the cascade."""
     def partial(batch: pa.Table) -> pa.Table:
+        rx = _surface_re()
         seen = set()
         for doc_json, err in zip(batch.column("doc").to_pylist(),
                                  batch.column("error").to_pylist()):
             if err is not None or doc_json is None:
                 continue
-            d = json.loads(doc_json)
-            for act in d.get("activities", []):
-                for sp in act.get("speakers", []):
-                    if sp.get("achternaam"):
-                        seen.add((sp["voornaam"], sp["achternaam"]))
-                for zk in act.get("zaken", []):
-                    for sp in zk.get("speakers", []):
-                        if sp.get("achternaam"):
-                            seen.add((sp["voornaam"], sp["achternaam"]))
+            seen.update(rx.findall(doc_json))
+        seen = {(_unescape(vn), _unescape(an)) for vn, an in seen if an}
         if not seen:
             return _SURFACE_SCHEMA.empty_table()
         vn, an = zip(*sorted(seen))
@@ -237,18 +257,33 @@ def resolve_surfaces(surfaces: rd.Dataset, shard_refs: List[ray.ObjectRef],
     surface — two exchanges of dimension-sized rows; the gazetteer never
     leaves its shard."""
     n_shards = len(shard_refs)
+    # exchange parallelism: keyed on shard alone there are only n_shards
+    # reducer groups, so every group scores ALL surfaces serially — the
+    # measured bottleneck of this path (21.8 s of a 62 s sharded run at
+    # the 40k-session corpus was this stage at 4-way parallelism). A
+    # surface-hash salt widens the exchange to n_shards x n_salts groups;
+    # any per-surface salt works (the merge re-groups by surface).
+    n_salts = max(1, (int(ray.cluster_resources().get("CPU", 8))
+                      if ray.is_initialized() else 8) // max(1, n_shards))
 
     def scatter(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
             return pa.table({"voornaam": pa.array([], pa.string()),
                              "achternaam": pa.array([], pa.string()),
-                             "shard": pa.array([], pa.int32())})
+                             "shard": pa.array([], pa.int32()),
+                             "salt": pa.array([], pa.int32())})
+        salt = np.array([zlib.crc32(f"{v}|{a}".encode()) % n_salts
+                         for v, a in zip(
+                             batch.column("voornaam").to_pylist(),
+                             batch.column("achternaam").to_pylist())],
+                        dtype=np.int32)
         idx = np.repeat(np.arange(n), n_shards)
         return pa.table({
             "voornaam": batch.column("voornaam").take(pa.array(idx)),
             "achternaam": batch.column("achternaam").take(pa.array(idx)),
-            "shard": pa.array(np.tile(np.arange(n_shards, dtype=np.int32), n))})
+            "shard": pa.array(np.tile(np.arange(n_shards, dtype=np.int32), n)),
+            "salt": pa.array(salt[idx])})
 
     # per-worker shard sub-index cache: a shard's persons are fetched from
     # plasma and indexed once per (worker process, shard), not per block
@@ -269,9 +304,13 @@ def resolve_surfaces(surfaces: rd.Dataset, shard_refs: List[ray.ObjectRef],
             return _PARTIAL_SCHEMA.empty_table().to_pandas()
         return pd.DataFrame(out)
 
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
     partials = reduce_blocks(surfaces.map_batches(scatter,
                                                   batch_format="pyarrow"),
-                             ["shard"], resolve_block, batch_format="pandas")
+                             ["shard", "salt"], resolve_block,
+                             num_partitions=max(8, ncpu),
+                             batch_format="pandas")
 
     def merge_block(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -305,6 +344,11 @@ def speaker_overrides_via_shards(docs: rd.Dataset, persons: List[dict],
     shard_refs = [ray.put(s) for s in
                   split_person_shards(persons, n_shards)]
     resolved = resolve_surfaces(collect_speaker_surfaces(docs), shard_refs, cfg)
-    return {(r["voornaam"], r["achternaam"]):
-            (r["person_id"] or None, int(r["score"]), r["match_type"])
-            for r in resolved.take_all()}
+    # to_pandas, NOT take_all: same driver-bounded collect, but take_all's
+    # per-row dict conversion measured 14 s for 14k rows where the columnar
+    # fetch is 0.03 s
+    df = resolved.to_pandas()
+    return {(vn, an): (pid or None, int(score), mt)
+            for vn, an, pid, score, mt in zip(
+                df["voornaam"], df["achternaam"], df["person_id"],
+                df["score"], df["match_type"])}

@@ -285,3 +285,53 @@ def test_sharded_gazetteer_merge_equals_full_cascade():
                 pid, score, mt = None, 0, "NO_MATCH"
             got = (pid, score, mt)
             assert got == want, (vn, an, n_shards, got, want)
+
+
+def test_surface_regex_scan_matches_json_parse(ray_session, tmp_path):
+    """collect_speaker_surfaces scans the raw doc JSON with a compiled
+    regex (coupled to the engine's own serializer field order); it must
+    recover the EXACT surface set a full json.loads walk produces,
+    including escaped names."""
+    import json as _json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from neo4j_tkapi_ray.config import EngineConfig
+    from neo4j_tkapi_ray.corpus import generate_corpus
+    from neo4j_tkapi_ray.pipelines.kg import read_pages
+    from neo4j_tkapi_ray.stages.extract import extract_docs
+    from neo4j_tkapi_ray.stages.shard_link import collect_speaker_surfaces
+
+    paths = generate_corpus(str(tmp_path / "c"), n_sessions=40, seed=3)
+    docs = extract_docs(read_pages(paths["pages"]),
+                        EngineConfig.default()).materialize()
+
+    expected = set()
+    for r in docs.take_all():
+        if r["error"] is not None or r["doc"] is None:
+            continue
+        d = _json.loads(r["doc"])
+        for act in d.get("activities", []):
+            for sp in act.get("speakers", []):
+                if sp.get("achternaam"):
+                    expected.add((sp["voornaam"], sp["achternaam"]))
+            for zk in act.get("zaken", []):
+                for sp in zk.get("speakers", []):
+                    if sp.get("achternaam"):
+                        expected.add((sp["voornaam"], sp["achternaam"]))
+    got = {(r["voornaam"], r["achternaam"])
+           for r in collect_speaker_surfaces(docs).take_all()}
+    assert got == expected and len(got) > 0
+
+    # escaped-content probe: names with quotes/backslashes round-trip
+    weird = {"url": "u", "warc_ts": "t", "lang": "nl",
+             "text": "x", "error": None,
+             "doc": _json.dumps({"activities": [{"speakers": [
+                 {"voornaam": 'Jan "J\\R"', "achternaam": 'O\\"Brien',
+                  "fractie": None}], "zaken": []}]},
+                 separators=(",", ":"))}
+    got2 = {(r["voornaam"], r["achternaam"])
+            for r in collect_speaker_surfaces(
+                rd.from_arrow(pa.Table.from_pylist([weird]))).take_all()}
+    assert got2 == {('Jan "J\\R"', 'O\\"Brien')}
