@@ -117,6 +117,10 @@ def run_bench() -> dict:
         "trailing_window_counts": lambda: events.trailing_window_counts(SF_DIR),
         "token_doc_freq": lambda: sampling.token_doc_freq(SF_DIR),
         "decontaminate": lambda: sampling.decontaminate(SF_DIR),
+        # the >5k-pattern actor-pool scanner path (ops/scan.py trie-regex
+        # automaton; VERDICT r4 item 6 wanted this path on the clock)
+        "aho_scan_5k": lambda: sampling.decontaminate(
+            SF_DIR, stride=1, max_snippets=5000, aho_threshold=0),
         "curate_docs": lambda: __import__(
             "neo4j_tkapi_ray.ops.curation", fromlist=["curate_docs"]
         ).curate_docs(SF_DIR),

@@ -4,23 +4,32 @@
 O(snippets) scans per batch — the right shape for eval suites of hundreds
 of snippets. For pattern sets in the tens of thousands (full benchmark
 suites, URL blocklists, licence-string banks), the classic answer is one
-Aho-Corasick automaton pass: O(text + matches) per batch independent of
-the pattern count. The automaton is exactly the kind of expensive
-per-worker state the engine's actor-pool rule exists for — built ONCE per
-actor in ``__init__`` from a ``ray.put`` broadcast, reused across every
-batch the actor sees (building it per batch would dominate the scan).
+automaton pass: O(text + matches) per batch independent of the pattern
+count. The automaton is exactly the kind of expensive per-worker state the
+engine's actor-pool rule exists for — built ONCE per actor in ``__init__``
+from a ``ray.put`` broadcast, reused across every batch the actor sees
+(building it per batch would dominate the scan).
 
-Pure-python automaton (no external deps in this sandbox); at equal
-pattern counts the RE2 kernel path is faster per pattern, so
-``decontaminate`` keeps the kernel path below ``aho_threshold`` and
-switches here above it. Both paths are bit-identical (exact substring
-containment), so the same DuckDB ``contains()`` oracle covers either.
+Two implementations, bit-identical (exact substring containment, so the
+same DuckDB ``contains()`` oracle covers either):
+
+* ``AhoAutomaton`` — the textbook Aho-Corasick trie + failure links over
+  unicode code points. Pure-python scan loop (~1-2 MB/s): kept as the
+  REFERENCE implementation the fast path is parity-tested against.
+* ``TrieRegexScanner`` — the shipping path (VERDICT r4 item 6): the
+  pattern trie is compiled into ONE prefix-sharing regex (patterns that
+  contain another pattern as a prefix are pruned — containment cannot
+  need them), and ``find_any`` is a single C-speed ``re.search``. Same
+  automaton idea, but the per-character state machine runs inside CPython's
+  sre engine instead of the interpreter — measured 30x+ on the planted
+  scanner corpus (bench entry ``aho_scan_5k``).
 """
 
 from __future__ import annotations
 
+import re
 from collections import deque
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 import pyarrow as pa
@@ -29,7 +38,8 @@ import ray
 
 class AhoAutomaton:
     """Aho-Corasick over unicode code points; ``find_any`` answers "does
-    the text contain ANY pattern" with early exit on first hit."""
+    the text contain ANY pattern" with early exit on first hit. Reference
+    implementation — see module docstring."""
 
     def __init__(self, patterns: List[str]):
         # trie as list-of-dicts; goto[node][ch] -> node
@@ -75,12 +85,53 @@ class AhoAutomaton:
         return False
 
 
+class TrieRegexScanner:
+    """Prefix-sharing trie compiled to one regex; ``find_any`` is a single
+    C-speed ``re.search``. Exact containment semantics: every pattern is
+    escaped character-by-character, and a pattern that ends at a trie node
+    prunes everything below it (if "he" is a pattern, no text can contain
+    "hers" without containing "he")."""
+
+    def __init__(self, patterns: List[str]):
+        trie: dict = {}
+        n = 0
+        for p in patterns:
+            if not p:
+                continue
+            n += 1
+            d = trie
+            terminal = False
+            for ch in p:
+                if "" in d:       # an existing pattern is a prefix of p
+                    terminal = True
+                    break
+                d = d.setdefault(ch, {})
+            if not terminal:
+                d.clear()         # p prunes any longer patterns below it
+                d[""] = True
+        self.n_patterns = n
+        self._rx: Optional[re.Pattern] = (
+            re.compile(self._emit(trie)) if trie else None)
+
+    @staticmethod
+    def _emit(d: dict) -> str:
+        if "" in d:
+            return ""
+        alts = [re.escape(ch) + TrieRegexScanner._emit(sub)
+                for ch, sub in sorted(d.items())]
+        return alts[0] if len(alts) == 1 else "(?:" + "|".join(alts) + ")"
+
+    def find_any(self, text: str) -> bool:
+        return self._rx is not None and self._rx.search(text) is not None
+
+
 class SnippetScanner:
-    """Actor-pool batch scanner: automaton built once per actor from the
-    broadcast snippet list (``__init__``), one pass per text per batch."""
+    """Actor-pool batch scanner: trie-regex built once per actor from the
+    broadcast snippet list (``__init__``), one C-speed pass per text per
+    batch."""
 
     def __init__(self, snips_ref):
-        self.auto = AhoAutomaton(ray.get(snips_ref))
+        self.auto = TrieRegexScanner(ray.get(snips_ref))
 
     def __call__(self, b: pa.Table) -> pa.Table:
         texts = b.column("text").to_pylist()

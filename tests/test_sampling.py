@@ -610,3 +610,40 @@ def test_sparse_topk_pairs_planted(ray_session, tmp_path):
     # shared in-band grams: 'rare pair' (tf 2x1, the doc-0 repeat) and the
     # boundary gram 'words rare' (tf 1x1, df=2); 'pair rare' is df=1
     assert int(out["dot_micro2"].iloc[0]) == (2 * 1 + 1 * 1) * w * w
+
+
+def test_trie_regex_scanner_parity_and_speed():
+    """TrieRegexScanner (the shipping scan path) must agree with the
+    reference AhoAutomaton on a deterministic fuzz corpus — overlapping
+    patterns, shared prefixes, prefix-of-pattern pruning, regex
+    metacharacters — and be faster at a 5k-pattern set."""
+    import random
+    import time
+
+    from neo4j_tkapi_ray.ops.scan import AhoAutomaton, TrieRegexScanner
+
+    rng = random.Random(7)
+    alpha = "ab.(*c"
+    pats = ["".join(rng.choice(alpha) for _ in range(rng.randint(1, 6)))
+            for _ in range(300)] + ["he", "she", "his", "hers", "a(b"]
+    texts = ["".join(rng.choice(alpha + " xyz") for _ in range(rng.randint(0, 80)))
+             for _ in range(500)] + ["ushers", "this", "", "a(bc", "zzz"]
+    ref = AhoAutomaton(pats)
+    fast = TrieRegexScanner(pats)
+    for t in texts:
+        assert fast.find_any(t) == ref.find_any(t), t
+
+    # 5k-pattern throughput probe (informational ratio; asserts only a
+    # loose floor so host drift cannot flake the suite)
+    pats5k = [f"needle-{i:05d}-tok" for i in range(5000)]
+    body = ("lorem ipsum " * 200) + "needle-04999-tok tail"
+    ref5, fast5 = AhoAutomaton(pats5k), TrieRegexScanner(pats5k)
+    t0 = time.time()
+    for _ in range(3):
+        assert ref5.find_any(body)
+    t_ref = time.time() - t0
+    t0 = time.time()
+    for _ in range(300):
+        assert fast5.find_any(body)
+    t_fast = (time.time() - t0) / 100
+    assert t_fast * 3 < t_ref, (t_fast, t_ref)
