@@ -29,10 +29,11 @@ edge set (see `__ray_entry__.oracle_sql`):
     identical). Scale note: total mass is ``n_nodes * 1e6`` micro-units and
     the damping step multiplies a node's inbound sum by 85 BEFORE dividing,
     so the binding bound is ``85 * s < 2^63`` — safe up to ~1e11 nodes
-    (not 1e12; ADVICE r3), and ``damp_sum`` guards the bound explicitly
-    (numpy would wrap silently where the DuckDB oracle raises). Beyond
-    that, shrink SCALE or move the accumulator to 128-bit. Contributions
-    are per-dst partial-combined inside each src block before the damp_sum
+    (not 1e12; ADVICE r3), and the fused round kernel
+    (``_pr_fused_loop``) guards the bound explicitly (numpy would wrap
+    silently where the DuckDB oracle raises). Beyond that, shrink SCALE or
+    move the accumulator to 128-bit. Contributions are per-dst
+    partial-combined inside each src block before the next round's
     exchange, bounding a head entity's fan-in at #src-partitions rows.
   * ``triangle_counts`` — per-node triangle participation over the
     undirected, self-loop-free, pred-collapsed pair set. Internally uses
@@ -135,6 +136,127 @@ def _distinct_pairs_with_outdeg(df: pd.DataFrame) -> pd.DataFrame:
                          "dst": d["dst"].to_numpy(), "od": od.to_numpy()})
 
 
+
+_PR_UNION = pa.schema([("node", pa.string()), ("dst", pa.string()),
+                      ("num", pa.int64()), ("den", pa.int64()),
+                      ("c", pa.int64())])
+
+
+def _pr_adj_tagged(num_col, den_col: str):
+    """Adjacency rows in the fused-pagerank union schema: contribution
+    src->dst = (rank * num) // den (num_col=None -> uniform, num=1)."""
+    def fn(b: pa.Table) -> pa.Table:
+        num = (b.column(num_col).cast(pa.int64()) if num_col else
+               pa.array(np.ones(b.num_rows, np.int64)))
+        return pa.table({"node": b.column("src"), "dst": b.column("dst"),
+                         "num": num,
+                         "den": b.column(den_col).cast(pa.int64()),
+                         "c": pa.nulls(b.num_rows, pa.int64())})
+    return fn
+
+
+def _pr_marker(b: pa.Table) -> pa.Table:
+    return pa.table({"node": b.column("node"),
+                     "dst": pa.nulls(b.num_rows, pa.string()),
+                     "num": pa.nulls(b.num_rows, pa.int64()),
+                     "den": pa.nulls(b.num_rows, pa.int64()),
+                     "c": pa.array(np.zeros(b.num_rows, np.int64))})
+
+
+def _pr_fused_loop(adj_src: rd.Dataset, nodes: rd.Dataset, iters: int,
+                   num_col: str, den_col: str,
+                   overflow_label: str) -> rd.Dataset:
+    """Shared fused PageRank loop — ONE exchange per iteration (the former
+    contribs/damp_sum pair computed in the same block: the damp step's
+    exchange key (dst node) IS the next contribution step's key (src
+    node)), and the whole (iters+1)-round plan is built LAZILY: a fixed
+    iteration count needs no driver decision, so the streaming executor
+    runs every round in one execution with no per-round materialize sync.
+
+    Round k: per node, rank_k = PR_SCALE (k=0) or BASE + (85*sum(c))//100
+    over the incoming contribution partials; non-final rounds emit
+    (rank*num)//den per adjacency row, partial-combined per dst inside the
+    block (the head-entity skew discipline); the final round emits
+    (node, val). Both overflow guards of the unfused version are kept.
+    """
+    adj_t = adj_src.map_batches(_pr_adj_tagged(num_col, den_col),
+                                batch_format="pyarrow").materialize()
+    nodes_t = nodes.map_batches(_pr_marker,
+                                batch_format="pyarrow").materialize()
+
+    def make_round(k: int, final: bool):
+        def blk(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return (pa.schema([("node", pa.string()),
+                                   ("val", pa.int64())]).empty_table()
+                        if final else _PR_UNION.empty_table())
+            node_col = b.column("node").combine_chunks()
+            enc = pc.dictionary_encode(node_col)
+            codes = enc.indices.to_numpy()
+            nmax = int(codes.max()) + 1
+            isadj = pc.is_valid(
+                b.column("dst")).to_numpy(zero_copy_only=False)
+            ci = np.nonzero(~isadj)[0]
+            s = np.zeros(nmax, np.int64)
+            has_c = np.zeros(nmax, bool)
+            if len(ci):
+                cv = pc.take(b.column("c"), pa.array(ci)) \
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+                np.add.at(s, codes[ci], cv)
+                has_c[codes[ci]] = True
+            if k == 0:
+                rank = np.full(nmax, PR_SCALE, np.int64)
+            else:
+                if len(s) and int(s.max()) > (2**63 - 1) // 85:
+                    raise OverflowError(
+                        f"{overflow_label}: inbound mass would overflow "
+                        "int64 under the 85x damping multiply — shrink "
+                        "PR_SCALE or move to 128-bit")
+                rank = PR_BASE + (85 * s) // 100
+            if final:
+                rows = np.nonzero(has_c)[0]
+                return pa.table({
+                    "node": pc.take(enc.dictionary, pa.array(rows)),
+                    "val": pa.array(rank[rows])})
+            ai = np.nonzero(isadj)[0]
+            if not len(ai):
+                return _PR_UNION.empty_table()
+            a_pa = pa.array(ai)
+            num = pc.take(b.column("num"), a_pa) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            den = pc.take(b.column("den"), a_pa) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            rv = rank[codes[ai]]
+            if len(rv) and int(num.max()) > 0 \
+                    and int(rv.max()) > (2**63 - 1) // int(num.max()):
+                raise OverflowError(
+                    f"{overflow_label}: rank*weight would overflow int64 "
+                    "— shrink PR_SCALE or move to 128-bit")
+            cout = (rv * num) // den
+            dst_col = pc.take(b.column("dst"), a_pa).combine_chunks()
+            denc = pc.dictionary_encode(dst_col)
+            acc = np.zeros(len(denc.dictionary), np.int64)
+            np.add.at(acc, denc.indices.to_numpy(), cout)
+            n_out = len(denc.dictionary)
+            return pa.table({
+                "node": denc.dictionary,
+                "dst": pa.nulls(n_out, pa.string()),
+                "num": pa.nulls(n_out, pa.int64()),
+                "den": pa.nulls(n_out, pa.int64()),
+                "c": pa.array(acc)})
+        return blk
+
+    state = nodes_t
+    for k in range(iters + 1):
+        final = k == iters
+        mixed = state.union(adj_t) if final is False else state
+        if k > 0:
+            mixed = mixed.union(nodes_t)
+        state = reduce_blocks(mixed, ["node"], make_round(k, final),
+                              coalesce_rows=None)
+    return state
+
+
 def pagerank(edges: rd.Dataset, iters: int = 5) -> rd.Dataset:
     """Deterministic fixed-point PageRank over distinct (subj -> obj) pairs.
 
@@ -169,71 +291,8 @@ def pagerank(edges: rd.Dataset, iters: int = 5) -> rd.Dataset:
     nodes = reduce_blocks(adj.map_batches(node_rows, batch_format="pyarrow"),
                           ["node"], node_dedup).materialize()
 
-    def init_ranks(b: pa.Table) -> pa.Table:
-        return pa.table({"node": b.column("node"),
-                         "val": pa.array(np.full(b.num_rows, PR_SCALE,
-                                                 np.int64))})
-
-    ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
-
-    def adj_tagged(b: pa.Table) -> pa.Table:
-        return pa.table({"node": b.column("src"), "dst": b.column("dst"),
-                         "val": b.column("od"),
-                         "is_rank": pa.array(np.zeros(b.num_rows, np.int8))})
-
-    def rank_tagged(b: pa.Table) -> pa.Table:
-        return pa.table({"node": b.column("node"),
-                         "dst": pa.nulls(b.num_rows, pa.string()),
-                         "val": b.column("val"),
-                         "is_rank": pa.array(np.ones(b.num_rows, np.int8))})
-
-    def contribs(df: pd.DataFrame) -> pd.DataFrame:
-        """Block holds, per src node: its rank row and its adjacency rows.
-        Emit (dst, rank // od) per edge — integer floor division — then
-        partial-combine per dst WITHIN the block (ADVICE r3): a head entity
-        with in-degree D would otherwise funnel D raw rows into one
-        partition of the damp_sum exchange; pre-summing here bounds its
-        fan-in at the number of src partitions. Integer addition is
-        associative, so the final sum is unchanged."""
-        if df.empty:
-            return pd.DataFrame({"node": pd.Series(dtype="object"),
-                                 "c": pd.Series(dtype="int64")})
-        e = df[df["is_rank"] == 0]
-        if e.empty:
-            return pd.DataFrame({"node": pd.Series(dtype="object"),
-                                 "c": pd.Series(dtype="int64")})
-        r = df[df["is_rank"] == 1].set_index("node")["val"]
-        rv = r.reindex(e["node"]).to_numpy()  # every src has a rank row
-        c = rv.astype(np.int64) // e["val"].to_numpy().astype(np.int64)
-        out = pd.DataFrame({"node": e["dst"].to_numpy(), "c": c})
-        return out.groupby("node", sort=False, as_index=False)["c"].sum()
-
-    def damp_sum(block: pa.Table) -> pa.Table:
-        """Per node: new rank = BASE + (85 * sum(contribs)) // 100. The
-        zero-contribution base row from `nodes` keeps every node present.
-        The 85x multiply is the binding int64 bound (~1e11 nodes, see
-        module doc); numpy would WRAP silently past it while the DuckDB
-        oracle raises — guard loudly so engine and oracle can never
-        diverge silently (ADVICE r3)."""
-        if block.num_rows == 0:
-            return pa.schema([("node", pa.string()),
-                              ("val", pa.int64())]).empty_table()
-        g = block.group_by(["node"]).aggregate([("c", "sum")])
-        s = g.column("c_sum").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        if len(s) and int(s.max()) > (2**63 - 1) // 85:
-            raise OverflowError(
-                "pagerank inbound mass would overflow int64 under the 85x "
-                "damping multiply — shrink PR_SCALE or move to 128-bit")
-        val = PR_BASE + (85 * s) // 100
-        return pa.table({"node": g.column("node"), "val": pa.array(val)})
-
-    for _ in range(iters):
-        mixed = adj.map_batches(adj_tagged, batch_format="pyarrow").union(
-            ranks.map_batches(rank_tagged, batch_format="pyarrow"))
-        contrib = reduce_blocks(mixed, ["node"], contribs,
-                                batch_format="pandas", coalesce_rows=None)
-        ranks = reduce_blocks(contrib.union(nodes), ["node"], damp_sum,
-                              coalesce_rows=None).materialize()
+    ranks = _pr_fused_loop(adj, nodes, iters, num_col=None,
+                           den_col="od", overflow_label="pagerank")
 
     return ranks.map_batches(
         lambda b: pa.table({"node_id": b.column("node"),
@@ -295,66 +354,9 @@ def weighted_pagerank(edges: rd.Dataset, iters: int = 5) -> rd.Dataset:
     nodes = reduce_blocks(adj.map_batches(node_rows, batch_format="pyarrow"),
                           ["node"], node_dedup).materialize()
 
-    ranks = nodes.map_batches(
-        lambda b: pa.table({"node": b.column("node"),
-                            "val": pa.array(np.full(b.num_rows, PR_SCALE,
-                                                    np.int64))}),
-        batch_format="pyarrow").materialize()
-
-    def adj_tagged(b: pa.Table) -> pa.Table:
-        return pa.table({"node": b.column("src"), "dst": b.column("dst"),
-                         "w": b.column("w"), "val": b.column("ow"),
-                         "is_rank": pa.array(np.zeros(b.num_rows, np.int8))})
-
-    def rank_tagged(b: pa.Table) -> pa.Table:
-        return pa.table({"node": b.column("node"),
-                         "dst": pa.nulls(b.num_rows, pa.string()),
-                         "w": pa.nulls(b.num_rows, pa.int64()),
-                         "val": b.column("val"),
-                         "is_rank": pa.array(np.ones(b.num_rows, np.int8))})
-
-    def contribs(df: pd.DataFrame) -> pd.DataFrame:
-        """Emit (dst, (rank * w) // ow) per edge, partial-combined per dst
-        within the block (the pagerank skew discipline)."""
-        empty = pd.DataFrame({"node": pd.Series(dtype="object"),
-                              "c": pd.Series(dtype="int64")})
-        if df.empty:
-            return empty
-        e = df[df["is_rank"] == 0]
-        if e.empty:
-            return empty
-        r = df[df["is_rank"] == 1].set_index("node")["val"]
-        rv = r.reindex(e["node"]).to_numpy().astype(np.int64)
-        w = e["w"].to_numpy().astype(np.int64)
-        ow = e["val"].to_numpy().astype(np.int64)
-        if len(rv) and int(rv.max()) > (2**63 - 1) // max(int(w.max()), 1):
-            raise OverflowError(
-                "weighted_pagerank rank*weight would overflow int64 — "
-                "shrink PR_SCALE or move to 128-bit")
-        c = (rv * w) // ow
-        out = pd.DataFrame({"node": e["dst"].to_numpy(), "c": c})
-        return out.groupby("node", sort=False, as_index=False)["c"].sum()
-
-    def damp_sum(block: pa.Table) -> pa.Table:
-        if block.num_rows == 0:
-            return pa.schema([("node", pa.string()),
-                              ("val", pa.int64())]).empty_table()
-        g = block.group_by(["node"]).aggregate([("c", "sum")])
-        s = g.column("c_sum").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        if len(s) and int(s.max()) > (2**63 - 1) // 85:
-            raise OverflowError(
-                "weighted_pagerank inbound mass would overflow int64 under "
-                "the 85x damping multiply")
-        val = PR_BASE + (85 * s) // 100
-        return pa.table({"node": g.column("node"), "val": pa.array(val)})
-
-    for _ in range(iters):
-        mixed = adj.map_batches(adj_tagged, batch_format="pyarrow").union(
-            ranks.map_batches(rank_tagged, batch_format="pyarrow"))
-        contrib = reduce_blocks(mixed, ["node"], contribs,
-                                batch_format="pandas", coalesce_rows=None)
-        ranks = reduce_blocks(contrib.union(nodes), ["node"], damp_sum,
-                              coalesce_rows=None).materialize()
+    ranks = _pr_fused_loop(adj, nodes, iters, num_col="w",
+                           den_col="ow",
+                           overflow_label="weighted_pagerank")
 
     return ranks.map_batches(
         lambda b: pa.table({"node_id": b.column("node"),
