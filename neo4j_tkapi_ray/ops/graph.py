@@ -573,69 +573,135 @@ def connected_components(edges: rd.Dataset, max_rounds: int = 25) -> rd.Dataset:
         return rd.from_arrow(pa.table({"node_id": pa.array([], pa.string()),
                                        "component_id": pa.array([], pa.string())}))
 
-    def as_label_row(b: pa.Table) -> pa.Table:
+    def as_state(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"), "label": b.column("label"),
+                         "old": b.column("old"),
+                         "changed": b.column("changed"),
+                         "req": b.column("req"),
+                         "peer": pa.nulls(b.num_rows, pa.string())})
+
+    def as_edge(b: pa.Table) -> pa.Table:
         return pa.table({"node": b.column("node"),
-                         "peer": pa.nulls(b.num_rows, pa.string()),
-                         "label": b.column("label")})
+                         "label": pa.nulls(b.num_rows, pa.string()),
+                         "old": pa.nulls(b.num_rows, pa.int8()),
+                         "changed": pa.nulls(b.num_rows, pa.int64()),
+                         "req": pa.nulls(b.num_rows, pa.string()),
+                         "peer": b.column("peer")})
 
-    def as_edge_row(b: pa.Table) -> pa.Table:
-        return pa.table({"node": b.column("node"), "peer": b.column("peer"),
-                         "label": pa.nulls(b.num_rows, pa.string())})
+    adj_tagged = adj.map_batches(as_edge, batch_format="pyarrow") \
+        .materialize()
 
-    def propose(df: pd.DataFrame) -> pd.DataFrame:
-        """Per node in this block: min(label rows, own id) is its current
-        label; emit one proposal per incident edge + an is_old keep row."""
-        if df.empty:
-            return pd.DataFrame({"node": pd.Series(dtype="object"),
-                                 "label": pd.Series(dtype="object"),
-                                 "is_old": pd.Series(dtype="int8")})
-        edges_df = df[df["peer"].notna()]
-        lab = df[df["peer"].isna()].groupby("node")["label"].min()
-        nodes = pd.Index(edges_df["node"].unique())
-        lab = lab.reindex(nodes.union(lab.index))
-        own = pd.Series(lab.index.to_numpy(), index=lab.index, dtype="object")
-        lab = lab.fillna(own)
-        my_label = lab.reindex(edges_df["node"]).to_numpy()
-        out = pd.DataFrame({"node": edges_df["peer"].to_numpy(),
-                            "label": my_label,
-                            "is_old": np.zeros(len(edges_df), dtype=np.int8)})
-        keep = pd.DataFrame({"node": lab.index.to_numpy(),
-                             "label": lab.to_numpy(),
-                             "is_old": np.ones(len(lab), dtype=np.int8)})
-        return pd.concat([out, keep], ignore_index=True)
+    # explicit output schema: blocks with no chaser rows would otherwise
+    # infer a null-typed req/label column and drift the block schema
+    st_schema = pa.schema([("node", pa.string()), ("label", pa.string()),
+                           ("old", pa.int8()), ("changed", pa.int64()),
+                           ("req", pa.string())])
+    st_empty = st_schema.empty_table()
 
-    def min_with_convergence(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame({"node": pd.Series(dtype="object"),
-                                 "label": pd.Series(dtype="object"),
-                                 "changed": pd.Series(dtype="int64")})
-        g = df.groupby("node", sort=False)
-        new = g["label"].min()
-        old = df[df["is_old"] == 1].groupby("node", sort=False)["label"].min()
-        changed = (old.reindex(new.index) != new).astype("int64")
-        return pd.DataFrame({"node": new.index.to_numpy(),
-                             "label": new.to_numpy(),
-                             "changed": changed.to_numpy()})
+    def round_block(df: pd.DataFrame) -> pd.DataFrame:
+        # fused settle+propose+label-chase — ONE exchange per round:
+        #   * settle: min over carried label + incoming proposals;
+        #   * FRONTIER-ONLY neighbor proposals (a node re-sends only the
+        #     round its label improves), min-combined per peer in block;
+        #   * POINTER-JUMPING folded in: every non-root node sends a
+        #     request to its label's partition; the label answers with ITS
+        #     label when strictly smaller — so label chains square each
+        #     round and convergence is O(log diameter) rounds instead of
+        #     O(diameter) (the relax-only peel walks one hop per round).
+        edges_df = df[df["peer"].notna()][["node", "peer"]]
+        st = df[df["peer"].isna() & df["req"].isna()]
+        reqs = df[df["req"].notna()][["node", "req"]]
+        if st.empty and edges_df.empty:
+            return st_empty
+        if st.empty:
+            lab = pd.Series(dtype="object")
+            old_lab = pd.Series(dtype="object")
+        else:
+            lab = st.groupby("node", sort=False)["label"].min()
+            prev = st[st["old"] == 1]
+            old_lab = (prev.groupby("node", sort=False)["label"].min()
+                       if not prev.empty else pd.Series(dtype="object"))
+        nodes = pd.Index(edges_df["node"].unique()).union(lab.index)
+        own = nodes.to_numpy()
+        cur = lab.reindex(nodes).to_numpy()
+        isna = pd.isna(cur)
+        cur[isna] = own[isna]
+        new = np.minimum(cur, own)
+        oldv = old_lab.reindex(nodes).to_numpy()
+        changed = oldv != new          # first appearance: NaN != str -> True
+        nonroot = new < own
+        keep = pd.DataFrame({"node": own, "label": new,
+                             "old": np.ones(len(nodes), np.int8),
+                             "changed": changed.astype("int64"),
+                             "req": np.full(len(nodes), None, object)})
+        out = [keep]
+        if nonroot.any():
+            # chase: ask my label for ITS label next round
+            out.append(pd.DataFrame({
+                "node": new[nonroot], "label": None, "old": np.int8(0),
+                "changed": np.int64(0), "req": own[nonroot]}))
+        if not reqs.empty:
+            # answer last round's chasers with my settled label, only
+            # when it improves on what they already hold (their label
+            # is this node's id)
+            mylab = pd.Series(new, index=nodes).reindex(
+                reqs["node"]).to_numpy()
+            better = ~pd.isna(mylab) & (mylab < reqs["node"].to_numpy())
+            if better.any():
+                out.append(pd.DataFrame({
+                    "node": reqs["req"].to_numpy()[better],
+                    "label": mylab[better], "old": np.int8(0),
+                    "changed": np.int64(0),
+                    "req": np.full(int(better.sum()), None, object)}))
+        new_s = pd.Series(new, index=nodes)
+        if changed.any() and not edges_df.empty:
+            hot = edges_df[edges_df["node"].isin(nodes[changed])]
+            if not hot.empty:
+                props = (pd.DataFrame({
+                    "node": hot["peer"].to_numpy(),
+                    "label": new_s.reindex(hot["node"]).to_numpy()})
+                    .groupby("node", sort=False,
+                             as_index=False)["label"].min())
+                out.append(props.assign(
+                    old=np.int8(0), changed=np.zeros(len(props), np.int64),
+                    req=np.full(len(props), None, object)))
+        return pa.Table.from_pandas(
+            pd.concat(out, ignore_index=True) if len(out) > 1 else keep,
+            schema=st_schema, preserve_index=False)
 
-    labels = None
-    for _ in range(max_rounds):
-        mixed = adj.map_batches(as_edge_row, batch_format="pyarrow")
-        if labels is not None:
-            mixed = labels.map_batches(as_label_row,
-                                       batch_format="pyarrow").union(mixed)
-        proposals = reduce_blocks(mixed, ["node"], propose,
-                                  batch_format="pandas", coalesce_rows=None)
-        labels = reduce_blocks(proposals, ["node"], min_with_convergence,
-                               batch_format="pandas",
-                               coalesce_rows=None).materialize()
-        if int(labels.sum("changed") or 0) == 0:
+    state = None
+    prev_rows = -1
+    for _ in range(max_rounds + 1):
+        if state is None:
+            mixed = adj_tagged
+        else:
+            mixed = state.map_batches(
+                as_state, batch_format="pyarrow").union(adj_tagged)
+        state = reduce_blocks(mixed, ["node"], round_block,
+                              batch_format="pandas",
+                              coalesce_rows=None).materialize()
+        rows = state.count()
+        # sound skip: zero changed labels => no proposals and a stable
+        # node set, so rows can only shrink or hold — growth proves
+        # progress and skips the sum("changed") execution
+        if rows <= prev_rows and int(state.sum("changed") or 0) == 0:
             break
-        labels = labels.drop_columns(["changed"])
+        prev_rows = rows
 
-    return labels.map_batches(
-        lambda b: pa.table({"node_id": b.column("node"),
-                            "component_id": b.column("label")}),
-        batch_format="pyarrow")
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # node-partitioned after the last reduce: whole-block map, no
+        # exchange; drop any unsettled leftover proposal rows (old == 0
+        # only) by taking the min over settled labels
+        if df.empty:
+            return pd.DataFrame({"node_id": pd.Series(dtype="object"),
+                                 "component_id": pd.Series(dtype="object")})
+        st = df[(df["old"] == 1) & df["req"].isna()]
+        g = st.groupby("node", sort=False)["label"].min()
+        return pd.DataFrame({"node_id": g.index.to_numpy(),
+                             "component_id": g.to_numpy()})
+
+    return state.map_batches(finish, batch_format="pandas",
+                             batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -1012,30 +1078,93 @@ def kcore(edges: rd.Dataset | None = None, *, pairs: rd.Dataset | None = None,
     converged, so ``rounds`` bounds worst-case latency, not accuracy on
     converging inputs).
 
-    Scale shape per round: one degree exchange over combined partials +
-    two endpoint semi-join exchanges; the pair table only ever shrinks.
-    The driver reads ONE int per round (the removal count — CC-loop
-    discipline)."""
+    Scale shape per round: TWO exchanges — one fused degree-sum +
+    u-side filter (deg partials and pairs share the key space), one
+    v-side filter against the forwarded degree table; the pair table only
+    ever shrinks. Convergence is read off the materialized pair COUNT
+    (metadata, free): a removed node always has deg >= 1, so node removal
+    <=> pair removal — no per-round aggregation execution."""
     if pairs is None:
         pairs = undirected_pairs(edges)
-    def survivors(b: pa.Table) -> pa.Table:
-        return b.filter(pc.greater_equal(b.column("deg"), k)).select(["node"])
 
-    def n_removed(b: pa.Table) -> pa.Table:
-        c = int(pc.sum(pc.less(b.column("deg"), k)).as_py() or 0)
-        return pa.table({"removed": pa.array([c], pa.int64())})
+    pair_empty = pd.DataFrame({"u": pd.Series(dtype="object"),
+                               "v": pd.Series(dtype="object")})
+
+    def tag_pairs_u(b: pa.Table) -> pa.Table:
+        return pa.table({"key": b.column("u"), "u": b.column("u"),
+                         "v": b.column("v"),
+                         "c": pa.nulls(b.num_rows, pa.int64())})
+
+    def deg_partials(b: pa.Table) -> pa.Table:
+        # per-batch endpoint counts keyed by node (map-side combine); u/v
+        # carry "" not null so every block keeps a string-typed schema (an
+        # all-null object column would convert to an Arrow null column and
+        # drift the block schema) — row kind is discriminated on c instead
+        t = _endpoint_counts_uv(b)
+        empty = pa.array([""] * t.num_rows, pa.string())
+        return pa.table({"key": t.column("node"), "u": empty, "v": empty,
+                         "c": t.column("c")})
+
+    def phase_u(df: pd.DataFrame) -> pd.DataFrame:
+        # one exchange does BOTH the degree sum and the u-side filter: deg
+        # partials and pairs share the key space (node == u), so each
+        # block sums its nodes' degrees and filters its pairs in place.
+        # Survivors re-key by v; the block's deg rows are forwarded for
+        # the v-side filter.
+        if df.empty:
+            return pd.DataFrame({"key": pd.Series(dtype="object"),
+                                 "u": pd.Series(dtype="object"),
+                                 "v": pd.Series(dtype="object"),
+                                 "c": pd.Series(dtype="float64")})
+        d = df[df["c"].notna()]
+        degs = d.groupby("key", sort=False)["c"].sum()
+        n = len(degs)
+        out = [pd.DataFrame({"key": degs.index.to_numpy(),
+                             "u": np.full(n, "", object),
+                             "v": np.full(n, "", object),
+                             "c": degs.to_numpy().astype("float64")})]
+        pr = df[df["c"].isna()]
+        if not pr.empty:
+            keep = pr[degs.reindex(pr["key"]).to_numpy() >= k]
+            if not keep.empty:
+                out.append(pd.DataFrame({"key": keep["v"].to_numpy(),
+                                         "u": keep["u"].to_numpy(),
+                                         "v": keep["v"].to_numpy(),
+                                         "c": np.full(len(keep), np.nan)}))
+        return pd.concat(out, ignore_index=True)
+
+    def phase_v(df: pd.DataFrame) -> pd.DataFrame:
+        # v-side filter against the forwarded degree table
+        if df.empty:
+            return pair_empty
+        d = df[df["c"].notna()]
+        degs = d.groupby("key", sort=False)["c"].sum()
+        pr = df[df["c"].isna()]
+        if pr.empty:
+            return pair_empty
+        keep = pr[degs.reindex(pr["key"]).to_numpy() >= k]
+        return keep[["u", "v"]].reset_index(drop=True)
 
     cur = pairs.materialize()
+    prev_rows = cur.count()
     for _ in range(rounds):
-        deg = _uv_degrees(cur).materialize()
-        removed = sum(
-            r["removed"] for r in
-            deg.map_batches(n_removed, batch_format="pyarrow").take_all())
-        if removed == 0:
+        mixed = cur.map_batches(tag_pairs_u, batch_format="pyarrow").union(
+            cur.map_batches(deg_partials, batch_format="pyarrow",
+                            zero_copy_batch=True))
+        survivors_u = reduce_blocks(mixed, ["key"], phase_u,
+                                    batch_format="pandas",
+                                    coalesce_rows=None)
+        cur = reduce_blocks(survivors_u, ["key"], phase_v,
+                            batch_format="pandas",
+                            coalesce_rows=None).materialize()
+        rows = cur.count()
+        # free convergence test: a removed node has deg >= 1 (degrees come
+        # from the live pair set), so node removal <=> pair removal — an
+        # unchanged pair count IS the fixed point; no removal-count
+        # aggregation execution per round
+        if rows == prev_rows:
             break
-        surv = deg.map_batches(survivors, batch_format="pyarrow")
-        cur = _filter_pairs_by_nodes(cur, surv, "u")
-        cur = _filter_pairs_by_nodes(cur, surv, "v").materialize()
+        prev_rows = rows
 
     def rename(b: pa.Table) -> pa.Table:
         return pa.table({"node_id": b.column("node"),
@@ -1417,86 +1546,147 @@ def bfs_depth(edges: rd.Dataset, seed_prefix: str = "fr",
     if adj.count() == 0:
         return rd.from_arrow(out_schema)
 
+    st_empty = pa.table({"node": pa.array([], pa.string()),
+                         "depth": pa.array([], pa.int64()),
+                         "old": pa.array([], pa.int8()),
+                         "new": pa.array([], pa.int64())})
+
     def seed_rows(b: pa.Table) -> pa.Table:
+        # seeds enter as depth-0 "proposals" (old=0): the fused round-0
+        # kernel settles them (cross-block repeats dedup in the reduce)
+        # and expands the first frontier
         nodes = b.column("node").combine_chunks()
-        mask = pc.starts_with(nodes, seed_prefix)
-        sel = pa.table({"node": nodes.filter(mask)}).group_by(
+        sel = pa.table({"node": nodes.filter(
+            pc.starts_with(nodes, seed_prefix))}).group_by(
             "node").aggregate([])
+        n = sel.num_rows
         return pa.table({"node": sel.column("node"),
-                         "depth": pa.array(
-                             np.zeros(sel.num_rows, np.int64), pa.int64())})
+                         "depth": pa.array(np.zeros(n, np.int64)),
+                         "old": pa.array(np.zeros(n, np.int8)),
+                         "new": pa.array(np.zeros(n, np.int64))})
 
-    # seeds may repeat across adjacency blocks — the round-1 min reduce
-    # dedups them (depth 0 everywhere), so no extra exchange here
-    labels = adj.map_batches(seed_rows, batch_format="pyarrow")
+    state = adj.map_batches(seed_rows, batch_format="pyarrow").materialize()
 
-    def as_label_row(b: pa.Table) -> pa.Table:
+    def as_state(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"), "depth": b.column("depth"),
+                         "old": b.column("old"), "new": b.column("new"),
+                         "peer": pa.nulls(b.num_rows, pa.string())})
+
+    def as_edge(b: pa.Table) -> pa.Table:
         return pa.table({"node": b.column("node"),
-                         "peer": pa.nulls(b.num_rows, pa.string()),
-                         "depth": b.column("depth")})
+                         "depth": pa.nulls(b.num_rows, pa.int64()),
+                         "old": pa.nulls(b.num_rows, pa.int8()),
+                         "new": pa.nulls(b.num_rows, pa.int64()),
+                         "peer": b.column("peer")})
 
-    def as_edge_row(b: pa.Table) -> pa.Table:
-        return pa.table({"node": b.column("node"), "peer": b.column("peer"),
-                         "depth": pa.nulls(b.num_rows, pa.int64())})
+    adj_tagged = adj.map_batches(as_edge, batch_format="pyarrow") \
+        .materialize()
 
-    def make_propose(r: int):
-        def propose(df: pd.DataFrame) -> pd.DataFrame:
-            empty = pd.DataFrame({"node": pd.Series(dtype="object"),
-                                  "depth": pd.Series(dtype="int64"),
-                                  "is_old": pd.Series(dtype="int8")})
-            if df.empty:
-                return empty
-            settled = (df[df["peer"].isna()]
-                       .groupby("node", sort=False)["depth"].min())
-            if settled.empty:
-                return empty
-            keep = pd.DataFrame({"node": settled.index.to_numpy(),
-                                 "depth": settled.to_numpy().astype("int64"),
-                                 "is_old": np.ones(len(settled), np.int8)})
-            frontier = settled[settled == r]
-            if frontier.empty:
-                return keep
-            edges_df = df[df["peer"].notna()]
-            hot = edges_df[edges_df["node"].isin(frontier.index)]
-            if hot.empty:
-                return keep
-            out = pd.DataFrame({"node": hot["peer"].to_numpy(),
-                                "depth": np.full(len(hot), r + 1, np.int64),
-                                "is_old": np.zeros(len(hot), np.int8)})
-            return pd.concat([out, keep], ignore_index=True)
-        return propose
+    def make_round(r: int):
+        def round_block(b: pa.Table) -> pa.Table:
+            # fused settle+expand — ONE exchange per BSP round (the former
+            # propose/min pair): min-depth per node over carried labels +
+            # incoming depth-r proposals, flag first arrivals as new, and
+            # expand exactly the newly-settled depth-r nodes into
+            # depth-(r+1) proposals keyed by peer (deduped per peer in
+            # block). The BFS invariant (a node's depth is FINAL the round
+            # it first appears) is what makes frontier-only expansion
+            # exact. All in-block work int-coded via one
+            # dictionary_encode.
+            if b.num_rows == 0:
+                return st_empty
+            node_col = b.column("node").combine_chunks()
+            codes = pc.dictionary_encode(node_col).indices.to_numpy()
+            isadj = pc.is_valid(
+                b.column("peer")).to_numpy(zero_copy_only=False)
+            st_i = np.nonzero(~isadj)[0]
+            if not len(st_i):
+                return st_empty
+            st_pa = pa.array(st_i)
+            scode = codes[st_i].astype(np.int64)
+            depth = pc.take(b.column("depth"),
+                            st_pa).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            old = pc.take(b.column("old"),
+                          st_pa).to_numpy(zero_copy_only=False)
+            order = np.lexsort((depth, scode))
+            ksort = scode[order]
+            first = np.ones(len(order), bool)
+            first[1:] = ksort[1:] != ksort[:-1]
+            rep = order[first]
+            mindepth = depth[order][first]
+            grp = np.cumsum(first) - 1
+            old_any = np.bincount(
+                grp, weights=old[order].astype(np.float64)) > 0
+            newf = ~old_any
+            settled = pa.table({
+                "node": pc.take(node_col, pa.array(st_i[rep])),
+                "depth": pa.array(mindepth),
+                "old": pa.array(np.ones(len(rep), np.int8)),
+                "new": pa.array(newf.astype(np.int64))})
+            fmask = newf & (mindepth == r)
+            adj_i = np.nonzero(isadj)[0]
+            if not fmask.any() or not len(adj_i):
+                return settled
+            acode = codes[adj_i]
+            order_a = np.argsort(acode, kind="stable")
+            counts = np.bincount(acode, minlength=int(codes.max()) + 1)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            fr_codes = codes[st_i[rep]][fmask]
+            cnt_f = counts[fr_codes]
+            total = int(cnt_f.sum())
+            if total == 0:
+                return settled
+            ends = np.cumsum(cnt_f)
+            pos = (np.arange(total) - np.repeat(ends - cnt_f, cnt_f)
+                   + np.repeat(starts[fr_codes], cnt_f))
+            peer_str = pc.take(
+                b.column("peer"),
+                pa.array(adj_i[order_a][pos])).combine_chunks()
+            uniq = pc.unique(peer_str)
+            n = len(uniq)
+            proposals = pa.table({
+                "node": uniq,
+                "depth": pa.array(np.full(n, r + 1, np.int64)),
+                "old": pa.array(np.zeros(n, np.int8)),
+                "new": pa.array(np.zeros(n, np.int64))})
+            return pa.concat_tables([settled, proposals])
+        return round_block
 
-    def min_with_new(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame({"node": pd.Series(dtype="object"),
-                                 "depth": pd.Series(dtype="int64"),
-                                 "new": pd.Series(dtype="int64")})
-        g = df.groupby("node", sort=False)
-        new_depth = g["depth"].min()
-        had_old = df[df["is_old"] == 1].groupby("node", sort=False).size()
-        is_new = (~new_depth.index.isin(had_old.index)).astype("int64")
-        return pd.DataFrame({"node": new_depth.index.to_numpy(),
-                             "depth": new_depth.to_numpy().astype("int64"),
-                             "new": is_new})
-
-    for r in range(max_rounds):
-        mixed = labels.map_batches(as_label_row, batch_format="pyarrow").union(
-            adj.map_batches(as_edge_row, batch_format="pyarrow"))
-        proposals = reduce_blocks(mixed, ["node"], make_propose(r),
-                                  batch_format="pandas", coalesce_rows=None)
-        labels = reduce_blocks(proposals, ["node"], min_with_new,
-                               batch_format="pandas",
-                               coalesce_rows=None).materialize()
-        if int(labels.sum("new") or 0) == 0:
+    # arrivals in round r have depth r; depths <= max_rounds need rounds
+    # 0..max_rounds. Leftover depth-(max_rounds+1) proposals exceed the
+    # contract bound and are dropped in the final min below.
+    prev_rows = -1
+    for r in range(max_rounds + 1):
+        mixed = state.map_batches(as_state, batch_format="pyarrow").union(
+            adj_tagged)
+        state = reduce_blocks(mixed, ["node"], make_round(r),
+                              coalesce_rows=None).materialize()
+        rows = state.count()
+        # sound skip: zero new arrivals => no proposals and a stable
+        # settled set, so rows can only shrink or hold — a grown count
+        # proves progress and skips the sum("new") execution
+        if rows <= prev_rows and int(state.sum("new") or 0) == 0:
             break
-        labels = labels.drop_columns(["new"])
+        prev_rows = rows
 
-    if "new" in labels.schema().names:
-        labels = labels.drop_columns(["new"])
-    return labels.map_batches(
-        lambda b: pa.table({"node_id": b.column("node"),
-                            "depth": b.column("depth").cast(pa.int64())}),
-        batch_format="pyarrow")
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # state is already node-partitioned by the last round's reduce, so
+        # this is a whole-block map, not another exchange: per-node min
+        # over settled rows; unsettled leftover proposals (old never set)
+        # are dropped
+        if df.empty:
+            return pd.DataFrame({"node_id": pd.Series(dtype="object"),
+                                 "depth": pd.Series(dtype="int64")})
+        g = df.groupby("node", sort=False)
+        mind = g["depth"].min()
+        had_old = g["old"].max()
+        keep = mind[(had_old > 0) & (mind <= max_rounds)]
+        return pd.DataFrame({"node_id": keep.index.to_numpy(),
+                             "depth": keep.to_numpy().astype("int64")})
+
+    return state.map_batches(finish, batch_format="pandas",
+                             batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -2091,10 +2281,11 @@ def harmonic_centrality(edges: rd.Dataset, seed_prefix: str = "fr",
             r, expand=(r < max_rounds)),
             coalesce_rows=None).materialize()
         rows = state.count()  # metadata on a materialized dataset — free
-        # early-exit gate: a grown row count PROVES new bits landed (a new
-        # row is a first arrival), so the sum("new") aggregation — a full
-        # extra execution per round — only runs once growth stalls
-        if rows == prev_rows and int(state.sum("new") or 0) == 0:
+        # early-exit gate: a GROWN row count proves new bits landed (zero
+        # new bits => no proposals and a stable settled set, so rows can
+        # only shrink or hold); only without growth does the sum("new")
+        # aggregation — a full extra execution per round — run
+        if rows <= prev_rows and int(state.sum("new") or 0) == 0:
             break
         prev_rows = rows
 
