@@ -681,10 +681,10 @@ def connected_components(edges: rd.Dataset, max_rounds: int = 25) -> rd.Dataset:
                               batch_format="pandas",
                               coalesce_rows=None).materialize()
         rows = state.count()
-        # sound skip: zero changed labels => no proposals and a stable
-        # node set, so rows can only shrink or hold — growth proves
-        # progress and skips the sum("changed") execution
-        if rows <= prev_rows and int(state.sum("changed") or 0) == 0:
+        # convergence check only on an exactly-held row count (see
+        # harmonic_centrality: at worst one extra no-op round, instead of
+        # a sum("changed") execution in every shrinking productive round)
+        if rows == prev_rows and int(state.sum("changed") or 0) == 0:
             break
         prev_rows = rows
 
@@ -1663,10 +1663,10 @@ def bfs_depth(edges: rd.Dataset, seed_prefix: str = "fr",
         state = reduce_blocks(mixed, ["node"], make_round(r),
                               coalesce_rows=None).materialize()
         rows = state.count()
-        # sound skip: zero new arrivals => no proposals and a stable
-        # settled set, so rows can only shrink or hold — a grown count
-        # proves progress and skips the sum("new") execution
-        if rows <= prev_rows and int(state.sum("new") or 0) == 0:
+        # convergence check only on an exactly-held row count (see
+        # harmonic_centrality: at worst one extra no-op round, instead of
+        # a sum("new") execution in every shrinking productive round)
+        if rows == prev_rows and int(state.sum("new") or 0) == 0:
             break
         prev_rows = rows
 
@@ -2281,11 +2281,14 @@ def harmonic_centrality(edges: rd.Dataset, seed_prefix: str = "fr",
             r, expand=(r < max_rounds)),
             coalesce_rows=None).materialize()
         rows = state.count()  # metadata on a materialized dataset — free
-        # early-exit gate: a GROWN row count proves new bits landed (zero
-        # new bits => no proposals and a stable settled set, so rows can
-        # only shrink or hold); only without growth does the sum("new")
-        # aggregation — a full extra execution per round — run
-        if rows <= prev_rows and int(state.sum("new") or 0) == 0:
+        # early-exit gate: the sum("new") aggregation — a full extra
+        # execution per round — runs ONLY when the row count holds exactly.
+        # Zero new bits means no proposals and a stable settled set, so the
+        # first converged round either holds the count (detected now) or
+        # shrinks it by the dying proposals (the NEXT round then holds and
+        # is detected — one no-op round, far cheaper than summing every
+        # productive round)
+        if rows == prev_rows and int(state.sum("new") or 0) == 0:
             break
         prev_rows = rows
 
