@@ -610,3 +610,45 @@ def test_md5vec_matches_hashlib():
     by_hex = sorted(hx)
     by_key = [h for _, _, h in sorted(zip(map(int, k1), map(int, k2), hx))]
     assert by_hex == by_key
+
+
+def test_harmonic_centrality_multiword_masks(ray_session):
+    """More than 64 seeds forces the K=2 uint64 mask-word path of the
+    bitset BFS — never exercised by the small planted graphs. 70 seeds
+    all attach to one hub; brute-force-checkable distances."""
+    from neo4j_tkapi_ray.ops.graph import harmonic_centrality
+
+    seeds = [f"fr{i:02d}" for i in range(70)]
+    edges = [(s, "P", "hub") for s in seeds] + [("hub", "P", "leaf")]
+    t = pa.table({"subj": [e[0] for e in edges],
+                  "pred": [e[1] for e in edges],
+                  "obj": [e[2] for e in edges]})
+    got = {r["node_id"]: (r["n_seeds_reached"], r["harmonic_nano"])
+           for r in harmonic_centrality(
+               rd.from_arrow(t).repartition(5), seed_prefix="fr",
+               max_rounds=6).take_all()}
+    B = 1_000_000_000
+    assert got["hub"] == (70, 70 * B)            # d=1 to every seed
+    assert got["leaf"] == (70, 70 * (B // 2))    # d=2 via hub
+    # each seed: the other 69 at d=2 through the hub (self excluded)
+    assert got["fr00"] == (69, 69 * (B // 2))
+    assert got["fr69"] == (69, 69 * (B // 2))
+    assert len(got) == 72
+
+
+def test_wcc_long_chain_pointer_jumping(ray_session):
+    """A 200-node path has diameter 199 — far past max_rounds=25 of plain
+    one-hop min-label relaxation. The pointer-jumping fold makes label
+    chains square per round, so the TRUE component (min id n000) is
+    reached well inside the round budget."""
+    from neo4j_tkapi_ray.ops.graph import connected_components
+
+    n = 200
+    names = [f"n{i:03d}" for i in range(n)]
+    t = pa.table({"subj": names[:-1], "pred": ["P"] * (n - 1),
+                  "obj": names[1:]})
+    got = {r["node_id"]: r["component_id"]
+           for r in connected_components(
+               rd.from_arrow(t).repartition(7)).take_all()}
+    assert len(got) == n
+    assert set(got.values()) == {"n000"}
