@@ -470,24 +470,35 @@ def triangle_counts(edges: rd.Dataset | None = None, *,
     def wedges(df: pd.DataFrame) -> pd.DataFrame:
         """Per src: all unordered neighbor pairs (x < y by id), plus the
         apex. Degree orientation bounds the per-node neighbor list."""
+        empty = pd.DataFrame({"u": pd.Series(dtype="object"),
+                              "v": pd.Series(dtype="object"),
+                              "apex": pd.Series(dtype="object")})
         if df.empty:
-            return pd.DataFrame({"u": pd.Series(dtype="object"),
-                                 "v": pd.Series(dtype="object"),
-                                 "apex": pd.Series(dtype="object")})
-        outs = []
-        for src, g in df.groupby("src", sort=False):
-            nb = np.sort(g["dst"].to_numpy())
-            m = len(nb)
-            if m < 2:
-                continue
-            iu, ju = np.triu_indices(m, 1)
-            outs.append(pd.DataFrame({"u": nb[iu], "v": nb[ju],
-                                      "apex": np.repeat(src, len(iu))}))
-        if not outs:
-            return pd.DataFrame({"u": pd.Series(dtype="object"),
-                                 "v": pd.Series(dtype="object"),
-                                 "apex": pd.Series(dtype="object")})
-        return pd.concat(outs, ignore_index=True)
+            return empty
+        # vectorized unordered-pair enumeration (no per-src Python loop):
+        # sort by (src, dst) so each src's neighbors are a contiguous
+        # ascending run; element k of an m-run contributes pairs with the
+        # (m-1-k) elements after it — enumerate all of them with one
+        # repeat + one arange
+        d2 = df.sort_values(["src", "dst"], kind="mergesort")
+        src = d2["src"].to_numpy()
+        dst = d2["dst"].to_numpy()
+        n = len(src)
+        new_run = np.ones(n, bool)
+        new_run[1:] = src[1:] != src[:-1]
+        run_id = np.cumsum(new_run) - 1
+        run_sizes = np.bincount(run_id)
+        run_ends = np.cumsum(run_sizes)          # exclusive end per run
+        rem = run_ends[run_id] - np.arange(n) - 1  # pairs led by element
+        total = int(rem.sum())
+        if total == 0:
+            return empty
+        u_idx = np.repeat(np.arange(n), rem)
+        ends = np.cumsum(rem)
+        v_idx = (np.arange(total) - np.repeat(ends - rem, rem)
+                 + u_idx + 1)
+        return pd.DataFrame({"u": dst[u_idx], "v": dst[v_idx],
+                             "apex": src[u_idx]})
 
     wedge = reduce_blocks(oriented, ["src"], wedges, batch_format="pandas",
                           coalesce_rows=None)
@@ -550,11 +561,17 @@ def connected_components(edges: rd.Dataset, max_rounds: int = 25) -> rd.Dataset:
     the GDS ``wcc`` a reference user runs on the loaded Neo4j graph.
     component_id = lexicographically smallest node id of the component.
 
-    Same distributed min-label propagation as ``ops/dedup.neardup_groups``
-    (two exchanges per round, convergence flag computed in-stream, driver
-    reads ONE int per round), generalized to string node ids. The
-    adjacency dedups (node, peer) within each batch before materializing —
-    parallel preds between the same endpoints add no propagation traffic.
+    Distributed min-label propagation generalized to string node ids —
+    ONE fused settle+propose exchange per round with FRONTIER-ONLY
+    neighbor traffic, plus POINTER-JUMPING folded into the same exchange
+    (every non-root node chases its label's label, so convergence is
+    O(log diameter) rounds — a 200-node chain closes in ~8 rounds where
+    one-hop relaxation would need 199; see
+    tests/test_graph.py::test_wcc_long_chain_pointer_jumping). The
+    convergence aggregation runs only on an exactly-held state row count
+    (see harmonic_centrality). The adjacency dedups (node, peer) within
+    each batch before materializing — parallel preds between the same
+    endpoints add no propagation traffic.
     """
     def explode(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
