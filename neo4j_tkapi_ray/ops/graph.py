@@ -1261,25 +1261,29 @@ def node_similarity(edges: rd.Dataset | None = None, *,
             return empty
         xcodes, uniq = pd.factorize(df["x"], sort=True)
         wcodes, _ = pd.factorize(df["w"], sort=False)
-        order = np.argsort(wcodes, kind="stable")
+        # one lexsort puts each witness's neighbors in an ascending
+        # contiguous run; element k of an m-run pairs with the m-1-k
+        # elements after it — enumerated with one repeat + one arange
+        # (the triangle-wedge vectorization; no per-witness Python loop)
+        order = np.lexsort((xcodes, wcodes))
         wc, xc = wcodes[order], xcodes[order]
-        starts = np.flatnonzero(np.r_[True, wc[1:] != wc[:-1]])
-        ends = np.r_[starts[1:], len(wc)]
-        a_parts, b_parts = [], []
-        for s0, e0 in zip(starts, ends):
-            m = e0 - s0
-            if m < 2 or (max_witness_degree is not None
-                         and m > max_witness_degree):
-                continue
-            nb = np.sort(xc[s0:e0])
-            iu, ju = np.triu_indices(m, 1)
-            a_parts.append(nb[iu])
-            b_parts.append(nb[ju])
-        if not a_parts:
+        new_run = np.r_[True, wc[1:] != wc[:-1]]
+        run_id = np.cumsum(new_run) - 1
+        sizes = np.bincount(run_id)
+        ok = sizes >= 2
+        if max_witness_degree is not None:
+            ok &= sizes <= max_witness_degree
+        run_end = np.cumsum(sizes)
+        rem = np.where(ok[run_id],
+                       run_end[run_id] - np.arange(len(wc)) - 1, 0)
+        total = int(rem.sum())
+        if total == 0:
             return empty
+        u_idx = np.repeat(np.arange(len(wc)), rem)
+        ends = np.cumsum(rem)
+        v_idx = np.arange(total) - np.repeat(ends - rem, rem) + u_idx + 1
         n = len(uniq)
-        key = (np.concatenate(a_parts).astype(np.int64) * n
-               + np.concatenate(b_parts))
+        key = xc[u_idx].astype(np.int64) * n + xc[v_idx]
         uk, counts = np.unique(key, return_counts=True)
         ua = np.asarray(uniq)
         return pd.DataFrame({"a": ua[uk // n], "b": ua[uk % n],
